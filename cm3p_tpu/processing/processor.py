@@ -1,0 +1,508 @@
+"""CM3P multi-modal processor (beatmap + metadata + audio front-end).
+
+Orchestrates parsing, sliding-window chunking, log-mel extraction,
+audio-token accounting, metadata derivation/dropout/variation-expansion and
+tokenization into rectangular numpy batches. Parity target:
+``/root/reference/cm3p/processing_cm3p.py:195-643`` with one deliberate
+TPU-first change: outputs are numpy arrays with bucketable static shapes
+(``padding='max_length'`` + ``pad_to_multiple_of``) instead of torch tensors
+with ragged lengths.
+"""
+from __future__ import annotations
+
+import copy
+import math
+from os import PathLike
+from pathlib import Path
+from typing import IO, Optional, Union
+
+import numpy as np
+
+from ..audio.loading import prepare_waveform, resample
+from ..audio.mel import LogMelExtractor
+from ..beatmap.osu import Beatmap, HoldNote
+from ..beatmap.parser import BeatmapEventParser, get_song_length, load_beatmap
+from ..tokenize.beatmap_tokenizer import BatchTokens, BeatmapTokenizer
+from ..tokenize.metadata_tokenizer import Metadata, MetadataTokenizer, merge_metadata_dicts
+from ..utils.io import read_json, write_json
+
+BeatmapInput = Union[str, PathLike, IO[str], Beatmap]
+
+DEFAULT_KWARGS = {
+    "beatmap_kwargs": {
+        "max_length": 8000,
+        "padding": "longest",
+        "truncation": True,
+        "window_length_sec": 30.0,
+        "window_stride_sec": 30.0,
+        "min_window_length_sec": 1.0,
+    },
+    "metadata_kwargs": {
+        "max_length": 128,
+        "padding": "longest",
+        "truncation": True,
+    },
+    "audio_kwargs": {
+        "sampling_rate": 16000,
+        "pad_to_multiple_of": 480000,
+        "max_source_positions": 3000,
+        "hop_length": 160,
+        "window_size": 400,
+        "audio_length_per_tok": 8,
+    },
+}
+
+# flat kwargs routed to their modality dict (processing_cm3p.py:362-419)
+_BEATMAP_KEYS = set(DEFAULT_KWARGS["beatmap_kwargs"]) | {"pad_to_multiple_of"}
+_METADATA_KEYS = set(DEFAULT_KWARGS["metadata_kwargs"])
+_AUDIO_KEYS = set(DEFAULT_KWARGS["audio_kwargs"])
+
+
+# ------------------------------------------------------- metadata derivation
+
+
+def get_hold_note_ratio(beatmap: Beatmap) -> Optional[float]:
+    notes = beatmap.hit_objects(stacking=False)
+    if len(notes) == 0:
+        return None
+    hold = sum(1 for n in notes if isinstance(n, HoldNote))
+    return hold / len(notes)
+
+
+def get_scroll_speed_ratio(beatmap: Beatmap) -> Optional[float]:
+    """Scroll-speed changes per distinct hit-object time (processing_cm3p.py:46-69)."""
+    notes = beatmap.hit_objects(stacking=False)
+    if len(notes) == 0:
+        return None
+    last_time = -1
+    num_note_times = 0
+    for note in notes:
+        if note.time != last_time:
+            num_note_times += 1
+            last_time = note.time
+    last_speed = -1.0
+    num_changes = 0
+    for tp in beatmap.timing_points:
+        if tp.parent is None:
+            last_speed = 1.0
+        else:
+            speed = -100.0 / tp.ms_per_beat
+            if speed != last_speed and last_speed != -1:
+                num_changes += 1
+            last_speed = speed
+    return num_changes / num_note_times
+
+
+def get_hitsounded_status(beatmap: Beatmap) -> bool:
+    return any(n.hitsound != 0 for n in beatmap.hit_objects(stacking=False))
+
+
+def get_difficulty(beatmap_metadata, speed: float = 1.0) -> float:
+    """Interpolate the per-speed StarRating array at ``speed``."""
+    star_ratings = beatmap_metadata["StarRating"]
+    speed_ratios = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0]
+    return float(np.interp(speed, speed_ratios, star_ratings))
+
+
+def get_metadata(
+    beatmap_metadata=None,
+    beatmap: Optional[Beatmap] = None,
+    audio_samples: Optional[np.ndarray] = None,
+    sampling_rate: Optional[int] = None,
+    speed: float = 1.0,
+    song_position: Optional[float] = None,
+) -> Metadata:
+    """Derive the 14-field metadata dict from dataset row and/or beatmap."""
+    mode = (
+        beatmap.mode
+        if beatmap is not None
+        else beatmap_metadata["ModeInt"]
+        if beatmap_metadata is not None
+        else None
+    )
+    circle_size = (
+        beatmap.circle_size
+        if beatmap is not None
+        else beatmap_metadata["Cs"]
+        if beatmap_metadata is not None
+        else None
+    )
+    song_length = get_song_length(audio_samples, sampling_rate, beatmap)
+    return {
+        "difficulty": get_difficulty(beatmap_metadata, speed) if beatmap_metadata is not None else None,
+        "year": beatmap_metadata["SubmittedDate"].year if beatmap_metadata is not None else None,
+        "mode": mode,
+        "status": beatmap_metadata["Status"] if beatmap_metadata is not None else None,
+        "mapper": beatmap_metadata["UserId"] if beatmap_metadata is not None else None,
+        "cs": circle_size if mode in (0, 2) else None,
+        "hitsounded": get_hitsounded_status(beatmap) if beatmap is not None else None,
+        "song_length": song_length,
+        "song_position": song_position,
+        "global_sv": beatmap.slider_multiplier if mode in (0, 2) and beatmap is not None else None,
+        "mania_keycount": int(circle_size) if mode == 3 and beatmap is not None else None,
+        "hold_note_ratio": get_hold_note_ratio(beatmap) if mode == 3 and beatmap is not None else None,
+        "scroll_speed_ratio": get_scroll_speed_ratio(beatmap) if mode in (1, 3) and beatmap is not None else None,
+        "tags": list(beatmap_metadata["TopTagIds"]) if beatmap_metadata is not None else None,
+    }
+
+
+# ------------------------------------------------------------------ processor
+
+
+class CM3PProcessor:
+    """Bundle of the four front-end components with HF-style save/load."""
+
+    attributes = ["audio_feature_extractor", "beatmap_parser", "beatmap_tokenizer", "metadata_tokenizer"]
+
+    def __init__(
+        self,
+        audio_feature_extractor: Optional[LogMelExtractor] = None,
+        beatmap_parser: Optional[BeatmapEventParser] = None,
+        beatmap_tokenizer: Optional[BeatmapTokenizer] = None,
+        metadata_tokenizer: Optional[MetadataTokenizer] = None,
+        default_kwargs: Optional[dict] = None,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.audio_feature_extractor = audio_feature_extractor or LogMelExtractor()
+        self.beatmap_parser = beatmap_parser or BeatmapEventParser()
+        self.beatmap_tokenizer = beatmap_tokenizer or BeatmapTokenizer()
+        self.metadata_tokenizer = metadata_tokenizer or MetadataTokenizer()
+        self.audio_token = self.beatmap_tokenizer.audio_token
+        self.default_kwargs = copy.deepcopy(default_kwargs) if default_kwargs else copy.deepcopy(DEFAULT_KWARGS)
+        self.rng = rng or np.random.default_rng()
+
+    # ----------------------------------------------------------------- audio
+
+    @staticmethod
+    def _pad_audio(
+        audio_array: np.ndarray,
+        window_size: int = 400,
+        pad_to_multiple_of: Optional[int] = 480000,
+        **_,
+    ) -> np.ndarray:
+        if pad_to_multiple_of:
+            target = math.ceil(audio_array.shape[-1] / pad_to_multiple_of) * pad_to_multiple_of
+            audio_array = np.pad(audio_array, (0, target - audio_array.shape[-1]))
+        elif audio_array.shape[-1] < window_size:
+            audio_array = np.pad(audio_array, (0, window_size - audio_array.shape[-1]))
+        return audio_array
+
+    def _encode_audio(
+        self,
+        audio: np.ndarray,
+        hop_length: int = 160,
+        audio_length_per_tok: int = 8,
+        **kwargs,
+    ) -> tuple[np.ndarray, int]:
+        """Pad the waveform and count the audio placeholder tokens."""
+        audio = self._pad_audio(audio, **kwargs)
+        signal_length = audio.shape[0]
+        if signal_length % hop_length != 0:
+            signal_length = math.ceil(signal_length / hop_length - 1)
+        else:
+            signal_length = signal_length // hop_length
+        num_audio_tokens = math.ceil(signal_length / audio_length_per_tok)
+        return audio, num_audio_tokens
+
+    def _retrieve_input_features(self, audio_list: list[np.ndarray], max_source_positions: int, **_) -> np.ndarray:
+        """Log-mel per window, chunked to (chunks, n_mels, max_source_positions)."""
+        features = []
+        for audio_array in audio_list:
+            mel = self.audio_feature_extractor(audio_array)  # (80, frames)
+            chunks = mel.reshape(self.audio_feature_extractor.feature_size, -1, max_source_positions)
+            features.append(chunks.swapaxes(0, 1))
+        return np.concatenate(features).astype(np.float32)
+
+    def _load_audio(
+        self,
+        sampling_rate: int,
+        audio,
+        audio_sampling_rate: Optional[Union[int, list[int]]] = None,
+        speed: float = 1.0,
+    ) -> list[np.ndarray]:
+        from ..audio.loading import load_audio_file
+
+        if isinstance(audio, (str, Path)):
+            audio = [load_audio_file(audio, sampling_rate, speed)]
+            audio_sampling_rate = sampling_rate
+        elif isinstance(audio, list) and all(isinstance(a, (str, Path)) for a in audio):
+            audio = [load_audio_file(a, sampling_rate, speed) for a in audio]
+            audio_sampling_rate = sampling_rate
+        elif isinstance(audio, np.ndarray) and audio.ndim <= 2:
+            audio = [audio]
+
+        if audio_sampling_rate is None:
+            audio_sampling_rate = sampling_rate
+        if isinstance(audio_sampling_rate, int):
+            audio_sampling_rate = [audio_sampling_rate] * len(audio)
+
+        return [prepare_waveform(a, s, sampling_rate) for a, s in zip(audio, audio_sampling_rate)]
+
+    # ---------------------------------------------------------------- kwargs
+
+    def _merge_kwargs(self, **kwargs) -> dict:
+        out = copy.deepcopy(self.default_kwargs)
+        for modality, keys in (
+            ("beatmap_kwargs", _BEATMAP_KEYS),
+            ("metadata_kwargs", _METADATA_KEYS),
+            ("audio_kwargs", _AUDIO_KEYS),
+        ):
+            out.setdefault(modality, {})
+            if modality in kwargs:
+                out[modality].update(kwargs[modality])
+        for key, value in kwargs.items():
+            if key in ("beatmap_kwargs", "metadata_kwargs", "audio_kwargs"):
+                continue
+            # flat kwargs update every modality that knows the key
+            if key in _BEATMAP_KEYS:
+                out["beatmap_kwargs"][key] = value
+            if key in _METADATA_KEYS and key != "pad_to_multiple_of":
+                out["metadata_kwargs"][key] = value
+            if key in _AUDIO_KEYS and key not in ("pad_to_multiple_of",):
+                out["audio_kwargs"][key] = value
+        return out
+
+    # ------------------------------------------------------------------ call
+
+    def __call__(
+        self,
+        metadata: Optional[Union[Metadata, list[Metadata]]] = None,
+        beatmap: Optional[Union[BeatmapInput, list[BeatmapInput]]] = None,
+        audio=None,
+        audio_sampling_rate: Optional[Union[int, list[int]]] = None,
+        speed: float = 1.0,
+        multiply_metadata: bool = False,
+        populate_metadata: bool = False,
+        metadata_dropout_prob: float = 0.0,
+        metadata_variations: int = 1,
+        **kwargs,
+    ) -> BatchTokens:
+        """Process beatmaps/metadata/audio into a model-ready batch.
+
+        Output keys: ``input_ids``, ``attention_mask``, optionally
+        ``input_features`` (chunks, n_mels, max_source_positions),
+        ``metadata_ids``, ``metadata_attention_mask`` and
+        ``metadata_variation_classes``.
+        """
+        out_kwargs = self._merge_kwargs(**kwargs)
+        beatmap_kwargs = dict(out_kwargs["beatmap_kwargs"])
+        metadata_kwargs = dict(out_kwargs["metadata_kwargs"])
+        audio_kwargs = dict(out_kwargs["audio_kwargs"])
+
+        window_length_sec = beatmap_kwargs.pop("window_length_sec")
+        window_stride_sec = beatmap_kwargs.pop("window_stride_sec")
+        min_window_length_sec = beatmap_kwargs.pop("min_window_length_sec", 1.0)
+        max_length = beatmap_kwargs.get("max_length", 8000)
+        metadata_max_length = metadata_kwargs.get("max_length", 128)
+        sampling_rate = audio_kwargs["sampling_rate"]
+        max_source_positions = audio_kwargs.get("max_source_positions", 3000)
+
+        metadata_encoding = None
+        beatmap_encoding = None
+        metadata_variation_classes = None
+
+        if metadata is None and beatmap is None:
+            raise ValueError("You have to specify either metadata or beatmap. Both cannot be none.")
+
+        if audio is not None:
+            audio = self._load_audio(sampling_rate, audio, audio_sampling_rate=audio_sampling_rate)
+
+        if beatmap is not None:
+            if not isinstance(beatmap, list):
+                beatmap = [beatmap]
+
+            if audio is not None:
+                if len(beatmap) != len(audio):
+                    raise ValueError(
+                        f"The number of beatmaps ({len(beatmap)}) must match the number of audio ({len(audio)})"
+                    )
+            else:
+                audio = [None] * len(beatmap)
+
+            if (multiply_metadata or populate_metadata) and metadata is not None:
+                matched_metadata = metadata if isinstance(metadata, list) else [metadata]
+                if len(matched_metadata) != len(beatmap):
+                    raise ValueError(
+                        f"The number of metadata entries ({len(matched_metadata)}) must match the number "
+                        f"of beatmaps ({len(beatmap)}) when multiply/populate_metadata is set."
+                    )
+            else:
+                matched_metadata = [{} for _ in beatmap] if populate_metadata else [None] * len(beatmap)
+
+            new_metadata: list[Optional[Metadata]] = []
+            batch_start_ms: list[float] = []
+            batch_groups: list[list] = []
+            batch_audio: list[Optional[np.ndarray]] = []
+            batch_num_audio_tokens: list[int] = []
+
+            for b, m, audio_array in zip(beatmap, matched_metadata, audio):
+                b = load_beatmap(b)
+                song_length = get_song_length(audio_array, sampling_rate, b)
+                beatmap_groups = self.beatmap_parser.parse_beatmap(b, speed=speed, song_length=song_length)
+
+                def add_metadata(song_position: Optional[float] = None):
+                    if populate_metadata:
+                        new_metadata.append(
+                            merge_metadata_dicts(
+                                m,
+                                get_metadata(
+                                    beatmap=b,
+                                    audio_samples=audio_array,
+                                    sampling_rate=sampling_rate,
+                                    speed=speed,
+                                    song_position=song_position,
+                                ),
+                            )
+                        )
+                    else:
+                        new_metadata.append(m)
+
+                if not multiply_metadata:
+                    add_metadata()
+
+                # sliding-window slicing (processing_cm3p.py:515-554)
+                groups_search_index = 0
+                for start_sec in np.arange(0, song_length - min_window_length_sec, window_stride_sec):
+                    end_sec = start_sec + window_length_sec
+
+                    if audio_array is not None:
+                        start_frame = int(start_sec * sampling_rate)
+                        end_frame = int(end_sec * sampling_rate)
+                        audio_slice = audio_array[start_frame:end_frame]
+                        audio_slice, num_audio_tokens = self._encode_audio(audio_slice, **audio_kwargs)
+                    else:
+                        audio_slice = None
+                        num_audio_tokens = 0
+
+                    start_ms = start_sec * 1000
+                    end_ms = end_sec * 1000
+                    next_start_ms = (start_sec + window_stride_sec) * 1000
+                    window_groups = []
+                    for group in beatmap_groups[groups_search_index:]:
+                        if group.time < next_start_ms:
+                            groups_search_index += 1
+                        if group.time < start_ms:
+                            continue
+                        elif group.time < end_ms:
+                            window_groups.append(group)
+                        else:
+                            break
+
+                    batch_start_ms.append(start_ms)
+                    batch_groups.append(window_groups)
+                    batch_audio.append(audio_slice)
+                    batch_num_audio_tokens.append(num_audio_tokens)
+
+                    if multiply_metadata:
+                        add_metadata(start_sec / song_length)
+
+            if populate_metadata or multiply_metadata:
+                metadata = new_metadata
+
+            if len(batch_groups) > 0:
+                beatmap_encoding = self.beatmap_tokenizer(
+                    groups=batch_groups,
+                    window_start_ms=batch_start_ms,
+                    num_audio_tokens=batch_num_audio_tokens,
+                    **beatmap_kwargs,
+                )
+                if all(a is not None for a in audio):
+                    beatmap_encoding["input_features"] = self._retrieve_input_features(
+                        batch_audio, max_source_positions
+                    )
+            else:
+                beatmap_encoding = BatchTokens(
+                    input_ids=np.zeros((0, max_length), dtype=np.int32),
+                    attention_mask=np.zeros((0, max_length), dtype=np.int32),
+                )
+                if all(a is not None for a in audio):
+                    beatmap_encoding["input_features"] = np.zeros(
+                        (0, self.audio_feature_extractor.feature_size, max_source_positions), dtype=np.float32
+                    )
+
+        if metadata is not None and not (isinstance(metadata, list) and any(m is None for m in metadata)):
+            if not isinstance(metadata, list):
+                metadata = [metadata]
+
+            if metadata_dropout_prob > 0.0:
+                for m in metadata:
+                    for key, value in m.items():
+                        if value is not None and self.rng.random() < metadata_dropout_prob:
+                            m[key] = None
+
+            if metadata_variations > 1:
+                extended = []
+                metadata_variation_classes = []
+                for m in metadata:
+                    pairs = list(
+                        self.metadata_tokenizer.metadata_variations(m, metadata_variations - 1, rng=self.rng)
+                    )
+                    m_vars = [p[0] for p in pairs]
+                    m_classes = [p[1] for p in pairs]
+                    extended.append(m)
+                    extended.extend(m_vars)
+                    metadata_variation_classes.append([0] + m_classes)
+                assert len(extended) == len(metadata) * metadata_variations
+                metadata = extended
+
+            if len(metadata) > 0:
+                metadata_encoding = self.metadata_tokenizer(metadata, **metadata_kwargs)
+                if metadata_variations > 1:
+                    for k, v in metadata_encoding.items():
+                        metadata_encoding[k] = v.reshape(
+                            len(metadata) // metadata_variations, metadata_variations, -1
+                        )
+                if metadata_variation_classes is not None:
+                    metadata_encoding["metadata_variation_classes"] = np.asarray(
+                        metadata_variation_classes, dtype=np.int32
+                    )
+            else:
+                metadata_encoding = BatchTokens(
+                    input_ids=np.zeros((0, metadata_max_length), dtype=np.int32),
+                    attention_mask=np.zeros((0, metadata_max_length), dtype=np.int32),
+                )
+
+        if metadata_encoding is not None and beatmap_encoding is not None:
+            beatmap_encoding["metadata_ids"] = metadata_encoding["input_ids"]
+            beatmap_encoding["metadata_attention_mask"] = metadata_encoding["attention_mask"]
+            if "metadata_variation_classes" in metadata_encoding:
+                beatmap_encoding["metadata_variation_classes"] = metadata_encoding["metadata_variation_classes"]
+            return beatmap_encoding
+        elif beatmap_encoding is not None:
+            return beatmap_encoding
+        return metadata_encoding
+
+    def batch_decode(self, *args, **kwargs):
+        return self.beatmap_tokenizer.batch_decode(*args, **kwargs)
+
+    def decode(self, *args, **kwargs):
+        return self.beatmap_tokenizer.decode(*args, **kwargs)
+
+    # -------------------------------------------------------------- save/load
+
+    def save_pretrained(self, save_directory: Union[str, PathLike]) -> list[str]:
+        """Write each component into its own subfolder plus processor_config.json."""
+        save_directory = Path(save_directory)
+        save_directory.mkdir(parents=True, exist_ok=True)
+        files = []
+        for attribute_name in self.attributes:
+            files += getattr(self, attribute_name).save_pretrained(save_directory / attribute_name)
+        config_file = save_directory / "processor_config.json"
+        write_json(
+            config_file,
+            {"processor_class": type(self).__name__, "default_kwargs": self.default_kwargs},
+        )
+        files.append(str(config_file))
+        return files
+
+    @classmethod
+    def from_pretrained(cls, directory: Union[str, PathLike]) -> "CM3PProcessor":
+        directory = Path(directory)
+        config = read_json(directory / "processor_config.json")
+        return cls(
+            audio_feature_extractor=LogMelExtractor.from_pretrained(directory / "audio_feature_extractor"),
+            beatmap_parser=BeatmapEventParser.from_pretrained(directory / "beatmap_parser"),
+            beatmap_tokenizer=BeatmapTokenizer.from_pretrained(directory / "beatmap_tokenizer"),
+            metadata_tokenizer=MetadataTokenizer.from_pretrained(directory / "metadata_tokenizer"),
+            default_kwargs=config.get("default_kwargs"),
+        )

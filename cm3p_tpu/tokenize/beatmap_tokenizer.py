@@ -1,0 +1,371 @@
+"""Beatmap event tokenizer.
+
+Builds the structured vocabulary programmatically (event types, quantized
+time shifts / snappings / distances / positions / scroll speeds, hitsounds,
+volumes) and serializes ``Group`` streams into token-id sequences. Parity
+target: ``/root/reference/cm3p/tokenization_cm3p.py:14-302``, including the
+exact vocab ordering and special-token placement (base vocab first, then the
+seven core specials and the three audio specials, matching HF's added-token
+numbering so converted checkpoints line up).
+
+Outputs are numpy int32 arrays with static, bucketable shapes — the TPU
+pipeline never sees ragged batches.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from ..beatmap.events import EVENT_TYPES_WITH_NEW_COMBO, EventType, Group
+from ..utils.io import JsonConfigMixin
+
+# HF appends specials in declaration order: the seven named ones, then
+# additional_special_tokens (tokenization_cm3p.py:55-67).
+CORE_SPECIAL_TOKENS = ["[BOS]", "[EOS]", "[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]"]
+AUDIO_SPECIAL_TOKENS = ["[AUDIO_BOS]", "[AUDIO_EOS]", "[AUDIO]"]
+
+
+class BatchTokens(dict):
+    """Dict of numpy arrays with attribute access (input_ids, attention_mask)."""
+
+    def __getattr__(self, item):
+        try:
+            return self[item]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(item) from e
+
+
+class BeatmapTokenizer(JsonConfigMixin):
+    config_name = "tokenizer_config.json"
+
+    def __init__(
+        self,
+        vocab: Optional[dict[str, int]] = None,
+        min_time: int = 0,
+        max_time: int = 30000,
+        time_step: int = 10,
+        max_distance: int = 640,
+        distance_step: int = 4,
+        position_range: tuple[int, int, int, int] = (-256, 768, -256, 640),
+        position_step: int = 4,
+        position_split_axes: bool = True,
+        add_cls_token: bool = False,
+        separate_new_combo_token: bool = True,
+        **_unused,
+    ):
+        self.min_time = min_time
+        self.max_time = max_time
+        self.time_step = time_step
+        self.max_distance = max_distance
+        self.distance_step = distance_step
+        self.position_range = tuple(position_range)
+        self.position_step = position_step
+        self.position_split_axes = position_split_axes
+        self.add_cls_token = add_cls_token
+        self.separate_new_combo_token = separate_new_combo_token
+
+        self.bos_token = "[BOS]"
+        self.eos_token = "[EOS]"
+        self.unk_token = "[UNK]"
+        self.sep_token = "[SEP]"
+        self.pad_token = "[PAD]"
+        self.cls_token = "[CLS]"
+        self.mask_token = "[MASK]"
+        self.audio_bos_token = "[AUDIO_BOS]"
+        self.audio_eos_token = "[AUDIO_EOS]"
+        self.audio_token = "[AUDIO]"
+
+        self.vocab = dict(vocab) if vocab is not None else self._build_vocab_from_config()
+        # specials live after the base vocab, HF added-token style
+        self.special_tokens = CORE_SPECIAL_TOKENS + AUDIO_SPECIAL_TOKENS
+        self._full_vocab = dict(self.vocab)
+        for tok in self.special_tokens:
+            if tok not in self._full_vocab:
+                self._full_vocab[tok] = len(self._full_vocab)
+        self.ids_to_tokens = {i: t for t, i in self._full_vocab.items()}
+
+    # ------------------------------------------------------------------ vocab
+
+    def _build_vocab_from_config(self) -> dict[str, int]:
+        vocab: list[str] = []
+
+        for event_type in EventType:
+            vocab.append(f"[{event_type.value.upper()}]")
+
+        if not self.separate_new_combo_token:
+            for event_type in EVENT_TYPES_WITH_NEW_COMBO:
+                vocab.append(f"[{event_type.value.upper()}_NEW_COMBO]")
+
+        for time in np.arange(self.min_time, self.max_time + 1e-5, self.time_step):
+            vocab.append(f"[TIME_SHIFT_{int(time)}]")
+
+        for snapping in range(0, 17):
+            vocab.append(f"[SNAPPING_{snapping}]")
+
+        for distance in range(0, self.max_distance + 1):
+            vocab.append(f"[DISTANCE_{distance}]")
+
+        if self.position_split_axes:
+            for x in np.arange(self.position_range[0], self.position_range[1] + 1e-5, self.position_step):
+                vocab.append(f"[POS_X_{int(x)}]")
+            for y in np.arange(self.position_range[2], self.position_range[3] + 1e-5, self.position_step):
+                vocab.append(f"[POS_Y_{int(y)}]")
+        else:
+            for x in np.arange(self.position_range[0], self.position_range[1] + 1e-5, self.position_step):
+                for y in np.arange(self.position_range[2], self.position_range[3] + 1e-5, self.position_step):
+                    vocab.append(f"[POS_{int(x)}_{int(y)}]")
+
+        for mania_column in range(1, 19):
+            vocab.append(f"[MANIA_COLUMN_{mania_column}]")
+
+        for scroll_speed in np.arange(0.0, 10.0 + 1e-5, 0.01):
+            vocab.append(f"[SCROLL_SPEED_{scroll_speed:.2f}]")
+
+        if self.separate_new_combo_token:
+            vocab.append("[NEW_COMBO]")
+
+        for hitsound in range(8):
+            for sampleset in range(1, 4):
+                for additions in range(1, 4):
+                    vocab.append(f"[HITSOUND_{hitsound << 1}_{sampleset}_{additions}]")
+
+        for volume in range(101):
+            vocab.append(f"[VOLUME_{volume}]")
+
+        return {token: idx for idx, token in enumerate(vocab)}
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._full_vocab)
+
+    def get_vocab(self) -> dict[str, int]:
+        return dict(self._full_vocab)
+
+    def convert_tokens_to_ids(self, tokens: Union[str, Sequence[str]]):
+        if isinstance(tokens, str):
+            return self._full_vocab.get(tokens, self._full_vocab.get(self.unk_token))
+        return [self._full_vocab.get(t, self._full_vocab.get(self.unk_token)) for t in tokens]
+
+    def convert_ids_to_tokens(self, ids: Union[int, Sequence[int]]):
+        if isinstance(ids, (int, np.integer)):
+            return self.ids_to_tokens.get(int(ids), self.unk_token)
+        return [self.ids_to_tokens.get(int(i), self.unk_token) for i in ids]
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = False) -> str:
+        tokens = self.convert_ids_to_tokens(ids)
+        if skip_special_tokens:
+            specials = set(self.special_tokens)
+            tokens = [t for t in tokens if t not in specials]
+        return " ".join(tokens)
+
+    def batch_decode(self, batch_ids, **kwargs) -> list[str]:
+        return [self.decode(ids, **kwargs) for ids in batch_ids]
+
+    @property
+    def pad_token_id(self) -> int:
+        return self._full_vocab[self.pad_token]
+
+    @property
+    def bos_token_id(self) -> int:
+        return self._full_vocab[self.bos_token]
+
+    @property
+    def eos_token_id(self) -> int:
+        return self._full_vocab[self.eos_token]
+
+    @property
+    def mask_token_id(self) -> int:
+        return self._full_vocab[self.mask_token]
+
+    @property
+    def audio_token_id(self) -> int:
+        return self._full_vocab[self.audio_token]
+
+    @property
+    def all_special_ids(self) -> list[int]:
+        return [self._full_vocab[t] for t in self.special_tokens]
+
+    # ------------------------------------------------------------ tokenizing
+
+    def _tokenize_time_shift(self, time: float) -> str:
+        time = np.clip(time, self.min_time, self.max_time)
+        time = round(time / self.time_step) * self.time_step
+        return f"[TIME_SHIFT_{int(time)}]"
+
+    def _tokenize_distance(self, distance: int) -> str:
+        distance = np.clip(distance, 0, self.max_distance)
+        distance = round(distance / self.distance_step) * self.distance_step
+        return f"[DISTANCE_{distance}]"
+
+    def _tokenize_position(self, pos_x: int, pos_y: int):
+        pos_x = np.clip(pos_x, self.position_range[0], self.position_range[1])
+        pos_y = np.clip(pos_y, self.position_range[2], self.position_range[3])
+        pos_x = round(pos_x / self.position_step) * self.position_step
+        pos_y = round(pos_y / self.position_step) * self.position_step
+        if self.position_split_axes:
+            yield f"[POS_X_{int(pos_x)}]"
+            yield f"[POS_Y_{int(pos_y)}]"
+        else:
+            yield f"[POS_{int(pos_x)}_{int(pos_y)}]"
+
+    def _tokenize_mania_column(self, mania_column: int) -> str:
+        return f"[MANIA_COLUMN_{int(np.clip(mania_column, 1, 18))}]"
+
+    def _tokenize_scroll_speed(self, scroll_speed: float) -> str:
+        scroll_speed = np.clip(scroll_speed, 0.0, 10.0)
+        scroll_speed = round(scroll_speed / 0.01) * 0.01
+        return f"[SCROLL_SPEED_{scroll_speed:.2f}]"
+
+    def _tokenize_hitsound(self, hitsound: int, sampleset: int, addition: int) -> str:
+        hitsound = int(np.clip(hitsound >> 1, 0, 7)) << 1
+        sampleset = int(np.clip(sampleset, 1, 3))
+        addition = int(np.clip(addition, 1, 3))
+        return f"[HITSOUND_{hitsound}_{sampleset}_{addition}]"
+
+    def tokenize_groups(self, groups: list[Group], window_start_ms: Optional[int] = None) -> list[str]:
+        """Serialize one window of groups to token strings."""
+        window_start_ms = window_start_ms or 0
+        tokens: list[str] = []
+        if self.add_cls_token:
+            tokens.append(self.cls_token)
+        tokens.append(self.bos_token)
+
+        for group in groups:
+            if (
+                group.new_combo
+                and not self.separate_new_combo_token
+                and group.event_type in EVENT_TYPES_WITH_NEW_COMBO
+            ):
+                tokens.append(f"[{group.event_type.value.upper()}_NEW_COMBO]")
+            else:
+                tokens.append(f"[{group.event_type.value.upper()}]")
+            if group.has_time:
+                tokens.append(self._tokenize_time_shift(group.time - window_start_ms))
+                if group.snapping is not None:
+                    tokens.append(f"[SNAPPING_{group.snapping}]")
+            if group.distance is not None:
+                tokens.append(self._tokenize_distance(group.distance))
+            if group.x is not None and group.y is not None:
+                tokens.extend(self._tokenize_position(group.x, group.y))
+            if group.mania_column is not None:
+                tokens.append(self._tokenize_mania_column(group.mania_column))
+            if group.new_combo and self.separate_new_combo_token:
+                tokens.append("[NEW_COMBO]")
+            if group.scroll_speed is not None:
+                tokens.append(self._tokenize_scroll_speed(group.scroll_speed))
+            for h, s, a, v in zip(group.hitsounds, group.samplesets, group.additions, group.volumes):
+                tokens.append(self._tokenize_hitsound(h, s, a))
+                tokens.append(f"[VOLUME_{v}]")
+
+        tokens.append(self.eos_token)
+        return tokens
+
+    def _encode_single(
+        self,
+        groups: list[Group],
+        window_start_ms: Optional[int] = None,
+        num_audio_tokens: Optional[int] = None,
+    ) -> list[int]:
+        token_ids = self.convert_tokens_to_ids(self.tokenize_groups(groups, window_start_ms))
+        if num_audio_tokens is not None and num_audio_tokens > 0:
+            audio_tokens = [self.audio_bos_token] + [self.audio_token] * num_audio_tokens + [self.audio_eos_token]
+            token_ids = self.convert_tokens_to_ids(audio_tokens) + token_ids
+        return token_ids
+
+    def __call__(
+        self,
+        groups: Union[list[Group], list[list[Group]]],
+        window_start_ms: Optional[Union[int, list[int]]] = None,
+        num_audio_tokens: Optional[Union[int, list[int]]] = None,
+        padding: str = "longest",
+        truncation: bool = True,
+        max_length: Optional[int] = None,
+        pad_to_multiple_of: Optional[int] = None,
+        **_unused,
+    ) -> BatchTokens:
+        """Encode one or more windows into padded id/mask arrays."""
+        if len(groups) == 0:
+            raise ValueError("Input groups list is empty.")
+
+        if all(isinstance(g, Group) for g in groups):
+            sequences = [self._encode_single(groups, window_start_ms, num_audio_tokens)]
+        else:
+            n = len(groups)
+            window_start_ms = window_start_ms if window_start_ms is not None else [None] * n
+            num_audio_tokens = num_audio_tokens if num_audio_tokens is not None else [None] * n
+            if len(window_start_ms) != n or len(num_audio_tokens) != n:
+                raise ValueError("window_start_ms / num_audio_tokens length must match groups")
+            sequences = [
+                self._encode_single(g, w, a) for g, w, a in zip(groups, window_start_ms, num_audio_tokens)
+            ]
+
+        return pack_sequences(
+            sequences,
+            pad_id=self.pad_token_id,
+            padding=padding,
+            truncation=truncation,
+            max_length=max_length,
+            pad_to_multiple_of=pad_to_multiple_of,
+        )
+
+    # -------------------------------------------------------------- save/load
+
+    def get_config(self) -> dict:
+        return {
+            "min_time": self.min_time,
+            "max_time": self.max_time,
+            "time_step": self.time_step,
+            "max_distance": self.max_distance,
+            "distance_step": self.distance_step,
+            "position_range": list(self.position_range),
+            "position_step": self.position_step,
+            "position_split_axes": self.position_split_axes,
+            "add_cls_token": self.add_cls_token,
+            "separate_new_combo_token": self.separate_new_combo_token,
+        }
+
+    def _save_extra(self, save_directory: Path) -> list[str]:
+        vocab_file = Path(save_directory) / "vocab.json"
+        with open(vocab_file, "w", encoding="utf-8") as f:
+            json.dump(self.vocab, f, ensure_ascii=False)
+        return [str(vocab_file)]
+
+    @classmethod
+    def _load_extra(cls, directory: Path, config: dict) -> dict:
+        vocab_file = Path(directory) / "vocab.json"
+        if vocab_file.exists():
+            with open(vocab_file, "r", encoding="utf-8") as f:
+                config["vocab"] = json.load(f)
+        return config
+
+
+def pack_sequences(
+    sequences: list[list[int]],
+    pad_id: int,
+    padding: str = "longest",
+    truncation: bool = True,
+    max_length: Optional[int] = None,
+    pad_to_multiple_of: Optional[int] = None,
+) -> BatchTokens:
+    """Truncate/pad variable-length id sequences into rectangular arrays."""
+    if truncation and max_length is not None:
+        sequences = [s[:max_length] for s in sequences]
+
+    longest = max(len(s) for s in sequences)
+    if padding == "max_length" and max_length is not None:
+        target = max_length
+    else:
+        target = longest
+    if pad_to_multiple_of:
+        target = -(-target // pad_to_multiple_of) * pad_to_multiple_of
+
+    input_ids = np.full((len(sequences), target), pad_id, dtype=np.int32)
+    attention_mask = np.zeros((len(sequences), target), dtype=np.int32)
+    for i, seq in enumerate(sequences):
+        n = min(len(seq), target)
+        input_ids[i, :n] = seq[:n]
+        attention_mask[i, :n] = 1
+    return BatchTokens(input_ids=input_ids, attention_mask=attention_mask)

@@ -1,0 +1,66 @@
+"""Serialization mixin for processor components.
+
+Provides the ``save_pretrained`` / ``from_pretrained`` directory contract the
+reference inherits from HF mixins (``processing_cm3p.py:659-762``), without
+the transformers dependency: each component writes one JSON config (and
+optionally a vocab.json) to its folder.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Union
+
+PathLike = Union[str, os.PathLike]
+
+
+def write_json(path: PathLike, data: dict) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(data, f, ensure_ascii=False, indent=2, sort_keys=False)
+
+
+def read_json(path: PathLike) -> dict:
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+class JsonConfigMixin:
+    """Save/restore a component from ``<dir>/<config_name>``.
+
+    Subclasses define ``config_name`` and ``get_config() -> dict``; the
+    config dict must round-trip through ``cls(**config)``.
+    """
+
+    config_name: str = "config.json"
+
+    def get_config(self) -> dict[str, Any]:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def save_pretrained(self, save_directory: PathLike) -> list[str]:
+        save_directory = Path(save_directory)
+        save_directory.mkdir(parents=True, exist_ok=True)
+        config = dict(self.get_config())
+        config["component_class"] = type(self).__name__
+        out = save_directory / self.config_name
+        write_json(out, config)
+        extra = self._save_extra(save_directory)
+        return [str(out), *extra]
+
+    def _save_extra(self, save_directory: Path) -> list[str]:
+        return []
+
+    @classmethod
+    def from_pretrained(cls, directory: PathLike, **overrides):
+        directory = Path(directory)
+        config = read_json(directory / cls.config_name)
+        config.pop("component_class", None)
+        config = cls._load_extra(directory, config)
+        config.update(overrides)
+        return cls(**config)
+
+    @classmethod
+    def _load_extra(cls, directory: Path, config: dict) -> dict:
+        return config
