@@ -1,0 +1,501 @@
+"""CM3P model family: dual-tower contrastive model, MLM and classifier heads.
+
+JAX/flax reimplementation of ``/root/reference/cm3p/modeling_cm3p.py`` with a
+TPU-first stance: whole-model jit, static shapes, fp32 softmax/normalization
+over bf16 matmuls. Under ``pjit`` the similarity matrix spans the global
+batch, so cross-device contrastive negatives come from XLA-inserted
+collectives — a capability the single-device reference lacks
+(SURVEY.md §2.5).
+
+Components:
+* :class:`AudioEncoder` — Whisper-style convs + ModernBERT + 4x-reduction
+  MLP projector (modeling_cm3p.py:470-528)
+* :class:`BeatmapTransformer` — token embeds with audio-placeholder scatter
+  + ModernBERT (modeling_cm3p.py:531-650)
+* :class:`CM3PModule` — towers + projections + learnable logit scale +
+  optional decoder head (modeling_cm3p.py:729-1012)
+* :class:`MaskedLMModule`, :class:`ClassifierModule` — heads
+  (modeling_cm3p.py:1137-1379)
+* :func:`contrastive_loss`, :func:`cm3p_loss` — CLIP-style symmetric CE with
+  the 3-D metadata-variation extension (modeling_cm3p.py:27-51)
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import AudioConfig, BeatmapConfig, CM3PConfig, MetadataConfig
+from .modernbert import ACTIVATIONS, LayerNormF32, ModernBertEncoder, pool_hidden, trunc_normal_init
+
+
+# --------------------------------------------------------------------- losses
+
+
+def contrastive_loss(logits: jnp.ndarray, target: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Cross entropy against the diagonal (or explicit targets)."""
+    if target is None:
+        target = jnp.arange(logits.shape[0])
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logprobs, target[:, None], axis=-1)
+    return -jnp.mean(picked)
+
+
+def cm3p_loss(similarity: jnp.ndarray, metadata_variation_classes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Symmetric CLIP loss; 3-D variant ranks the original metadata (class 0)
+    against its hard-negative variations per beatmap."""
+    if similarity.ndim == 3:  # (metadata_batch, variations, beatmap_batch)
+        m, v, b = similarity.shape
+        true_idx = jnp.argmax((metadata_variation_classes == 0).astype(jnp.int32), axis=1)
+        metadata_loss = contrastive_loss(similarity[jnp.arange(m), true_idx])
+
+        beatmap_similarity = jnp.transpose(similarity, (2, 0, 1)).reshape(b, m * v)
+        target = jnp.arange(0, m * v, v) + true_idx
+        beatmap_loss = contrastive_loss(beatmap_similarity, target=target)
+    else:
+        metadata_loss = contrastive_loss(similarity)
+        beatmap_loss = contrastive_loss(similarity.T)
+    return (metadata_loss + beatmap_loss) / 2.0
+
+
+def cross_entropy_ignore_index(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100) -> jnp.ndarray:
+    """Token-level CE averaged over non-ignored positions."""
+    logits = logits.reshape(-1, logits.shape[-1]).astype(jnp.float32)
+    labels = labels.reshape(-1)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, safe_labels[:, None], axis=-1)[:, 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+    return (x / (norm + eps).astype(x.dtype)).astype(x.dtype)
+
+
+# --------------------------------------------------------------------- towers
+
+
+class MultiModalProjector(nn.Module):
+    """Two-layer MLP projecting grouped audio frames to beatmap width."""
+
+    config: AudioConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio_features):
+        cfg = self.config
+        act = ACTIVATIONS[cfg.projector_hidden_act]
+        h = nn.Dense(
+            cfg.projector_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+            name="linear_1",
+        )(audio_features)
+        h = act(h)
+        return nn.Dense(
+            cfg.projector_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+            name="linear_2",
+        )(h)
+
+
+class AudioEncoder(nn.Module):
+    """Whisper-style front-end: 2 convs (2x downsample) -> encoder -> 4x
+    frame grouping -> projector. Matches torch conv arithmetic exactly
+    (explicit (1,1) padding)."""
+
+    config: AudioConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_features: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        # (B, n_mels, frames) -> channel-last (B, frames, n_mels)
+        x = jnp.swapaxes(input_features, 1, 2).astype(self.dtype)
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(3,),
+            padding=[(1, 1)],
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+            name="conv1",
+        )(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(3,),
+            strides=(2,),
+            padding=[(1, 1)],
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+            name="conv2",
+        )(x)
+        x = jax.nn.gelu(x, approximate=False)
+
+        hidden = ModernBertEncoder(cfg, self.dtype, self.attn_impl, self.remat, name="encoder")(
+            inputs_embeds=x, deterministic=deterministic
+        )
+
+        b, l, h = hidden.shape
+        group = cfg.projector_intermediate_size // cfg.hidden_size  # 4x token reduction
+        grouped = hidden.reshape(b, l // group, group * h)
+        return MultiModalProjector(cfg, self.dtype, name="multi_modal_projector")(grouped)  # (B, L/4, proj)
+
+
+class BeatmapTransformer(nn.Module):
+    """Beatmap tower: token embeddings with audio-embedding scatter."""
+
+    config: BeatmapConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        self.audio_encoder = AudioEncoder(self.config.audio_config, self.dtype, self.attn_impl, self.remat)
+        self.encoder = ModernBertEncoder(self.config, self.dtype, self.attn_impl, self.remat)
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        input_features: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+
+        if input_features is None:
+            return self.encoder(
+                input_ids=input_ids,
+                attention_mask=attention_mask,
+                position_ids=position_ids,
+                segment_ids=segment_ids,
+                deterministic=deterministic,
+            )
+
+        audio_embeds = self.audio_encoder(input_features, deterministic=deterministic)
+        # audio_embeds: (B, tokens_per_window, hidden). Scatter into the
+        # [AUDIO] placeholder positions (modeling_cm3p.py:602-605) with a
+        # static-shape cumsum gather: the k-th placeholder in row i receives
+        # audio_embeds[i, k]. No boolean indexing, fully jit-compatible.
+        mask = input_ids == cfg.audio_token_id  # (B, L)
+        idx = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+        idx = jnp.clip(idx, 0, audio_embeds.shape[1] - 1)
+        gathered = jnp.take_along_axis(audio_embeds, idx[:, :, None], axis=1)  # (B, L, H)
+
+        embeds = self.encoder.embed(input_ids)
+        embeds = jnp.where(mask[:, :, None], gathered.astype(embeds.dtype), embeds)
+        return self.encoder(
+            inputs_embeds=embeds,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            segment_ids=segment_ids,
+            deterministic=deterministic,
+        )
+
+
+class CM3POutput(NamedTuple):
+    loss: Optional[jnp.ndarray] = None
+    logits_per_beatmap: Optional[jnp.ndarray] = None
+    logits_per_metadata: Optional[jnp.ndarray] = None
+    metadata_embeds: Optional[jnp.ndarray] = None
+    beatmap_embeds: Optional[jnp.ndarray] = None
+    logits: Optional[jnp.ndarray] = None
+
+
+class PredictionHead(nn.Module):
+    """dense -> act -> LayerNorm head shared by MLM/decoder paths."""
+
+    config: BeatmapConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        cfg = self.config
+        act = ACTIVATIONS[cfg.classifier_activation]
+        h = nn.Dense(
+            cfg.hidden_size,
+            use_bias=cfg.classifier_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+            name="dense",
+        )(hidden)
+        return LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="norm")(act(h))
+
+
+class CM3PModule(nn.Module):
+    """Dual-tower contrastive model with optional MLM decoder head."""
+
+    config: CM3PConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.metadata_model = ModernBertEncoder(cfg.metadata_config, self.dtype, self.attn_impl, self.remat)
+        self.beatmap_model = BeatmapTransformer(cfg.beatmap_config, self.dtype, self.attn_impl, self.remat)
+        self.beatmap_projection = nn.Dense(
+            cfg.projection_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.beatmap_config.hidden_size**-0.5 * cfg.initializer_factor),
+        )
+        self.metadata_projection = nn.Dense(
+            cfg.projection_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.metadata_config.hidden_size**-0.5 * cfg.initializer_factor),
+        )
+        self.logit_scale = self.param(
+            "logit_scale", lambda key: jnp.asarray(cfg.logit_scale_init_value, jnp.float32)
+        )
+        if cfg.has_decoder_head:
+            self.head = PredictionHead(cfg.beatmap_config, self.dtype)
+            self.decoder = nn.Dense(
+                cfg.beatmap_config.vocab_size,
+                use_bias=cfg.beatmap_config.decoder_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init(cfg.initializer_range),
+            )
+
+    def get_beatmap_features(
+        self,
+        input_ids,
+        input_features=None,
+        attention_mask=None,
+        position_ids=None,
+        deterministic: bool = True,
+        normalize: bool = False,
+    ):
+        hidden = self.beatmap_model(
+            input_ids,
+            input_features=input_features,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )
+        pooled = pool_hidden(hidden, attention_mask, self.config.beatmap_config.cls_embed)
+        feats = self.beatmap_projection(pooled)
+        return l2_normalize(feats) if normalize else feats
+
+    def get_metadata_features(
+        self,
+        metadata_ids,
+        metadata_attention_mask=None,
+        deterministic: bool = True,
+        normalize: bool = False,
+    ):
+        is_3d = metadata_ids.ndim == 3
+        ids = metadata_ids.reshape(-1, metadata_ids.shape[-1]) if is_3d else metadata_ids
+        mask = (
+            metadata_attention_mask.reshape(-1, metadata_attention_mask.shape[-1])
+            if (is_3d and metadata_attention_mask is not None)
+            else metadata_attention_mask
+        )
+        hidden = self.metadata_model(input_ids=ids, attention_mask=mask, deterministic=deterministic)
+        pooled = pool_hidden(hidden, mask, self.config.metadata_config.cls_embed)
+        feats = self.metadata_projection(pooled)
+        if is_3d:
+            feats = feats.reshape(*metadata_ids.shape[:2], -1)
+        return l2_normalize(feats) if normalize else feats
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        input_features: Optional[jnp.ndarray] = None,
+        metadata_ids: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        metadata_attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        metadata_variation_classes: Optional[jnp.ndarray] = None,
+        labels: Optional[jnp.ndarray] = None,
+        return_loss: bool = True,
+        deterministic: bool = True,
+    ) -> CM3POutput:
+        cfg = self.config
+        beatmap_embeds = None
+        metadata_embeds = None
+        logits_per_beatmap = None
+        logits_per_metadata = None
+        loss = jnp.asarray(0.0, jnp.float32) if return_loss else None
+        logits = None
+        beatmap_hidden = None
+
+        if input_ids is not None:
+            beatmap_hidden = self.beatmap_model(
+                input_ids,
+                input_features=input_features,
+                attention_mask=attention_mask,
+                position_ids=position_ids,
+                deterministic=deterministic,
+            )
+            pooled = pool_hidden(beatmap_hidden, attention_mask, cfg.beatmap_config.cls_embed)
+            beatmap_embeds = l2_normalize(self.beatmap_projection(pooled))
+
+        if metadata_ids is not None:
+            metadata_embeds = self.get_metadata_features(
+                metadata_ids, metadata_attention_mask, deterministic=deterministic, normalize=True
+            )
+
+        if metadata_embeds is not None and beatmap_embeds is not None:
+            scale = jnp.exp(self.logit_scale).astype(metadata_embeds.dtype)
+            logits_per_metadata = (
+                jnp.einsum("...p,bp->...b", metadata_embeds, beatmap_embeds, preferred_element_type=jnp.float32)
+                * scale
+            )
+            if logits_per_metadata.ndim == 3:
+                logits_per_beatmap = jnp.transpose(logits_per_metadata, (2, 0, 1))
+            else:
+                logits_per_beatmap = logits_per_metadata.T
+            if return_loss:
+                loss = cm3p_loss(logits_per_metadata, metadata_variation_classes)
+
+        if cfg.has_decoder_head and beatmap_hidden is not None:
+            logits = self.decoder(self.head(beatmap_hidden))
+            if labels is not None and return_loss:
+                mlm_loss = cross_entropy_ignore_index(logits, labels)
+                loss = loss + 0.5 * mlm_loss
+
+        return CM3POutput(
+            loss=loss,
+            logits_per_beatmap=logits_per_beatmap,
+            logits_per_metadata=logits_per_metadata,
+            metadata_embeds=metadata_embeds,
+            beatmap_embeds=beatmap_embeds,
+            logits=logits,
+        )
+
+
+class MaskedLMOutput(NamedTuple):
+    loss: Optional[jnp.ndarray] = None
+    logits: Optional[jnp.ndarray] = None
+
+
+class MaskedLMModule(nn.Module):
+    """Beatmap tower + prediction head + vocab decoder (modeling_cm3p.py:1241-1379)."""
+
+    config: BeatmapConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.beatmap_model = BeatmapTransformer(cfg, self.dtype, self.attn_impl, self.remat)
+        self.head = PredictionHead(cfg, self.dtype)
+        self.decoder = nn.Dense(
+            cfg.vocab_size,
+            use_bias=cfg.decoder_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+        )
+
+    def __call__(
+        self,
+        input_ids,
+        input_features=None,
+        attention_mask=None,
+        position_ids=None,
+        labels=None,
+        deterministic: bool = True,
+    ) -> MaskedLMOutput:
+        hidden = self.beatmap_model(
+            input_ids,
+            input_features=input_features,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )
+        logits = self.decoder(self.head(hidden))
+        loss = None
+        if labels is not None:
+            loss = cross_entropy_ignore_index(logits, labels, self.config.sparse_pred_ignore_index)
+        return MaskedLMOutput(loss=loss, logits=logits)
+
+
+class ClassifierOutput(NamedTuple):
+    loss: Optional[jnp.ndarray] = None
+    logits: Optional[jnp.ndarray] = None
+
+
+class ClassifierModule(nn.Module):
+    """Beatmap tower + linear classifier (modeling_cm3p.py:1137-1226)."""
+
+    config: BeatmapConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.beatmap_model = BeatmapTransformer(cfg, self.dtype, self.attn_impl, self.remat)
+        self.classifier = nn.Dense(
+            cfg.num_labels,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.hidden_size**-0.5 * cfg.initializer_factor),
+        )
+
+    def __call__(
+        self,
+        input_ids,
+        input_features=None,
+        attention_mask=None,
+        position_ids=None,
+        labels=None,
+        deterministic: bool = True,
+    ) -> ClassifierOutput:
+        cfg = self.config
+        hidden = self.beatmap_model(
+            input_ids,
+            input_features=input_features,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )
+        pooled = pool_hidden(hidden, attention_mask, cfg.cls_embed)
+        logits = self.classifier(pooled)
+
+        loss = None
+        if labels is not None:
+            problem_type = cfg.problem_type
+            if problem_type is None:
+                if cfg.num_labels == 1:
+                    problem_type = "regression"
+                elif jnp.issubdtype(labels.dtype, jnp.integer):
+                    problem_type = "single_label_classification"
+                else:
+                    problem_type = "multi_label_classification"
+            if problem_type == "regression":
+                loss = jnp.mean(jnp.square(logits.squeeze().astype(jnp.float32) - labels.squeeze()))
+            elif problem_type == "single_label_classification":
+                logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                loss = -jnp.mean(jnp.take_along_axis(logprobs, labels[:, None], axis=-1))
+            else:
+                logits32 = logits.astype(jnp.float32)
+                loss = jnp.mean(
+                    jnp.maximum(logits32, 0) - logits32 * labels + jnp.log1p(jnp.exp(-jnp.abs(logits32)))
+                )
+        return ClassifierOutput(loss=loss, logits=logits)

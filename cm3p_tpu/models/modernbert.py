@@ -1,0 +1,341 @@
+"""ModernBERT-style encoder in flax.linen, designed TPU-first.
+
+This is the single encoder implementation backing all three CM3P towers
+(beatmap / metadata / audio), replacing the reference's dependency on HF
+``ModernBertModel`` (``modeling_cm3p.py:10``). Architectural contract kept
+for checkpoint-conversion parity:
+
+* no position embeddings — rotary (RoPE) inside attention, with dual theta:
+  ``global_rope_theta`` on global layers, ``local_rope_theta`` on local ones
+* alternating attention: layer ``i`` is global iff
+  ``i % global_attn_every_n_layers == 0``; local layers use a sliding window
+  of ``local_attention`` tokens (|i-j| <= window // 2)
+* pre-norm blocks with fused QKV and GeGLU MLP; layer 0 skips the attention
+  pre-norm (identity), exactly like ModernBERT
+* exact (erf) GELU, LayerNorm eps/bias per config
+
+TPU-first choices: static padded shapes with additive mask bias (no varlen
+unpadding — see SURVEY.md §5), fp32 softmax/LayerNorm with bf16 matmuls via
+the ``dtype`` knob, optional Pallas flash-attention path
+(``attn_impl='pallas'``) that skips fully-masked key blocks on local layers.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import EncoderConfig
+
+NEG_INF = -1e9  # additive mask value; fp32-safe, bf16-castable
+
+
+def trunc_normal_init(std: float, cutoff_factor: float = 2.0):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -cutoff_factor, cutoff_factor, shape, dtype)
+
+    return init
+
+
+def exact_gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS = {
+    "gelu": exact_gelu,
+    "gelu_tanh": partial(jax.nn.gelu, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float, dtype=jnp.float32):
+    """cos/sin tables for llama-style rotary embedding: (..., L, head_dim)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., L, head_dim/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """Apply rotary embedding. q/k: (B, H, L, D); cos/sin: (B, L, D) or (L, D)."""
+    if cos.ndim == 2:
+        cos = cos[None, None, :, :]
+        sin = sin[None, None, :, :]
+    else:
+        cos = cos[:, None, :, :]
+        sin = sin[:, None, :, :]
+    q = q * cos + rotate_half(q) * sin
+    k = k * cos + rotate_half(k) * sin
+    return q, k
+
+
+def sliding_window_bias(seq_len: int, window: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(L, L) additive bias masking |i-j| > window // 2."""
+    idx = jnp.arange(seq_len)
+    dist = jnp.abs(idx[:, None] - idx[None, :])
+    return jnp.where(dist <= window // 2, 0.0, NEG_INF).astype(dtype)
+
+
+def padding_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, 1, 1, L) additive bias from a 0/1 padding mask."""
+    return jnp.where(attention_mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(dtype)
+
+
+def xla_attention(q, k, v, bias, dropout_rate=0.0, deterministic=True, dropout_rng=None):
+    """Reference attention: fp32 softmax, MXU-friendly einsums."""
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(head_dim)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+class SelfAttention(nn.Module):
+    """Fused-QKV rotary self-attention block."""
+
+    config: EncoderConfig
+    layer_id: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, bias, cos, sin, segment_ids=None, deterministic=True):
+        cfg = self.config
+        hidden = cfg.hidden_size
+        heads = cfg.num_attention_heads
+        head_dim = cfg.head_dim
+        wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
+
+        qkv = nn.Dense(
+            3 * hidden,
+            use_bias=cfg.attention_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+            name="Wqkv",
+        )(x)
+        b, l, _ = qkv.shape
+        qkv = qkv.reshape(b, l, 3, heads, head_dim)
+        q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))  # (B, H, L, D)
+
+        q, k = apply_rope(q, k, cos, sin)
+
+        if self.attn_impl == "pallas":
+            from ..ops.flash_attention import flash_attention
+
+            window = None if cfg.layer_is_global(self.layer_id) else cfg.local_attention // 2
+            out = flash_attention(q, k, v, bias=bias, window=window, segment_ids=segment_ids)
+        else:
+            out = xla_attention(
+                q,
+                k,
+                v,
+                bias,
+                dropout_rate=cfg.attention_dropout,
+                deterministic=deterministic,
+                dropout_rng=None if deterministic else self.make_rng("dropout"),
+            )
+
+        out = jnp.moveaxis(out, 1, 2).reshape(b, l, hidden)
+        out = nn.Dense(
+            hidden,
+            use_bias=cfg.attention_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(wo_std, cfg.initializer_cutoff_factor),
+            name="Wo",
+        )(out)
+        return out
+
+
+class GeGLU(nn.Module):
+    """ModernBERT MLP: Wi -> split(input, gate) -> act(input) * gate -> Wo."""
+
+    config: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        act = ACTIVATIONS[cfg.hidden_activation]
+        wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
+        h = nn.Dense(
+            2 * cfg.intermediate_size,
+            use_bias=cfg.mlp_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+            name="Wi",
+        )(x)
+        inp, gate = jnp.split(h, 2, axis=-1)
+        h = act(inp) * gate
+        if cfg.mlp_dropout > 0.0 and not deterministic:
+            h = nn.Dropout(cfg.mlp_dropout)(h, deterministic=False)
+        return nn.Dense(
+            cfg.hidden_size,
+            use_bias=cfg.mlp_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(wo_std, cfg.initializer_cutoff_factor),
+            name="Wo",
+        )(h)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32 regardless of activation dtype."""
+
+    eps: float
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.LayerNorm(epsilon=self.eps, use_bias=self.use_bias, dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(dtype)
+
+
+class EncoderLayer(nn.Module):
+    config: EncoderConfig
+    layer_id: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, bias, cos, sin, segment_ids=None, deterministic=True):
+        cfg = self.config
+        # layer 0 has an identity attention pre-norm (ModernBERT quirk)
+        if self.layer_id == 0:
+            attn_in = x
+        else:
+            attn_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="attn_norm")(x)
+        x = x + SelfAttention(cfg, self.layer_id, self.dtype, self.attn_impl, name="attn")(
+            attn_in, bias, cos, sin, segment_ids, deterministic
+        )
+        mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
+        x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)
+        return x
+
+
+class ModernBertEncoder(nn.Module):
+    """Token/feature encoder with alternating local-global attention.
+
+    Call with either ``input_ids`` (int32 (B, L)) or ``inputs_embeds``
+    ((B, L, H)). Returns the final-norm hidden states (B, L, H).
+    """
+
+    config: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.tok_embeddings = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            embedding_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+        )
+        self.embeddings_norm = LayerNormF32(cfg.norm_eps, cfg.norm_bias)
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(6,)) if self.remat else EncoderLayer
+        self.layers = [
+            layer_cls(cfg, i, self.dtype, self.attn_impl, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.final_norm = LayerNormF32(cfg.norm_eps, cfg.norm_bias)
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Raw token embeddings (pre-norm), for audio-placeholder scatter."""
+        return self.tok_embeddings(input_ids)
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+
+        if inputs_embeds is None:
+            inputs_embeds = self.tok_embeddings(input_ids)
+        x = self.embeddings_norm(inputs_embeds.astype(self.dtype))
+        if cfg.embedding_dropout > 0.0 and not deterministic:
+            x = nn.Dropout(cfg.embedding_dropout)(x, deterministic=False)
+
+        b, l, _ = x.shape
+        if position_ids is None:
+            positions = jnp.arange(l)
+        else:
+            positions = position_ids
+
+        # rope tables per theta family, computed once
+        cos_g, sin_g = rope_cos_sin(positions, cfg.head_dim, cfg.global_rope_theta, self.dtype)
+        need_local = cfg.global_attn_every_n_layers > 1
+        if need_local and cfg.local_rope_theta != cfg.global_rope_theta:
+            cos_l, sin_l = rope_cos_sin(positions, cfg.head_dim, cfg.local_rope_theta, self.dtype)
+        else:
+            cos_l, sin_l = cos_g, sin_g
+
+        # additive biases (only built for the xla path; pallas masks in-kernel)
+        pad_bias = padding_bias(attention_mask) if attention_mask is not None else None
+        if segment_ids is not None:
+            seg = jnp.where(segment_ids[:, None, :, None] == segment_ids[:, None, None, :], 0.0, NEG_INF)
+            pad_bias = seg if pad_bias is None else pad_bias + seg
+        if self.attn_impl == "xla":
+            global_bias = pad_bias
+            if need_local:
+                win = sliding_window_bias(l, cfg.local_attention)[None, None]
+                local_bias = win if pad_bias is None else pad_bias + win
+            else:
+                local_bias = global_bias
+        else:
+            global_bias = local_bias = pad_bias
+
+        for i, layer in enumerate(self.layers):
+            is_global = cfg.layer_is_global(i)
+            x = layer(
+                x,
+                global_bias if is_global else local_bias,
+                cos_g if is_global else cos_l,
+                sin_g if is_global else sin_l,
+                segment_ids,
+                deterministic,
+            )
+
+        return self.final_norm(x)
+
+
+def pool_hidden(
+    hidden: jnp.ndarray, attention_mask: Optional[jnp.ndarray], cls_embed: bool
+) -> jnp.ndarray:
+    """CLS-token or masked-mean pooling (modeling_cm3p.py:382-396,624-642)."""
+    if cls_embed:
+        return hidden[..., 0, :]
+    if attention_mask is not None:
+        mask = attention_mask[..., None].astype(jnp.float32)
+        summed = jnp.sum(hidden.astype(jnp.float32) * mask, axis=-2)
+        denom = jnp.clip(jnp.sum(mask, axis=-2), 1e-9, None)
+        return (summed / denom).astype(hidden.dtype)
+    return jnp.mean(hidden, axis=-2)

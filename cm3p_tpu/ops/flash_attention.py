@@ -1,0 +1,273 @@
+"""Pallas TPU flash attention with sliding-window and padding masks.
+
+The compute-critical kernel of the framework (SURVEY.md §7 "Pallas
+local/global attention"). Replaces the reference's flash-attn-2 varlen path
+(``modeling_cm3p.py:65-134``) with a TPU-native design:
+
+* static padded shapes + key-padding mask instead of varlen unpadding
+* online-softmax streaming over key blocks (O(L) memory)
+* **local layers only visit key blocks that intersect the window**: for a
+  query block at rows [qs, qs+Bq) and one-sided window ``w``, only key blocks
+  overlapping [qs-w, qs+Bq+w) are loaded — attention cost drops from O(L²)
+  to O(L·w), which is the dominant win for ModernBERT-style encoders where
+  2 of every 3 layers are local.
+* fp32 accumulation, bf16 inputs.
+
+Forward-only kernel with a recompute (XLA) backward via ``jax.custom_vjp``:
+embedding extraction — the headline benchmark — is inference, and training
+defaults to the XLA path until the Pallas backward lands.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _fa_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    kmask_ref,
+    out_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    window: Optional[int],
+    block_q: int,
+    block_k: int,
+    num_kb: int,
+    nk_grid: int,
+    seq_len: int,
+):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    if window is not None:
+        start_kb = (qi * block_q - window) // block_k
+        kb_unclamped = start_kb + kj
+        valid_block = jnp.logical_and(kb_unclamped >= 0, kb_unclamped < num_kb)
+        kb = jnp.clip(kb_unclamped, 0, num_kb - 1)
+    else:
+        kb = kj
+        valid_block = True
+
+    @pl.when(valid_block if window is not None else True)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)  # (block_q, D)
+        k = k_ref[0].astype(jnp.float32)  # (block_k, D)
+        v = v_ref[0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        s = s * sm_scale
+
+        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = cols < seq_len
+        if window is not None:
+            mask = jnp.logical_and(mask, jnp.abs(rows - cols) <= window)
+        if kmask_ref is not None:
+            mask = jnp.logical_and(mask, kmask_ref[0][None, :] > 0)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        # protect fully-masked rows: exp(NEG_INF - (-inf)) would NaN
+        m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        p = jnp.exp(s - m_safe[:, None])
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_safe))
+
+        l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        m_scr[:, 0] = m_new
+
+    @pl.when(kj == nk_grid - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:, 0], 1e-30)
+        out_ref[0] = (acc_scr[:] / denom[:, None]).astype(out_ref.dtype)
+
+
+def _flash_attention_fwd_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    window: Optional[int],
+    block_q: int,
+    block_k: int,
+) -> jnp.ndarray:
+    b, h, l, d = q.shape
+    sm_scale = 1.0 / math.sqrt(d)
+
+    l_pad = _cdiv(l, max(block_q, block_k)) * max(block_q, block_k)
+    if l_pad != l:
+        pad = [(0, 0), (0, 0), (0, l_pad - l), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        if key_mask is not None:
+            key_mask = jnp.pad(key_mask, [(0, 0), (0, l_pad - l)])
+
+    bh = b * h
+    qf = q.reshape(bh, l_pad, d)
+    kf = k.reshape(bh, l_pad, d)
+    vf = v.reshape(bh, l_pad, d)
+
+    nq = l_pad // block_q
+    num_kb = l_pad // block_k
+    if window is not None:
+        nk_grid = min(num_kb, _cdiv(block_q + 2 * window, block_k) + 1)
+    else:
+        nk_grid = num_kb
+
+    kernel = functools.partial(
+        _fa_kernel,
+        sm_scale=sm_scale,
+        window=window,
+        block_q=block_q,
+        block_k=block_k,
+        num_kb=num_kb,
+        nk_grid=nk_grid,
+        seq_len=l,
+    )
+
+    def k_index(bhi, qi, kj):
+        if window is not None:
+            start_kb = (qi * block_q - window) // block_k
+            return (bhi, jnp.clip(start_kb + kj, 0, num_kb - 1), 0)
+        return (bhi, kj, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bhi, qi, kj: (bhi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_k),
+                lambda bhi, qi, kj, _h=h: (bhi // _h,) + k_index(bhi, qi, kj)[1:2],
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(key_mask.astype(jnp.int32))
+        wrapped = kernel
+    else:
+        wrapped = lambda q_ref, k_ref, v_ref, *rest: kernel(q_ref, k_ref, v_ref, None, *rest)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(bh, nq, nk_grid),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bhi, qi, kj: (bhi, qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, l_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * l_pad * (min(l_pad, (2 * (window or l_pad))) * d),
+            bytes_accessed=3 * bh * l_pad * d * q.dtype.itemsize,
+            transcendentals=bh * l_pad * min(l_pad, 2 * (window or l_pad)),
+        ),
+    )(*args)
+
+    out = out.reshape(b, h, l_pad, d)
+    return out[:, :, :l, :]
+
+
+def _xla_reference(q, k, v, key_mask, window):
+    """Dense-mask attention used for the recompute backward + parity tests."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(d)
+    l = q.shape[2]
+    mask = jnp.ones((l, l), bool)
+    if window is not None:
+        idx = jnp.arange(l)
+        mask = jnp.abs(idx[:, None] - idx[None, :]) <= window
+    mask = mask[None, None]
+    if key_mask is not None:
+        mask = jnp.logical_and(mask, key_mask[:, None, None, :] > 0)
+    s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention(q, k, v, key_mask, window, block_q, block_k):
+    return _flash_attention_fwd_impl(q, k, v, key_mask, window, block_q, block_k)
+
+
+def _fwd(q, k, v, key_mask, window, block_q, block_k):
+    out = _flash_attention_fwd_impl(q, k, v, key_mask, window, block_q, block_k)
+    return out, (q, k, v, key_mask)
+
+
+def _bwd(window, block_q, block_k, res, g):
+    q, k, v, key_mask = res
+    # recompute-based backward through the XLA reference (numerically
+    # equivalent); a fused Pallas backward is the planned upgrade.
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_mask, window), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    key_mask: Optional[jnp.ndarray] = None,
+    window: Optional[int] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Flash attention over (B, H, L, D) tensors.
+
+    Args:
+        bias: optional additive (B, 1, 1, L) key-padding bias (0 / -inf style);
+            converted to a boolean key mask.
+        key_mask: optional (B, L) 0/1 mask (alternative to ``bias``).
+        window: one-sided local-attention radius; ``None`` = global.
+        segment_ids: reserved for packed sequences (not yet supported).
+    """
+    if segment_ids is not None:
+        raise NotImplementedError("packed-segment flash attention lands with the packing pipeline")
+    if key_mask is None and bias is not None:
+        key_mask = (bias.reshape(bias.shape[0], bias.shape[-1]) >= -0.5).astype(jnp.int32)
+
+    l = q.shape[2]
+    block_q = min(block_q, max(128, 1 << (l - 1).bit_length()))
+    block_q = min(block_q, 512)
+    block_k = min(block_k, block_q)
+    return _flash_attention(q, k, v, key_mask, window, block_q, block_k)

@@ -1,15 +1,15 @@
-"""Test harness config: force an 8-device virtual CPU mesh before JAX loads.
+"""Test harness config: force an 8-device virtual CPU mesh.
 
-This mirrors how the driver validates multi-chip sharding
-(xla_force_host_platform_device_count) so the full pjit path is exercised
-without TPU hardware.
+The container's sitecustomize registers a remote TPU backend (platform
+'axon') in every Python process and sets JAX_PLATFORMS=axon, so env vars
+alone don't stick — we override at the jax.config level before any backend
+initializes. This mirrors how the driver validates multi-chip sharding
+(xla_force_host_platform_device_count equivalent) without TPU hardware.
 """
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 
