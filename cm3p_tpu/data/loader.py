@@ -1,0 +1,109 @@
+"""Multiprocess sample loader (torch-DataLoader replacement).
+
+Host-side Python workers each own a strided shard of the dataset (same
+sharding semantics as the reference's torch workers,
+``utils/mmrs_dataset.py:46-53``) and stream processed samples over a queue;
+the parent collates fixed-shape numpy batches ready for device transfer.
+Each worker writes its own log file like the reference
+(``utils/mmrs_dataset.py:23-43``).
+"""
+from __future__ import annotations
+
+import logging
+import multiprocessing as mp
+import os
+import queue
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from .mmrs_dataset import batch_samples
+
+logger = logging.getLogger(__name__)
+
+_STOP = "__stop__"
+
+
+def _worker_main(dataset_factory, worker_id: int, num_workers: int, out_queue, log_dir: Optional[str]):
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        logging.basicConfig(
+            level=logging.INFO,
+            format="%(asctime)s - %(levelname)s - %(message)s",
+            filename=os.path.join(log_dir, f"worker_{worker_id}.log"),
+            filemode="w",
+        )
+        logging.captureWarnings(True)
+        logging.info("Worker %d started.", worker_id)
+    try:
+        dataset = dataset_factory(worker_id, num_workers)
+        for sample in dataset:
+            out_queue.put(sample)
+    except Exception:  # pragma: no cover - worker crash path
+        logging.exception("Worker %d crashed", worker_id)
+    finally:
+        out_queue.put(_STOP)
+
+
+class SampleLoader:
+    """Stream samples from ``num_workers`` processes (0 = inline)."""
+
+    def __init__(
+        self,
+        dataset_factory: Callable[[int, int], Iterator[dict]],
+        num_workers: int = 0,
+        queue_size: int = 64,
+        log_dir: Optional[str] = "dataloader",
+    ):
+        self.dataset_factory = dataset_factory
+        self.num_workers = num_workers
+        self.queue_size = queue_size
+        self.log_dir = log_dir
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.num_workers <= 0:
+            yield from self.dataset_factory(0, 1)
+            return
+
+        ctx = mp.get_context("spawn")
+        out_queue = ctx.Queue(self.queue_size)
+        procs = [
+            ctx.Process(
+                target=_worker_main,
+                args=(self.dataset_factory, i, self.num_workers, out_queue, self.log_dir),
+                daemon=True,
+            )
+            for i in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+
+        finished = 0
+        try:
+            while finished < self.num_workers:
+                try:
+                    item = out_queue.get(timeout=600)
+                except queue.Empty:
+                    logger.warning("Loader queue idle for 600s; stopping")
+                    break
+                if isinstance(item, str) and item == _STOP:
+                    finished += 1
+                    continue
+                yield item
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
+
+def batched_loader(loader, batch_size: int, drop_last: bool = True) -> Iterator[dict]:
+    """Collate a sample stream into stacked numpy batches."""
+    buf: list[dict] = []
+    for sample in loader:
+        buf.append(sample)
+        if len(buf) == batch_size:
+            yield batch_samples(buf)
+            buf = []
+    if buf and not drop_last:
+        yield batch_samples(buf)

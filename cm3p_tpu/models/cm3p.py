@@ -153,6 +153,11 @@ class AudioEncoder(nn.Module):
 
         b, l, h = hidden.shape
         group = cfg.projector_intermediate_size // cfg.hidden_size  # 4x token reduction
+        if l % group != 0:
+            raise ValueError(
+                f"audio frames after conv downsampling ({l}) must divide the projector group "
+                f"size ({group}); use mel chunks divisible by {2 * group * 2}"
+            )
         grouped = hidden.reshape(b, l // group, group * h)
         return MultiModalProjector(cfg, self.dtype, name="multi_modal_projector")(grouped)  # (B, L/4, proj)
 

