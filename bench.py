@@ -105,13 +105,13 @@ def main():
                 attention_mask=batch["attention_mask"][:1],
                 return_loss=False,
             )
-        jax.block_until_ready(extract(params, batch))  # warmup/compile
-        jax.block_until_ready(extract(params, batch))
-        # block every iteration: the remote-relay backend can otherwise
-        # report dispatch time instead of execution time
+        np.asarray(extract(params, batch))  # warmup/compile
+        np.asarray(extract(params, batch))
+        # force a host fetch every iteration: on the remote-relay backend
+        # block_until_ready alone can return before execution completes
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            jax.block_until_ready(extract(params, batch))
+            np.asarray(extract(params, batch))
         dt = (time.perf_counter() - t0) / args.iters
         rate = bs / dt
         if rate > best_rate:

@@ -1,0 +1,232 @@
+"""Batch embedding extraction to parquet.
+
+JAX port of ``/root/reference/extract_beatmap_embeddings.py``: iterate a
+dataset (MMRS roots or loose .osu/.osz files), run the jitted projection
+forward per fixed-shape batch, mean-pool the per-window embeddings per
+beatmap id, re-normalize, join with metadata columns, and optionally merge
+into an existing parquet preferring new rows.
+
+Usage:
+    python extract_beatmap_embeddings.py --model-dir out/model --processor-dir out/processor \
+        --beatmap-files path/to/maps --output embeddings.parquet
+    python extract_beatmap_embeddings.py --dataset-path /data/MMRS --output embeddings.parquet
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+
+logger = logging.getLogger(__name__)
+
+
+def build_model_and_params(model_dir: Optional[str], processor, dtype_name: str, attn_impl: str):
+    import jax
+    import jax.numpy as jnp
+
+    from cm3p_tpu.configs import CM3PConfig, load_config as load_model_config
+    from cm3p_tpu.models import CM3PModule
+    from cm3p_tpu.train.checkpoint import load_model
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+    if model_dir:
+        cfg = load_model_config(model_dir)
+    else:
+        logger.warning("No --model-dir given: using a randomly initialized flagship model")
+        cfg = CM3PConfig()
+        bt = processor.beatmap_tokenizer
+        cfg.beatmap_config.vocab_size = bt.vocab_size
+        cfg.beatmap_config.audio_token_id = bt.audio_token_id
+        cfg.beatmap_config.audio_sos_token_id = bt.convert_tokens_to_ids(bt.audio_bos_token)
+        cfg.beatmap_config.audio_eos_token_id = bt.convert_tokens_to_ids(bt.audio_eos_token)
+        cfg.metadata_config.vocab_size = processor.metadata_tokenizer.vocab_size
+
+    model = CM3PModule(cfg, dtype=dtype, attn_impl=attn_impl)
+    if model_dir:
+        params = load_model(model_dir)
+    else:
+        seq = processor.default_kwargs["beatmap_kwargs"].get("max_length", 4000)
+        dummy = {
+            "input_ids": jnp.zeros((1, min(seq, 128)), jnp.int32),
+            "attention_mask": jnp.ones((1, min(seq, 128)), jnp.int32),
+        }
+        params = model.init(jax.random.PRNGKey(0), **dummy, return_loss=False)
+    return model, params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model-dir", default=None, help="orbax model dir (params + config.json)")
+    parser.add_argument("--processor-dir", default=None, help="saved processor dir")
+    parser.add_argument("--dataset-path", action="append", default=None, help="MMRS dataset root(s)")
+    parser.add_argument("--beatmap-files", action="append", default=None, help=".osu/.osz files or dirs")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--merge-with", default=None, help="existing embeddings parquet to merge into")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--num-workers", type=int, default=0)
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
+    parser.add_argument("--no-audio", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--max-length", type=int, default=None, help="override beatmap token max_length")
+    parser.add_argument("--tiny-model", action="store_true", help="random tiny model (smoke tests)")
+    ns = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+
+    if ns.cpu:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    import jax
+    import jax.numpy as jnp
+
+    from cm3p_tpu.data import BeatmapFilesDataset, DatasetConfig, MmrsDataset, SampleLoader, batched_loader
+    from cm3p_tpu.models import CM3PModule
+    from cm3p_tpu.processing import CM3PProcessor
+
+    processor = (
+        CM3PProcessor.from_pretrained(ns.processor_dir) if ns.processor_dir else CM3PProcessor()
+    )
+    if ns.max_length:
+        processor.default_kwargs["beatmap_kwargs"]["max_length"] = ns.max_length
+    if ns.tiny_model:
+        import jax
+
+        from cm3p_tpu.configs import tiny_cm3p_config
+
+        cfg = tiny_cm3p_config()
+        bt = processor.beatmap_tokenizer
+        cfg.beatmap_config.vocab_size = bt.vocab_size
+        cfg.beatmap_config.audio_token_id = bt.audio_token_id
+        model = CM3PModule(cfg, dtype=jnp.float32, attn_impl="xla")
+        params = model.init(
+            jax.random.PRNGKey(0),
+            input_ids=jnp.zeros((1, 64), jnp.int32),
+            attention_mask=jnp.ones((1, 64), jnp.int32),
+            return_loss=False,
+        )
+    else:
+        model, params = build_model_and_params(ns.model_dir, processor, ns.dtype, ns.attn_impl)
+
+    include_audio = not ns.no_audio
+    if ns.beatmap_files:
+        def dataset_factory(worker_id, num_workers):
+            return BeatmapFilesDataset(
+                ns.beatmap_files,
+                processor,
+                include_audio=include_audio,
+                worker_id=worker_id,
+                num_workers=num_workers,
+            )
+
+        metadata = BeatmapFilesDataset(ns.beatmap_files, processor, include_audio=False).metadata
+    elif ns.dataset_path:
+        ds_cfg = DatasetConfig(
+            train_dataset_paths=ns.dataset_path,
+            include_audio=include_audio,
+            include_metadata=False,
+            include_source_metadata=True,
+            dt_augment_prob=0.0,
+            cycle_length=1,
+        )
+
+        def dataset_factory(worker_id, num_workers):
+            return MmrsDataset(ds_cfg, processor, worker_id=worker_id, num_workers=num_workers, test=False)
+
+        metadata = MmrsDataset(ds_cfg, processor).get_filtered_metadata()
+    else:
+        parser.error("Provide --dataset-path or --beatmap-files")
+        return
+
+    @jax.jit
+    def extract(params, input_ids, attention_mask, input_features=None):
+        return model.apply(
+            params,
+            method=CM3PModule.get_beatmap_features,
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            input_features=input_features,
+            normalize=True,
+        )
+
+    accumulator: dict[Any, dict[str, Any]] = {}
+    loader = SampleLoader(dataset_factory, num_workers=ns.num_workers)
+    n_windows = 0
+    t0 = time.perf_counter()
+    for batch in batched_loader(iter(loader), ns.batch_size, drop_last=False):
+        beatmap_ids = batch.pop("beatmap_id", None)
+        for drop in ("metadata_ids", "metadata_attention_mask", "metadata_variation_classes", "labels"):
+            batch.pop(drop, None)
+        embeds = np.asarray(
+            extract(
+                params,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["input_features"], jnp.bfloat16) if "input_features" in batch else None,
+            ),
+            dtype=np.float32,
+        )
+        n_windows += len(embeds)
+        if beatmap_ids is None:
+            continue
+        for i, bid in enumerate(np.asarray(beatmap_ids).tolist()):
+            bid = tuple(bid) if isinstance(bid, list) else bid
+            if bid not in accumulator:
+                accumulator[bid] = {"sum": embeds[i].copy(), "count": 1}
+            else:
+                accumulator[bid]["sum"] += embeds[i]
+                accumulator[bid]["count"] += 1
+    dt = time.perf_counter() - t0
+    logger.info("Extracted %d window embeddings in %.1fs (%.1f windows/s)", n_windows, dt, n_windows / max(dt, 1e-9))
+
+    # mean-pool per beatmap + re-normalize (reference :243-262)
+    rows = []
+    for bid, info in accumulator.items():
+        mean_vec = info["sum"] / info["count"]
+        norm = float((mean_vec**2).sum() ** 0.5)
+        if norm > 0:
+            mean_vec = mean_vec / norm
+        beatmap_id = bid[-1] if isinstance(bid, tuple) else bid
+        rows.append({"beatmap_id": int(beatmap_id), "embedding": mean_vec.tolist()})
+    embeddings_df = pd.DataFrame(rows)
+
+    meta_df = metadata.reset_index()
+    if "Id" in meta_df.columns:
+        meta_df["Id"] = meta_df["Id"].astype("int64")
+        merged_df = embeddings_df.merge(meta_df, left_on="beatmap_id", right_on="Id", how="left")
+    else:
+        merged_df = embeddings_df
+
+    final_df = merged_df
+    if ns.merge_with:
+        try:
+            existing_df = pd.read_parquet(ns.merge_with)
+            existing_df["Id"] = existing_df["Id"].astype("int64")
+            for col in merged_df.columns:
+                if col not in existing_df.columns:
+                    existing_df[col] = pd.NA
+            existing_idx = existing_df.set_index("Id").reindex(columns=merged_df.columns.drop("Id"))
+            merged_idx = merged_df.set_index("Id").reindex(columns=existing_idx.columns)
+            final_df = merged_idx.combine_first(existing_idx).reset_index()
+            logger.info("Merged: existing=%d new=%d result=%d", len(existing_df), len(merged_df), len(final_df))
+        except Exception as e:
+            logger.warning("Merge with %s failed: %s", ns.merge_with, e)
+
+    output_path = Path(ns.output)
+    final_df.to_parquet(output_path, index=False)
+    logger.info("Saved %d beatmap embeddings to %s", len(final_df), output_path.resolve())
+
+
+if __name__ == "__main__":
+    main()
