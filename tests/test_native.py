@@ -1,0 +1,85 @@
+"""Tests for the C++ analytics core and its numpy fallbacks."""
+import numpy as np
+import pytest
+
+from cm3p_tpu import native
+
+
+@pytest.fixture(scope="module")
+def clusters():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((40, 16)).astype(np.float32) * 0.1
+    b = rng.standard_normal((40, 16)).astype(np.float32) * 0.1 + 4.0
+    return np.concatenate([a, b])
+
+
+class TestNative:
+    def test_native_library_builds(self):
+        assert native.native_available()
+
+    def test_pca_shape_and_separation(self, clusters):
+        out = native.calculate_pca(clusters)
+        assert out.shape == (80, 2)
+        pc1_a = out[:40, 0].mean()
+        pc1_b = out[40:, 0].mean()
+        assert abs(pc1_a - pc1_b) > 1.0
+
+    def test_pca_deterministic(self, clusters):
+        a = native.calculate_pca(clusters, seed=7)
+        b = native.calculate_pca(clusters, seed=7)
+        np.testing.assert_array_equal(a, b)
+
+    def test_pca_empty(self):
+        out = native.calculate_pca(np.zeros((0, 8), np.float32))
+        assert out.shape == (0, 2)
+
+    def test_kmeans_separates_clusters(self, clusters):
+        labels = native.calculate_kmeans(clusters, k=2, seed=3)
+        assert labels.shape == (80,)
+        assert set(np.unique(labels)) <= {0, 1}
+        assert len(set(labels[:40])) == 1
+        assert len(set(labels[40:])) == 1
+        assert labels[0] != labels[40]
+
+    def test_kmeans_parallel_matches_serial(self, clusters):
+        a = native.calculate_kmeans(clusters, k=3, seed=5, n_threads=1)
+        b = native.calculate_kmeans(clusters, k=3, seed=5, n_threads=4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_normalize(self, clusters):
+        out = native.normalize_vectors(clusters)
+        norms = np.linalg.norm(out, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    def test_normalize_zero_row(self):
+        x = np.zeros((3, 4), np.float32)
+        x[0] = [3, 4, 0, 0]
+        out = native.normalize_vectors(x)
+        np.testing.assert_allclose(out[0], [0.6, 0.8, 0, 0], atol=1e-6)
+        assert (out[1:] == 0).all()
+
+    def test_knn_ordering(self):
+        angles = np.linspace(0, 2 * np.pi, 20, endpoint=False)
+        pts = np.stack([np.cos(angles), np.sin(angles)], axis=1).astype(np.float32)
+        norm = native.normalize_vectors(pts)
+        idx, dist = native.find_nearest_neighbors(norm, 0, 4)
+        assert len(idx) == 4
+        assert 0 not in idx
+        assert (np.diff(dist) >= 0).all()
+        assert idx[0] in (1, 19)
+
+    def test_fallbacks_match_native(self, clusters):
+        """numpy fallbacks agree with the C++ kernels (modulo PCA sign)."""
+        if not native.native_available():
+            pytest.skip("native library unavailable")
+        nat_norm = native.normalize_vectors(clusters)
+        py_norm = np.where(
+            np.linalg.norm(clusters, axis=1, keepdims=True) > 0,
+            clusters / np.maximum(np.linalg.norm(clusters, axis=1, keepdims=True), 1e-30),
+            0,
+        ).astype(np.float32)
+        np.testing.assert_allclose(nat_norm, py_norm, atol=1e-5)
+
+        nat_labels = native.calculate_kmeans(clusters, k=2, seed=9)
+        py_labels = native._kmeans_numpy(clusters, 2, 9)
+        np.testing.assert_array_equal(nat_labels, py_labels)
