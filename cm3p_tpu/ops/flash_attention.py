@@ -52,7 +52,15 @@ def _fa_kernel(
     num_kb: int,
     nk_grid: int,
     seq_len: int,
+    head_group: int,
 ):
+    """Online-softmax attention over a group of ``head_group`` heads.
+
+    Batching heads into one grid step amortizes grid/DMA overhead, which
+    dominates at head_dim 64 (measured 4.6µs/step vs ~1µs compute on v5e).
+    Block shapes: q/k/v (1, hg, block, D); scratch m/l (hg, block_q),
+    acc (hg, block_q, D).
+    """
     qi = pl.program_id(1)
     kj = pl.program_id(2)
 
@@ -63,23 +71,23 @@ def _fa_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     if window is not None:
-        start_kb = (qi * block_q - window) // block_k
-        kb_unclamped = start_kb + kj
-        valid_block = jnp.logical_and(kb_unclamped >= 0, kb_unclamped < num_kb)
-        kb = jnp.clip(kb_unclamped, 0, num_kb - 1)
+        # visit nk_grid consecutive key blocks starting at the window's left
+        # edge, shifted to stay in range — the range always covers
+        # [qi*bq - w, qi*bq + bq + w) because nk_grid = cdiv(bq + 2w, bk) + 1
+        start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nk_grid)
+        kb = start_kb + kj
     else:
         kb = kj
-        valid_block = True
 
-    @pl.when(valid_block if window is not None else True)
     def _accumulate():
-        q = q_ref[0]  # (block_q, D) — keep input dtype, MXU accumulates fp32
-        k = k_ref[0]  # (block_k, D)
+        q = q_ref[0]  # (hg, block_q, D) — input dtype, MXU accumulates fp32
+        k = k_ref[0]  # (hg, block_k, D)
         v = v_ref[0]
 
+        # batched QK^T over the head group: (hg, block_q, block_k) fp32
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k) fp32
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
         s = s * sm_scale
 
         rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -89,26 +97,40 @@ def _fa_kernel(
             mask = jnp.logical_and(mask, jnp.abs(rows - cols) <= window)
         if kmask_ref is not None:
             mask = jnp.logical_and(mask, kmask_ref[0, 0][None, :] > 0)
+        mask = mask[None, :, :]
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:, 0]
+        m_prev = m_scr[:]  # (hg, block_q)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         # protect fully-masked rows: exp(NEG_INF - (-inf)) would NaN
         m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
-        p = jnp.exp(s - m_safe[:, None])
+        p = jnp.exp(s - m_safe[:, :, None])
         p = jnp.where(mask, p, 0.0)
         alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_safe))
 
-        l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1)
+        # batched PV: (hg, block_q, block_k) @ (hg, block_k, D)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        m_scr[:, 0] = m_new
+        acc_scr[:] = acc_scr[:] * alpha[:, :, None] + pv
+        m_scr[:] = m_new
+
+    _accumulate()
 
     @pl.when(kj == nk_grid - 1)
     def _finalize():
-        denom = jnp.maximum(l_scr[:, 0], 1e-30)
-        out_ref[0] = (acc_scr[:] / denom[:, None]).astype(out_ref.dtype)
+        denom = jnp.maximum(l_scr[:], 1e-30)
+        out_ref[0] = (acc_scr[:] / denom[:, :, None]).astype(out_ref.dtype)
+
+
+def _pick_head_group(h: int, block_q: int, block_k: int, d: int) -> int:
+    """Largest head group keeping the fp32 score block under ~4.5 MB VMEM."""
+    budget = 4_500_000
+    hg = max(1, budget // (block_q * block_k * 4))
+    while hg > 1 and h % hg != 0:
+        hg -= 1
+    return min(hg, h)
 
 
 def _flash_attention_fwd_impl(
@@ -132,10 +154,12 @@ def _flash_attention_fwd_impl(
         if key_mask is not None:
             key_mask = jnp.pad(key_mask, [(0, 0), (0, l_pad - l)])
 
-    bh = b * h
-    qf = q.reshape(bh, l_pad, d)
-    kf = k.reshape(bh, l_pad, d)
-    vf = v.reshape(bh, l_pad, d)
+    hg = _pick_head_group(h, block_q, block_k, d)
+    groups_per_batch = h // hg
+    bg = b * groups_per_batch
+    qf = q.reshape(bg, hg, l_pad, d)
+    kf = k.reshape(bg, hg, l_pad, d)
+    vf = v.reshape(bg, hg, l_pad, d)
 
     nq = l_pad // block_q
     num_kb = l_pad // block_k
@@ -153,18 +177,19 @@ def _flash_attention_fwd_impl(
         num_kb=num_kb,
         nk_grid=nk_grid,
         seq_len=l,
+        head_group=hg,
     )
 
-    def k_index(bhi, qi, kj):
+    def k_index(bgi, qi, kj):
         if window is not None:
-            start_kb = (qi * block_q - window) // block_k
-            return (bhi, jnp.clip(start_kb + kj, 0, num_kb - 1), 0)
-        return (bhi, kj, 0)
+            start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nk_grid)
+            return (bgi, 0, start_kb + kj, 0)
+        return (bgi, 0, kj, 0)
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda bhi, qi, kj: (bhi, qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi, kj: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_k, d), k_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_k, d), k_index, memory_space=pltpu.VMEM),
     ]
     args = [qf, kf, vf]
     if key_mask is not None:
@@ -172,7 +197,7 @@ def _flash_attention_fwd_impl(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, block_k),
-                lambda bhi, qi, kj, _h=h: (bhi // _h, 0, k_index(bhi, qi, kj)[1]),
+                lambda bgi, qi, kj, _g=groups_per_batch: (bgi // _g, 0, k_index(bgi, qi, kj)[2]),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -183,19 +208,21 @@ def _flash_attention_fwd_impl(
 
     out = pl.pallas_call(
         wrapped,
-        grid=(bh, nq, nk_grid),
+        grid=(bg, nq, nk_grid),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bhi, qi, kj: (bhi, qi, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, l_pad, d), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, hg, block_q, d), lambda bgi, qi, kj: (bgi, 0, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((hg, block_q), jnp.float32),
+            pltpu.VMEM((hg, block_q), jnp.float32),
+            pltpu.VMEM((hg, block_q, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * l_pad * (min(l_pad, (2 * (window or l_pad))) * d),
-            bytes_accessed=3 * bh * l_pad * d * q.dtype.itemsize,
-            transcendentals=bh * l_pad * min(l_pad, 2 * (window or l_pad)),
+            flops=4 * b * h * l_pad * (min(l_pad, (2 * (window or l_pad))) * d),
+            bytes_accessed=3 * b * h * l_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * l_pad * min(l_pad, 2 * (window or l_pad)),
         ),
     )(*args)
 
@@ -250,8 +277,8 @@ def flash_attention(
     key_mask: Optional[jnp.ndarray] = None,
     window: Optional[int] = None,
     segment_ids: Optional[jnp.ndarray] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 256,
+    block_k: int = 256,
 ) -> jnp.ndarray:
     """Flash attention over (B, H, L, D) tensors.
 
