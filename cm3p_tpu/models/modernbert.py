@@ -305,13 +305,14 @@ class ModernBertEncoder(nn.Module):
         # Flash routing: at long sequence lengths, both layer kinds go
         # through the Pallas kernel (local for the O(L·w) win, global to
         # avoid XLA's O(B·H·L²) score materialization). Short sequences
-        # (metadata tower) stay on XLA dense attention.
-        use_flash = self.attn_impl == "pallas" and l >= 1024 and segment_ids is None
+        # (metadata tower) stay on XLA dense attention. The kernel masks
+        # padding, window, and packed segments in-kernel.
+        use_flash = self.attn_impl == "pallas" and l >= 1024
         local_flash = cfg.local_attention // 2 if (use_flash and need_local) else None
         global_flash = -1 if use_flash else None
 
         pad_bias = padding_bias(attention_mask) if attention_mask is not None else None
-        if segment_ids is not None:
+        if segment_ids is not None and not use_flash:
             seg = jnp.where(segment_ids[:, None, :, None] == segment_ids[:, None, None, :], 0.0, NEG_INF)
             pad_bias = seg if pad_bias is None else pad_bias + seg
         global_bias = pad_bias

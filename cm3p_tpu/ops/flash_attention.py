@@ -39,7 +39,8 @@ def _fa_kernel(
     q_ref,
     k_ref,
     v_ref,
-    kmask_ref,
+    qseg_ref,
+    kseg_ref,
     out_ref,
     m_scr,
     l_scr,
@@ -95,8 +96,14 @@ def _fa_kernel(
         mask = cols < seq_len
         if window is not None:
             mask = jnp.logical_and(mask, jnp.abs(rows - cols) <= window)
-        if kmask_ref is not None:
-            mask = jnp.logical_and(mask, kmask_ref[0, 0][None, :] > 0)
+        if kseg_ref is not None:
+            # segment semantics: key must be non-padding (seg > 0) and in the
+            # same segment as the query; plain key-padding masks are encoded
+            # as qseg=1 / kseg=mask
+            kseg = kseg_ref[0, 0]
+            qseg = qseg_ref[0, 0]
+            mask = jnp.logical_and(mask, kseg[None, :] > 0)
+            mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
         mask = mask[None, :, :]
         s = jnp.where(mask, s, NEG_INF)
 
@@ -137,7 +144,8 @@ def _flash_attention_fwd_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    key_mask: Optional[jnp.ndarray],
+    qseg: Optional[jnp.ndarray],
+    kseg: Optional[jnp.ndarray],
     window: Optional[int],
     block_q: int,
     block_k: int,
@@ -151,8 +159,9 @@ def _flash_attention_fwd_impl(
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-        if key_mask is not None:
-            key_mask = jnp.pad(key_mask, [(0, 0), (0, l_pad - l)])
+        if qseg is not None:
+            qseg = jnp.pad(qseg, [(0, 0), (0, l_pad - l)])
+            kseg = jnp.pad(kseg, [(0, 0), (0, l_pad - l)])
 
     hg = _pick_head_group(h, block_q, block_k, d)
     groups_per_batch = h // hg
@@ -192,8 +201,15 @@ def _flash_attention_fwd_impl(
         pl.BlockSpec((1, hg, block_k, d), k_index, memory_space=pltpu.VMEM),
     ]
     args = [qf, kf, vf]
-    if key_mask is not None:
+    if qseg is not None:
         # (B, 1, L) layout keeps the TPU block tiling legal: block (1, 1, Bk)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q),
+                lambda bgi, qi, kj, _g=groups_per_batch: (bgi // _g, 0, qi),
+                memory_space=pltpu.VMEM,
+            )
+        )
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, block_k),
@@ -201,10 +217,11 @@ def _flash_attention_fwd_impl(
                 memory_space=pltpu.VMEM,
             )
         )
-        args.append(key_mask.astype(jnp.int32)[:, None, :])
+        args.append(qseg.astype(jnp.int32)[:, None, :])
+        args.append(kseg.astype(jnp.int32)[:, None, :])
         wrapped = kernel
     else:
-        wrapped = lambda q_ref, k_ref, v_ref, *rest: kernel(q_ref, k_ref, v_ref, None, *rest)
+        wrapped = lambda q_ref, k_ref, v_ref, *rest: kernel(q_ref, k_ref, v_ref, None, None, *rest)
 
     out = pl.pallas_call(
         wrapped,
@@ -230,7 +247,7 @@ def _flash_attention_fwd_impl(
     return out[:, :, :l, :]
 
 
-def _xla_reference(q, k, v, key_mask, window):
+def _xla_reference(q, k, v, qseg, kseg, window):
     """Dense-mask attention used for the recompute backward + parity tests."""
     d = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(d)
@@ -240,30 +257,31 @@ def _xla_reference(q, k, v, key_mask, window):
         idx = jnp.arange(l)
         mask = jnp.abs(idx[:, None] - idx[None, :]) <= window
     mask = mask[None, None]
-    if key_mask is not None:
-        mask = jnp.logical_and(mask, key_mask[:, None, None, :] > 0)
+    if kseg is not None:
+        mask = jnp.logical_and(mask, kseg[:, None, None, :] > 0)
+        mask = jnp.logical_and(mask, qseg[:, None, :, None] == kseg[:, None, None, :])
     s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention(q, k, v, key_mask, window, block_q, block_k):
-    return _flash_attention_fwd_impl(q, k, v, key_mask, window, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k):
+    return _flash_attention_fwd_impl(q, k, v, qseg, kseg, window, block_q, block_k)
 
 
-def _fwd(q, k, v, key_mask, window, block_q, block_k):
-    out = _flash_attention_fwd_impl(q, k, v, key_mask, window, block_q, block_k)
-    return out, (q, k, v, key_mask)
+def _fwd(q, k, v, qseg, kseg, window, block_q, block_k):
+    out = _flash_attention_fwd_impl(q, k, v, qseg, kseg, window, block_q, block_k)
+    return out, (q, k, v, qseg, kseg)
 
 
 def _bwd(window, block_q, block_k, res, g):
-    q, k, v, key_mask = res
+    q, k, v, qseg, kseg = res
     # recompute-based backward through the XLA reference (numerically
     # equivalent); a fused Pallas backward is the planned upgrade.
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_mask, window), q, k, v)
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window), q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_attention.defvjp(_fwd, _bwd)
@@ -287,15 +305,26 @@ def flash_attention(
             converted to a boolean key mask.
         key_mask: optional (B, L) 0/1 mask (alternative to ``bias``).
         window: one-sided local-attention radius; ``None`` = global.
-        segment_ids: reserved for packed sequences (not yet supported).
+        segment_ids: optional (B, L) int segments for packed sequences
+            (0 = padding, >0 = segment index); attention stays within a
+            segment — the TPU-native replacement for FA2 varlen unpadding.
     """
-    if segment_ids is not None:
-        raise NotImplementedError("packed-segment flash attention lands with the packing pipeline")
     if key_mask is None and bias is not None:
         key_mask = (bias.reshape(bias.shape[0], bias.shape[-1]) >= -0.5).astype(jnp.int32)
+
+    if segment_ids is not None:
+        kseg = segment_ids.astype(jnp.int32)
+        if key_mask is not None:
+            kseg = jnp.where(key_mask > 0, kseg, 0)
+        qseg = kseg
+    elif key_mask is not None:
+        qseg = jnp.ones_like(key_mask, jnp.int32)
+        kseg = key_mask.astype(jnp.int32)
+    else:
+        qseg = kseg = None
 
     l = q.shape[2]
     block_q = min(block_q, max(128, 1 << (l - 1).bit_length()))
     block_q = min(block_q, 512)
     block_k = min(block_k, block_q)
-    return _flash_attention(q, k, v, key_mask, window, block_q, block_k)
+    return _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k)
