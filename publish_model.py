@@ -1,0 +1,123 @@
+"""Bundle and publish trained CM3P artifacts.
+
+Counterpart of the reference's ``push_to_hub.py``: collects model params +
+config + processor into one portable directory with a generated model card,
+and optionally pushes to the Hugging Face Hub when ``huggingface_hub`` and
+network access are available (the packaging path works fully offline).
+
+    python publish_model.py --model-dir out/model --processor-dir out/processor \
+        --output release/cm3p-tpu-v1 [--repo-id user/CM3P-TPU] [--revision main]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import shutil
+import sys
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+MODEL_CARD = """---
+library_name: cm3p_tpu
+tags:
+- osu
+- beatmap
+- contrastive
+- jax
+- tpu
+pipeline_tag: feature-extraction
+---
+
+# {name}
+
+CM3P (Contrastive Metadata-Map Masked Pre-training) checkpoint trained with
+the TPU-native JAX framework. Dual-tower ModernBERT-style encoders over osu!
+beatmap token streams and structured metadata with optional audio fusion.
+
+## Usage
+
+```python
+from cm3p_tpu.processing import CM3PProcessor
+from cm3p_tpu.models import CM3PModule
+from cm3p_tpu.configs import load_config
+from cm3p_tpu.train.checkpoint import load_model
+import jax.numpy as jnp
+
+processor = CM3PProcessor.from_pretrained("{name}/processor")
+config = load_config("{name}/model")
+model = CM3PModule(config, dtype=jnp.bfloat16, attn_impl="pallas")
+params = load_model("{name}/model")
+```
+
+## Contents
+
+- `model/` — Orbax checkpoint (`params/`) + `config.json`
+- `processor/` — parser / tokenizer / feature-extractor configs and vocabularies
+
+## Training details
+
+{training_details}
+"""
+
+
+def infer_model_class(model_dir: Path) -> str:
+    config = json.loads((model_dir / "config.json").read_text())
+    cls = config.get("config_class", "CM3PConfig")
+    return {
+        "CM3PConfig": "CM3PModule",
+        "BeatmapConfig": "MaskedLMModule or ClassifierModule (beatmap tower config)",
+    }.get(cls, cls)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model-dir", required=True)
+    parser.add_argument("--processor-dir", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--name", default=None)
+    parser.add_argument("--training-details", default="(not provided)")
+    parser.add_argument("--repo-id", default=None, help="push to this HF Hub repo if set")
+    parser.add_argument("--revision", default=None)
+    parser.add_argument("--create-pr", action="store_true")
+    ns = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+
+    out = Path(ns.output)
+    out.mkdir(parents=True, exist_ok=True)
+    shutil.copytree(ns.model_dir, out / "model", dirs_exist_ok=True)
+    shutil.copytree(ns.processor_dir, out / "processor", dirs_exist_ok=True)
+
+    name = ns.name or out.name
+    card = MODEL_CARD.format(name=name, training_details=ns.training_details)
+    (out / "README.md").write_text(card)
+    logger.info("Packaged %s (model class: %s)", out, infer_model_class(out / "model"))
+
+    if ns.repo_id:
+        try:
+            from huggingface_hub import HfApi
+
+            api = HfApi()
+            api.create_repo(ns.repo_id, exist_ok=True)
+            if ns.revision:
+                try:
+                    api.create_branch(repo_id=ns.repo_id, branch=ns.revision, exist_ok=True)
+                except Exception:
+                    pass
+            api.upload_folder(
+                folder_path=str(out),
+                repo_id=ns.repo_id,
+                revision=ns.revision,
+                create_pr=ns.create_pr,
+                commit_message=f"Upload {name}",
+            )
+            logger.info("Pushed to hub: %s", ns.repo_id)
+        except Exception as e:
+            logger.error("Hub push failed (%s); the local bundle at %s is complete", e, out)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
