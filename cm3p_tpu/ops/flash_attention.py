@@ -46,7 +46,6 @@ def _fa_kernel(
     l_scr,
     acc_scr,
     *,
-    sm_scale: float,
     window: Optional[int],
     block_q: int,
     block_k: int,
@@ -81,45 +80,64 @@ def _fa_kernel(
         kb = kj
 
     def _accumulate():
-        q = q_ref[0]  # (hg, block_q, D) — input dtype, MXU accumulates fp32
+        q = q_ref[0]  # (hg, block_q, D) — pre-scaled by 1/sqrt(D) outside
         k = k_ref[0]  # (hg, block_k, D)
         v = v_ref[0]
 
-        # batched QK^T over the head group: (hg, block_q, block_k) fp32
+        # batched QK^T over the head group. Scores/probs stay in the input
+        # dtype (bf16 in production): the elementwise softmax passes over
+        # (hg, bq, bk) dominate this kernel's runtime, and halving their
+        # width is a direct win; max/sum statistics accumulate in fp32.
+        acc_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        s = s * sm_scale
+        ).astype(acc_t)  # MXU must accumulate fp32; narrow once for the VPU chain
 
-        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = cols < seq_len
+        # one 2-D additive bias folds every mask (window / padding /
+        # segments); building it costs (bq, bk)-sized work once, and
+        # applying it is a single (hg, bq, bk) pass — the VPU, not the MXU,
+        # is this kernel's bottleneck at head_dim 64.
+        bias2d = None
         if window is not None:
-            mask = jnp.logical_and(mask, jnp.abs(rows - cols) <= window)
+            rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask2d = jnp.abs(rows - cols) <= window
+        else:
+            mask2d = None
         if kseg_ref is not None:
-            # segment semantics: key must be non-padding (seg > 0) and in the
-            # same segment as the query; plain key-padding masks are encoded
-            # as qseg=1 / kseg=mask
+            # segment semantics: key must be non-padding (seg > 0) and in
+            # the same segment as the query; plain key-padding masks are
+            # encoded as qseg=1 / kseg=mask. Padded tails have kseg=0, so
+            # the cols < seq_len bound is subsumed.
             kseg = kseg_ref[0, 0]
             qseg = qseg_ref[0, 0]
-            mask = jnp.logical_and(mask, kseg[None, :] > 0)
-            mask = jnp.logical_and(mask, qseg[:, None] == kseg[None, :])
-        mask = mask[None, :, :]
-        s = jnp.where(mask, s, NEG_INF)
+            seg_ok = jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            mask2d = seg_ok if mask2d is None else jnp.logical_and(mask2d, seg_ok)
+        elif window is None:
+            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask2d = cols < seq_len
+        elif seq_len % block_k != 0:
+            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask2d = jnp.logical_and(mask2d, cols < seq_len)
 
-        m_prev = m_scr[:]  # (hg, block_q)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        if mask2d is not None:
+            # select in fp32 layout, then cast: Mosaic cannot relayout an i1
+            # vector from fp32 (8,128) tiling to bf16 (16,128) tiling
+            bias2d = jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t)
+            s = s + bias2d[None, :, :]
+
+        m_prev = m_scr[:]  # (hg, block_q) fp32
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1).astype(jnp.float32))
         # protect fully-masked rows: exp(NEG_INF - (-inf)) would NaN
         m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
-        p = jnp.exp(s - m_safe[:, :, None])
-        p = jnp.where(mask, p, 0.0)
+        p = jnp.exp(s - m_safe[:, :, None].astype(acc_t))  # masked entries underflow to 0
         alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_safe))
 
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, dtype=jnp.float32)
         # batched PV: (hg, block_q, block_k) @ (hg, block_k, D)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+        )  # fp32 accumulate
         acc_scr[:] = acc_scr[:] * alpha[:, :, None] + pv
         m_scr[:] = m_new
 
@@ -151,7 +169,7 @@ def _flash_attention_fwd_impl(
     block_k: int,
 ) -> jnp.ndarray:
     b, h, l, d = q.shape
-    sm_scale = 1.0 / math.sqrt(d)
+    q = q * jnp.asarray(1.0 / math.sqrt(d), q.dtype)  # fold softmax scale into q
 
     l_pad = _cdiv(l, max(block_q, block_k)) * max(block_q, block_k)
     if l_pad != l:
@@ -179,7 +197,6 @@ def _flash_attention_fwd_impl(
 
     kernel = functools.partial(
         _fa_kernel,
-        sm_scale=sm_scale,
         window=window,
         block_q=block_q,
         block_k=block_k,

@@ -49,6 +49,10 @@ class Trainer:
         resume: bool = True,
         eval_has_variations: bool = True,
         labels_kind: str = "none",
+        wandb_project: Optional[str] = None,
+        wandb_entity: Optional[str] = None,
+        wandb_mode: Optional[str] = None,
+        run_config: Optional[dict] = None,
     ):
         self.model = model
         if gradient_accumulation_steps > 1:
@@ -80,6 +84,22 @@ class Trainer:
         self._batch_sharding = None
         self._eval_fn = None
 
+        # optional wandb (reference train.py:176-181); JSONL always writes
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project,
+                    entity=wandb_entity,
+                    mode=wandb_mode or "online",
+                    config=run_config,
+                    dir=str(self.output_dir),
+                )
+            except Exception as e:  # pragma: no cover - offline envs
+                logger.warning("wandb init failed (%s); JSONL logging only", e)
+
     # ------------------------------------------------------------------ setup
 
     def _setup(self, example_batch: dict) -> TrainState:
@@ -108,6 +128,8 @@ class Trainer:
         record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
         self._log_file.write(json.dumps(record) + "\n")
         self._log_file.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in record.items() if k != "step"}, step=record.get("step"))
         logger.info(" ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()))
 
     # ------------------------------------------------------------------ train
@@ -209,3 +231,5 @@ class Trainer:
     def close(self):
         self._log_file.close()
         self.ckpt.close()
+        if self._wandb is not None:
+            self._wandb.finish()

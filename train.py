@@ -208,7 +208,7 @@ def build_optimizer(args: dict):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--config-name", default="v1")
+    parser.add_argument("--config-name", "-cn", default="v1")
     parser.add_argument("--config-dir", default=str(REPO_ROOT / "configs" / "train"))
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("overrides", nargs="*", help="dotted config overrides a.b=c")
@@ -306,6 +306,10 @@ def main(argv=None):
         resume=not training.get("overwrite_output_dir", False),
         eval_has_variations=args["model_cls"] == "CM3PModule",
         labels_kind=args["dataset"]["labels"],
+        wandb_project=args.get("wandb_project"),
+        wandb_entity=args.get("wandb_entity"),
+        wandb_mode=args.get("wandb_mode"),
+        run_config=args,
     )
 
     state = trainer.train()
