@@ -42,6 +42,7 @@ def _fa_kernel(
     qseg_ref,
     kseg_ref,
     out_ref,
+    lse_ref,
     m_scr,
     l_scr,
     acc_scr,
@@ -128,10 +129,11 @@ def _fa_kernel(
 
         m_prev = m_scr[:]  # (hg, block_q) fp32
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1).astype(jnp.float32))
-        # protect fully-masked rows: exp(NEG_INF - (-inf)) would NaN
-        m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        # fully-masked rows have m_new <= NEG_INF (finite!): pin the shift to
+        # 0 there so exp(s - m) underflows to 0 instead of exp(0) = 1
+        m_safe = jnp.where(m_new < NEG_INF * 0.5, 0.0, m_new)
         p = jnp.exp(s - m_safe[:, :, None].astype(acc_t))  # masked entries underflow to 0
-        alpha = jnp.where(m_prev == -jnp.inf, 0.0, jnp.exp(m_prev - m_safe))
+        alpha = jnp.where(m_prev < NEG_INF * 0.5, 0.0, jnp.exp(m_prev - m_safe))
 
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, dtype=jnp.float32)
         # batched PV: (hg, block_q, block_k) @ (hg, block_k, D)
@@ -147,6 +149,10 @@ def _fa_kernel(
     def _finalize():
         denom = jnp.maximum(l_scr[:], 1e-30)
         out_ref[0] = (acc_scr[:] / denom[:, :, None]).astype(out_ref.dtype)
+        # logsumexp residual for the Pallas backward; fully-masked rows get
+        # a moderately negative value so exp(s - lse) = exp(-1e30 - lse) = 0
+        m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
+        lse_ref[0] = m_safe + jnp.log(denom)
 
 
 def _pick_head_group(h: int, block_q: int, block_k: int, d: int) -> int:
@@ -167,7 +173,8 @@ def _flash_attention_fwd_impl(
     window: Optional[int],
     block_q: int,
     block_k: int,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     b, h, l, d = q.shape
     q = q * jnp.asarray(1.0 / math.sqrt(d), q.dtype)  # fold softmax scale into q
 
@@ -240,14 +247,20 @@ def _flash_attention_fwd_impl(
     else:
         wrapped = lambda q_ref, k_ref, v_ref, *rest: kernel(q_ref, k_ref, v_ref, None, None, *rest)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         wrapped,
         grid=(bg, nq, nk_grid),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, hg, block_q, d), lambda bgi, qi, kj: (bgi, 0, qi, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, hg, block_q, d), lambda bgi, qi, kj: (bgi, 0, qi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, hg, block_q), lambda bgi, qi, kj: (bgi, 0, qi), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bg, hg, l_pad), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((hg, block_q), jnp.float32),
             pltpu.VMEM((hg, block_q), jnp.float32),
@@ -260,8 +273,10 @@ def _flash_attention_fwd_impl(
         ),
     )(*args)
 
-    out = out.reshape(b, h, l_pad, d)
-    return out[:, :, :l, :]
+    out = out.reshape(b, h, l_pad, d)[:, :, :l, :]
+    if return_lse:
+        return out, lse.reshape(b, h, l_pad)[:, :, :l], hg
+    return out
 
 
 def _xla_reference(q, k, v, qseg, kseg, window):
@@ -288,14 +303,25 @@ def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k):
 
 
 def _fwd(q, k, v, qseg, kseg, window, block_q, block_k):
-    out = _flash_attention_fwd_impl(q, k, v, qseg, kseg, window, block_q, block_k)
-    return out, (q, k, v, qseg, kseg)
+    out, lse, hg = _flash_attention_fwd_impl(
+        q, k, v, qseg, kseg, window, block_q, block_k, return_lse=True
+    )
+    return out, (q, k, v, qseg, kseg, out, lse, hg)
+
+
+BACKWARD_MODE = "pallas"  # "pallas" (fused kernels) or "xla" (dense recompute)
 
 
 def _bwd(window, block_q, block_k, res, g):
-    q, k, v, qseg, kseg = res
-    # recompute-based backward through the XLA reference (numerically
-    # equivalent); a fused Pallas backward is the planned upgrade.
+    q, k, v, qseg, kseg, out, lse, hg = res
+    if BACKWARD_MODE == "pallas":
+        from .flash_attention_bwd import flash_attention_bwd
+
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, hg
+        )
+        return dq, dk, dv, None, None
+    # dense recompute fallback (materializes O(L²) scores)
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window), q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None

@@ -1,0 +1,330 @@
+"""Pallas backward kernels for flash attention.
+
+Standard two-kernel flash backward (dKV accumulates over query blocks, dQ
+over key blocks), recomputing probabilities from saved logsumexp residuals
+instead of materializing the O(L²) score matrix the XLA-recompute fallback
+needs. Window / padding / segment masks mirror the forward kernel's
+2-D-bias construction; block ranges are the window-intersection logic with
+q/k roles swapped for dKV.
+
+Math (q' = q / sqrt(d) is pre-scaled like the forward):
+    p  = exp(q'·kᵀ + bias - lse)
+    dv = pᵀ · do
+    ds = p ∘ (do·vᵀ - delta),  delta = rowsum(do ∘ out)
+    dk = dsᵀ · q'
+    dq = (ds · k) / sqrt(d)
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _mask_bias2d(q_start, k_start, block_q, block_k, window, qseg, kseg, seq_len, need_bound, acc_t):
+    """(block_q, block_k) additive bias folding window/segment/bound masks."""
+    mask2d = None
+    if window is not None:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask2d = jnp.abs(rows - cols) <= window
+    if kseg is not None:
+        seg_ok = jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+        mask2d = seg_ok if mask2d is None else jnp.logical_and(mask2d, seg_ok)
+    elif need_bound:
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        bound = cols < seq_len
+        mask2d = bound if mask2d is None else jnp.logical_and(mask2d, bound)
+    if mask2d is None:
+        return None
+    return jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t)
+
+
+def _dkv_kernel(
+    qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, window, block_q, block_k, num_qb, nq_grid, seq_len,
+):
+    ki = pl.program_id(1)
+    qj = pl.program_id(2)
+
+    @pl.when(qj == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    if window is not None:
+        start_qb = jnp.clip((ki * block_k - window) // block_q, 0, num_qb - nq_grid)
+        qb = start_qb + qj
+    else:
+        qb = qj
+
+    qs = qs_ref[0]  # (hg, bq, D) pre-scaled
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # (hg, bq) fp32
+    delta = delta_ref[0]
+
+    acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+    s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    bias2d = _mask_bias2d(
+        qb * block_q, ki * block_k, block_q, block_k, window,
+        qseg_ref[0, 0] if qseg_ref is not None else None,
+        kseg_ref[0, 0] if kseg_ref is not None else None,
+        seq_len, kseg_ref is None, jnp.float32,
+    )
+    if bias2d is not None:
+        s = s + bias2d[None, :, :]
+    p = jnp.exp(s - lse[:, :, None]).astype(acc_t)  # (hg, bq, bk)
+
+    # dv += pᵀ · do : contract over bq
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dp = do · vᵀ : (hg, bq, bk)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    ds = (p.astype(jnp.float32) * (dp - delta[:, :, None])).astype(acc_t)
+    # dk += dsᵀ · q' : contract over bq
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, qs, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qj == nq_grid - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dq_ref, dq_scr,
+    *, window, block_q, block_k, num_kb, nk_grid, seq_len,
+):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    if window is not None:
+        start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nk_grid)
+        kb = start_kb + kj
+    else:
+        kb = kj
+
+    qs = qs_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+    s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    bias2d = _mask_bias2d(
+        qi * block_q, kb * block_k, block_q, block_k, window,
+        qseg_ref[0, 0] if qseg_ref is not None else None,
+        kseg_ref[0, 0] if kseg_ref is not None else None,
+        seq_len, kseg_ref is None, jnp.float32,
+    )
+    if bias2d is not None:
+        s = s + bias2d[None, :, :]
+    p = jnp.exp(s - lse[:, :, None])
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta[:, :, None])).astype(acc_t)
+    # dq += ds · k : contract over bk (ds dim 2, k dim 1)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kj == nk_grid - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def flash_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    qseg: Optional[jnp.ndarray],
+    kseg: Optional[jnp.ndarray],
+    out: jnp.ndarray,
+    lse: jnp.ndarray,
+    dout: jnp.ndarray,
+    window: Optional[int],
+    block_q: int,
+    block_k: int,
+    head_group: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compute (dq, dk, dv) with the two-kernel flash backward."""
+    b, h, l, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    qs = q * jnp.asarray(scale, q.dtype)
+
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b, h, l)
+
+    block = max(block_q, block_k)
+    l_pad = _cdiv(l, block) * block
+    if l_pad != l:
+        pad4 = [(0, 0), (0, 0), (0, l_pad - l), (0, 0)]
+        pad3 = [(0, 0), (0, 0), (0, l_pad - l)]
+        qs = jnp.pad(qs, pad4)
+        k = jnp.pad(k, pad4)
+        v = jnp.pad(v, pad4)
+        dout = jnp.pad(dout, pad4)
+        lse = jnp.pad(lse, pad3)
+        delta = jnp.pad(delta, pad3)
+        if qseg is not None:
+            qseg = jnp.pad(qseg, [(0, 0), (0, l_pad - l)])
+            kseg = jnp.pad(kseg, [(0, 0), (0, l_pad - l)])
+
+    hg = head_group
+    g = h // hg
+    bg = b * g
+
+    def r4(x):
+        return x.reshape(bg, hg, l_pad, d)
+
+    def r3(x):
+        return x.reshape(bg, hg, l_pad)
+
+    qsf, kf, vf, dof = r4(qs), r4(k), r4(v), r4(dout)
+    lsef, deltaf = r3(lse), r3(delta)
+
+    nq = l_pad // block_q
+    nk = l_pad // block_k
+    if window is not None:
+        nk_grid = min(nk, _cdiv(block_q + 2 * window, block_k) + 1)
+        nq_grid = min(nq, _cdiv(block_k + 2 * window, block_q) + 1)
+    else:
+        nk_grid = nk
+        nq_grid = nq
+
+    # ---- dKV pass: grid (bg, nk, nq_grid)
+    def q_index_dkv(bgi, ki, qj):
+        if window is not None:
+            start_qb = jnp.clip((ki * block_k - window) // block_q, 0, nq - nq_grid)
+            return (bgi, 0, start_qb + qj, 0)
+        return (bgi, 0, qj, 0)
+
+    def q_index3_dkv(bgi, ki, qj, _g=g):
+        idx = q_index_dkv(bgi, ki, qj)
+        return (idx[0], 0, idx[2])
+
+    def k_index_dkv(bgi, ki, qj):
+        return (bgi, 0, ki, 0)
+
+    dkv_specs = [
+        pl.BlockSpec((1, hg, block_q, d), q_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q, d), q_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q), q_index3_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q), q_index3_dkv, memory_space=pltpu.VMEM),
+    ]
+    dkv_args = [qsf, kf, vf, dof, lsef, deltaf]
+    if qseg is not None:
+        dkv_specs.append(
+            pl.BlockSpec((1, 1, block_q), lambda bgi, ki, qj, _g=g: (bgi // _g, 0, q_index_dkv(bgi, ki, qj)[2]), memory_space=pltpu.VMEM)
+        )
+        dkv_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda bgi, ki, qj, _g=g: (bgi // _g, 0, ki), memory_space=pltpu.VMEM)
+        )
+        dkv_args += [qseg.astype(jnp.int32)[:, None, :], kseg.astype(jnp.int32)[:, None, :]]
+        dkv_kernel = functools.partial(
+            _dkv_kernel, window=window, block_q=block_q, block_k=block_k,
+            num_qb=nq, nq_grid=nq_grid, seq_len=l,
+        )
+    else:
+        base = functools.partial(
+            _dkv_kernel, window=window, block_q=block_q, block_k=block_k,
+            num_qb=nq, nq_grid=nq_grid, seq_len=l,
+        )
+        dkv_kernel = lambda a, b_, c, d_, e, f, *rest: base(a, b_, c, d_, e, f, None, None, *rest)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bg, nk, nq_grid),
+        in_specs=dkv_specs,
+        out_specs=(
+            pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hg, block_k, d), jnp.float32),
+            pltpu.VMEM((hg, block_k, d), jnp.float32),
+        ],
+    )(*dkv_args)
+
+    # ---- dQ pass: grid (bg, nq, nk_grid)
+    def k_index_dq(bgi, qi, kj):
+        if window is not None:
+            start_kb = jnp.clip((qi * block_q - window) // block_k, 0, nk - nk_grid)
+            return (bgi, 0, start_kb + kj, 0)
+        return (bgi, 0, kj, 0)
+
+    def q_index_dq(bgi, qi, kj):
+        return (bgi, 0, qi, 0)
+
+    def q_index3_dq(bgi, qi, kj):
+        return (bgi, 0, qi)
+
+    dq_specs = [
+        pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_k, d), k_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_k, d), k_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q), q_index3_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q), q_index3_dq, memory_space=pltpu.VMEM),
+    ]
+    dq_args = [qsf, kf, vf, dof, lsef, deltaf]
+    if qseg is not None:
+        dq_specs.append(
+            pl.BlockSpec((1, 1, block_q), lambda bgi, qi, kj, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM)
+        )
+        dq_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda bgi, qi, kj, _g=g: (bgi // _g, 0, k_index_dq(bgi, qi, kj)[2]), memory_space=pltpu.VMEM)
+        )
+        dq_args += [qseg.astype(jnp.int32)[:, None, :], kseg.astype(jnp.int32)[:, None, :]]
+        dq_kernel = functools.partial(
+            _dq_kernel, window=window, block_q=block_q, block_k=block_k,
+            num_kb=nk, nk_grid=nk_grid, seq_len=l,
+        )
+    else:
+        base_q = functools.partial(
+            _dq_kernel, window=window, block_q=block_q, block_k=block_k,
+            num_kb=nk, nk_grid=nk_grid, seq_len=l,
+        )
+        dq_kernel = lambda a, b_, c, d_, e, f, *rest: base_q(a, b_, c, d_, e, f, None, None, *rest)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bg, nq, nk_grid),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((hg, block_q, d), jnp.float32)],
+    )(*dq_args)
+
+    def unpack(x):
+        return x.reshape(b, h, l_pad, d)[:, :, :l, :]
+
+    dq = unpack(dq) * jnp.asarray(scale, q.dtype)  # undo the q pre-scaling chain rule
+    return dq, unpack(dk), unpack(dv)
