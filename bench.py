@@ -42,6 +42,56 @@ def build_batch(cfg, batch_size: int, seq_len: int, mel_frames: int):
     }
 
 
+BEATMAP_FIXTURE = (
+    "resources/Denkishiki Karen Ongaku Shuudan - Aoki Kotou no Anguis (OliBomby) [Ardens Spes].osu"
+)
+
+
+def real_window_sequences(n_windows: int) -> list:
+    """Unpadded token sequences for 16s windows of the bundled beatmap,
+    tiled to n_windows — the realistic length distribution for extraction."""
+    from cm3p_tpu.processing import CM3PProcessor
+
+    proc = CM3PProcessor()
+    out = proc(beatmap=BEATMAP_FIXTURE, window_length_sec=16.0, window_stride_sec=16.0, padding="longest")
+    ids = np.asarray(out["input_ids"])
+    lengths = np.asarray(out["attention_mask"]).sum(axis=1)
+    seqs = [ids[i, : lengths[i]] for i in range(len(ids))]
+    reps = -(-n_windows // len(seqs))
+    return (seqs * reps)[:n_windows]
+
+
+def bench_packed(model, params, extract_packed, seq_len: int, rows: int, iters: int) -> tuple[float, dict]:
+    """Packed real-window extraction: embeddings/sec across the packed batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from cm3p_tpu.processing.packing import pack_windows
+
+    # oversupply windows, then trim to what fits in `rows` rows
+    seqs = real_window_sequences(rows * 16)
+    packed = pack_windows(seqs, seq_len, pad_id=0)
+    while packed["input_ids"].shape[0] > rows:
+        seqs = seqs[: int(len(seqs) * 0.95)]
+        packed = pack_windows(seqs, seq_len, pad_id=0)
+    n_windows = len(seqs)
+
+    batch = {
+        "input_ids": jnp.asarray(packed["input_ids"], jnp.int32),
+        "segment_ids": jnp.asarray(packed["segment_ids"], jnp.int32),
+        "window_rows": jnp.asarray(packed["window_to_row"], jnp.int32),
+        "window_segments": jnp.asarray(packed["window_segment"], jnp.int32),
+    }
+    np.asarray(extract_packed(params, batch))
+    np.asarray(extract_packed(params, batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(extract_packed(params, batch))
+    dt = (time.perf_counter() - t0) / iters
+    fill = float((packed["segment_ids"] > 0).mean())
+    return n_windows / dt, {"rows": packed["input_ids"].shape[0], "windows": n_windows, "fill": round(fill, 3)}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny config on CPU for smoke testing")
@@ -49,6 +99,7 @@ def main():
     parser.add_argument("--seq-len", type=int, default=4096)
     parser.add_argument("--mel-frames", type=int, default=1600)  # 16 s windows
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--no-packed", action="store_true", help="skip the packed real-window benchmark")
     args = parser.parse_args()
 
     if args.tiny:
@@ -92,6 +143,18 @@ def main():
             normalize=True,
         )
 
+    @jax.jit
+    def extract_packed(params, batch):
+        return model.apply(
+            params,
+            method=CM3PModule.get_packed_beatmap_features,
+            input_ids=batch["input_ids"],
+            segment_ids=batch["segment_ids"],
+            window_rows=batch["window_rows"],
+            window_segments=batch["window_segments"],
+            normalize=True,
+        )
+
     best_rate = 0.0
     best_bs = 0
     params = None
@@ -117,14 +180,24 @@ def main():
         if rate > best_rate:
             best_rate, best_bs = rate, bs
 
+    packed_rate = None
+    packed_detail = {}
+    if not args.no_packed and not args.tiny:
+        packed_rate, packed_detail = bench_packed(
+            model, params, extract_packed, args.seq_len, rows=max(best_bs, 16), iters=args.iters
+        )
+
+    headline = packed_rate if packed_rate else best_rate
     print(
         json.dumps(
             {
                 "metric": "beatmap_embeddings_per_sec_per_chip",
-                "value": round(best_rate, 2),
+                "value": round(headline, 2),
                 "unit": "embeddings/s/chip",
-                "vs_baseline": round(best_rate / REFERENCE_SINGLE_GPU_EST, 3),
+                "vs_baseline": round(headline / REFERENCE_SINGLE_GPU_EST, 3),
                 "detail": {
+                    "packed_real_windows": packed_detail,
+                    "dense_full_windows_rate": round(best_rate, 2),
                     "batch_size": best_bs,
                     "seq_len": args.seq_len,
                     "mel_frames": args.mel_frames,

@@ -304,6 +304,43 @@ class CM3PModule(nn.Module):
         feats = self.beatmap_projection(pooled)
         return l2_normalize(feats) if normalize else feats
 
+    def get_packed_beatmap_features(
+        self,
+        input_ids,
+        segment_ids,
+        window_rows,
+        window_segments,
+        deterministic: bool = True,
+        normalize: bool = False,
+    ):
+        """Features for windows packed into rows (processing/packing.py).
+
+        ``window_rows``/``window_segments`` (W,) locate each logical window;
+        pooling is per-segment CLS or masked mean, so one packed forward
+        yields one embedding per window — the TPU replacement for the
+        reference's varlen batching.
+        """
+        cfg = self.config.beatmap_config
+        hidden = self.beatmap_model(
+            input_ids,
+            attention_mask=(segment_ids > 0).astype(jnp.int32),
+            segment_ids=segment_ids,
+            deterministic=deterministic,
+        )
+        row_hidden = hidden[window_rows]  # (W, L, H)
+        row_segs = segment_ids[window_rows]  # (W, L)
+        sel = (row_segs == window_segments[:, None]).astype(hidden.dtype)  # (W, L)
+        if cfg.cls_embed:
+            # first token of each segment: argmax of sel along L
+            first = jnp.argmax(sel, axis=1)
+            pooled = jnp.take_along_axis(row_hidden, first[:, None, None], axis=1)[:, 0]
+        else:
+            summed = jnp.einsum("wl,wlh->wh", sel, row_hidden)
+            counts = jnp.clip(jnp.sum(sel, axis=1, keepdims=True), 1e-9, None)
+            pooled = (summed / counts).astype(hidden.dtype)
+        feats = self.beatmap_projection(pooled)
+        return l2_normalize(feats) if normalize else feats
+
     def get_metadata_features(
         self,
         metadata_ids,

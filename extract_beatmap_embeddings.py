@@ -76,7 +76,15 @@ def main(argv=None):
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--max-length", type=int, default=None, help="override beatmap token max_length")
     parser.add_argument("--tiny-model", action="store_true", help="random tiny model (smoke tests)")
+    parser.add_argument(
+        "--pack",
+        action="store_true",
+        help="pack windows into fixed rows with segment IDs (no-audio path; "
+        "3-5x throughput on real length distributions)",
+    )
     ns = parser.parse_args(argv)
+    if ns.pack and not ns.no_audio:
+        parser.error("--pack currently requires --no-audio")
 
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
@@ -160,10 +168,86 @@ def main(argv=None):
             normalize=True,
         )
 
+    @jax.jit
+    def extract_packed(params, input_ids, segment_ids, window_rows, window_segments):
+        return model.apply(
+            params,
+            method=CM3PModule.get_packed_beatmap_features,
+            input_ids=input_ids,
+            segment_ids=segment_ids,
+            window_rows=window_rows,
+            window_segments=window_segments,
+            normalize=True,
+        )
+
     accumulator: dict[Any, dict[str, Any]] = {}
     loader = SampleLoader(dataset_factory, num_workers=ns.num_workers)
     n_windows = 0
     t0 = time.perf_counter()
+
+    if ns.pack:
+        from cm3p_tpu.processing.packing import pack_windows
+
+        seq_len = processor.default_kwargs["beatmap_kwargs"].get("max_length", 4000)
+        window_pad = 16  # pad window count to a multiple to bound recompiles
+
+        def flush(pending):
+            nonlocal n_windows
+            if not pending:
+                return
+            seqs = [p[0] for p in pending]
+            ids_list = [p[1] for p in pending]
+            packed = pack_windows(seqs, seq_len, pad_id=processor.beatmap_tokenizer.pad_token_id)
+            rows = -(-packed["input_ids"].shape[0] // 4) * 4
+            input_ids = np.zeros((rows, seq_len), np.int32)
+            segment_ids = np.zeros((rows, seq_len), np.int32)
+            input_ids[: packed["input_ids"].shape[0]] = packed["input_ids"]
+            segment_ids[: packed["segment_ids"].shape[0]] = packed["segment_ids"]
+            w = len(seqs)
+            w_pad = -(-w // window_pad) * window_pad
+            window_rows = np.zeros(w_pad, np.int32)
+            window_segments = np.full(w_pad, -1, np.int32)  # dummies select nothing
+            window_rows[:w] = packed["window_to_row"]
+            window_segments[:w] = packed["window_segment"]
+            embeds = np.asarray(
+                extract_packed(
+                    params,
+                    jnp.asarray(input_ids),
+                    jnp.asarray(segment_ids),
+                    jnp.asarray(window_rows),
+                    jnp.asarray(window_segments),
+                ),
+                np.float32,
+            )[:w]
+            n_windows += w
+            for i, bid in enumerate(ids_list):
+                bid = tuple(bid) if isinstance(bid, list) else bid
+                if bid not in accumulator:
+                    accumulator[bid] = {"sum": embeds[i].copy(), "count": 1}
+                else:
+                    accumulator[bid]["sum"] += embeds[i]
+                    accumulator[bid]["count"] += 1
+
+        pending: list = []
+        capacity = ns.batch_size * seq_len
+        filled = 0
+        for sample in loader:
+            length = int(np.asarray(sample["attention_mask"]).sum())
+            seq = np.asarray(sample["input_ids"])[:length]
+            if filled + len(seq) > capacity and pending:
+                flush(pending)
+                pending, filled = [], 0
+            pending.append((seq, sample.get("beatmap_id")))
+            filled += len(seq)
+        flush(pending)
+        dt = time.perf_counter() - t0
+        logger.info(
+            "Packed-extracted %d window embeddings in %.1fs (%.1f windows/s)",
+            n_windows, dt, n_windows / max(dt, 1e-9),
+        )
+        _write_output(accumulator, metadata, ns)
+        return
+
     for batch in batched_loader(iter(loader), ns.batch_size, drop_last=False):
         beatmap_ids = batch.pop("beatmap_id", None)
         for drop in ("metadata_ids", "metadata_attention_mask", "metadata_variation_classes", "labels"):
@@ -189,7 +273,10 @@ def main(argv=None):
                 accumulator[bid]["count"] += 1
     dt = time.perf_counter() - t0
     logger.info("Extracted %d window embeddings in %.1fs (%.1f windows/s)", n_windows, dt, n_windows / max(dt, 1e-9))
+    _write_output(accumulator, metadata, ns)
 
+
+def _write_output(accumulator, metadata, ns) -> None:
     # mean-pool per beatmap + re-normalize (reference :243-262)
     rows = []
     for bid, info in accumulator.items():
