@@ -1,0 +1,97 @@
+"""Pretrain step-time benchmark (BASELINE.md protocol #2).
+
+Times one full contrastive train step (forward + backward + Muon update) on
+the flagship model at a v7-like configuration: batch 8, 2048-token windows
+with fused audio, 256 metadata variations, remat on, Pallas attention.
+
+    python tools/bench_train_step.py [--batch-size 8] [--variations 256]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--seq-len", type=int, default=2048)
+    parser.add_argument("--mel-frames", type=int, default=1600)
+    parser.add_argument("--variations", type=int, default=256)
+    parser.add_argument("--meta-len", type=int, default=24)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--optim", default="muon")
+    ns = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cm3p_tpu.configs import CM3PConfig
+    from cm3p_tpu.models import CM3PModule
+    from cm3p_tpu.train.muon import muon
+    from cm3p_tpu.train.train_state import create_train_state, make_train_step
+
+    cfg = CM3PConfig()
+    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=True)
+
+    rng = np.random.default_rng(0)
+    b, l, v, ml = ns.batch_size, ns.seq_len, ns.variations, ns.meta_len
+    n_audio = ns.mel_frames // 8
+    ids = rng.integers(5, 3000, (b, l))
+    ids[:, 0] = cfg.beatmap_config.audio_sos_token_id
+    ids[:, 1 : 1 + n_audio] = cfg.beatmap_config.audio_token_id
+    classes = np.ones((b, v), np.int32)
+    classes[:, 0] = 0
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((b, l), jnp.int32),
+        "input_features": jnp.asarray(rng.standard_normal((b, 80, ns.mel_frames)), jnp.bfloat16),
+        "metadata_ids": jnp.asarray(rng.integers(0, 900, (b, v, ml)), jnp.int32),
+        "metadata_attention_mask": jnp.ones((b, v, ml), jnp.int32),
+        "metadata_variation_classes": jnp.asarray(classes),
+    }
+
+    tx = muon(4e-4) if ns.optim == "muon" else optax.adamw(1e-4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    drng = jax.random.PRNGKey(1)
+
+    state, metrics = step(state, batch, drng)
+    float(metrics["loss"])  # sync
+    t0 = time.perf_counter()
+    for _ in range(ns.iters):
+        state, metrics = step(state, batch, drng)
+        loss = float(metrics["loss"])  # forces execution each iter
+    dt = (time.perf_counter() - t0) / ns.iters
+
+    print(
+        json.dumps(
+            {
+                "metric": "pretrain_step_time",
+                "value": round(dt, 4),
+                "unit": "s/step",
+                "detail": {
+                    "samples_per_sec": round(b / dt, 2),
+                    "tokens_per_sec": round(b * l / dt, 0),
+                    "loss": round(loss, 4),
+                    "batch_size": b,
+                    "seq_len": l,
+                    "variations": v,
+                    "optim": ns.optim,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
