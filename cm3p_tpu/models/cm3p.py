@@ -429,6 +429,75 @@ class CM3PModule(nn.Module):
         )
 
 
+class BeatmapModelWithProjection(nn.Module):
+    """Beatmap tower + projection, for export/single-tower inference
+    (modeling_cm3p.py:1070-1128)."""
+
+    config: BeatmapConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.beatmap_model = BeatmapTransformer(cfg, self.dtype, self.attn_impl, self.remat)
+        self.beatmap_projection = nn.Dense(
+            cfg.projection_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.hidden_size**-0.5 * cfg.initializer_factor),
+        )
+
+    def __call__(
+        self,
+        input_ids,
+        input_features=None,
+        attention_mask=None,
+        position_ids=None,
+        deterministic: bool = True,
+        normalize: bool = False,
+    ):
+        hidden = self.beatmap_model(
+            input_ids,
+            input_features=input_features,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )
+        pooled = pool_hidden(hidden, attention_mask, self.config.cls_embed)
+        embeds = self.beatmap_projection(pooled)
+        return l2_normalize(embeds) if normalize else embeds
+
+
+class MetadataModelWithProjection(nn.Module):
+    """Metadata tower + projection (modeling_cm3p.py:1016-1066)."""
+
+    config: MetadataConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.metadata_model = ModernBertEncoder(cfg, self.dtype, self.attn_impl, self.remat)
+        self.metadata_projection = nn.Dense(
+            cfg.projection_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.hidden_size**-0.5 * cfg.initializer_factor),
+        )
+
+    def __call__(self, input_ids, attention_mask=None, deterministic: bool = True, normalize: bool = False):
+        hidden = self.metadata_model(
+            input_ids=input_ids, attention_mask=attention_mask, deterministic=deterministic
+        )
+        pooled = pool_hidden(hidden, attention_mask, self.config.cls_embed)
+        embeds = self.metadata_projection(pooled)
+        return l2_normalize(embeds) if normalize else embeds
+
+
 class MaskedLMOutput(NamedTuple):
     loss: Optional[jnp.ndarray] = None
     logits: Optional[jnp.ndarray] = None
@@ -470,6 +539,20 @@ class MaskedLMModule(nn.Module):
             position_ids=position_ids,
             deterministic=deterministic,
         )
+        if self.config.sparse_prediction and labels is not None:
+            # decode only a fixed budget of masked rows (modeling_cm3p.py:1349-1357
+            # made TPU-static: top-k by mask flag instead of boolean gather)
+            flat_h = hidden.reshape(-1, hidden.shape[-1])
+            flat_labels = labels.reshape(-1)
+            is_masked = flat_labels != self.config.sparse_pred_ignore_index
+            budget = max(1, int(flat_labels.shape[0] * 0.3))
+            _, idx = jax.lax.top_k(is_masked.astype(jnp.int32), budget)
+            sel_h = flat_h[idx]
+            sel_labels = jnp.where(is_masked[idx], flat_labels[idx], self.config.sparse_pred_ignore_index)
+            logits = self.decoder(self.head(sel_h))
+            loss = cross_entropy_ignore_index(logits, sel_labels, self.config.sparse_pred_ignore_index)
+            return MaskedLMOutput(loss=loss, logits=logits)
+
         logits = self.decoder(self.head(hidden))
         loss = None
         if labels is not None:
