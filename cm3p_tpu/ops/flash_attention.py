@@ -175,28 +175,36 @@ def _flash_attention_fwd_impl(
     block_k: int,
     return_lse: bool = False,
 ):
-    b, h, l, d = q.shape
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if window is not None and lq != lk:
+        raise ValueError("windowed attention requires equal q/k lengths")
     q = q * jnp.asarray(1.0 / math.sqrt(d), q.dtype)  # fold softmax scale into q
 
-    l_pad = _cdiv(l, max(block_q, block_k)) * max(block_q, block_k)
-    if l_pad != l:
-        pad = [(0, 0), (0, 0), (0, l_pad - l), (0, 0)]
-        q = jnp.pad(q, pad)
+    lq_pad = _cdiv(lq, block_q) * block_q
+    lk_pad = _cdiv(lk, block_k) * block_k
+    if window is not None:
+        lq_pad = lk_pad = max(lq_pad, lk_pad)
+    if lq_pad != lq:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, lq_pad - lq), (0, 0)])
+        if qseg is not None:
+            qseg = jnp.pad(qseg, [(0, 0), (0, lq_pad - lq)])
+    if lk_pad != lk:
+        pad = [(0, 0), (0, 0), (0, lk_pad - lk), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-        if qseg is not None:
-            qseg = jnp.pad(qseg, [(0, 0), (0, l_pad - l)])
-            kseg = jnp.pad(kseg, [(0, 0), (0, l_pad - l)])
+        if kseg is not None:
+            kseg = jnp.pad(kseg, [(0, 0), (0, lk_pad - lk)])
 
     hg = _pick_head_group(h, block_q, block_k, d)
     groups_per_batch = h // hg
     bg = b * groups_per_batch
-    qf = q.reshape(bg, hg, l_pad, d)
-    kf = k.reshape(bg, hg, l_pad, d)
-    vf = v.reshape(bg, hg, l_pad, d)
+    qf = q.reshape(bg, hg, lq_pad, d)
+    kf = k.reshape(bg, hg, lk_pad, d)
+    vf = v.reshape(bg, hg, lk_pad, d)
 
-    nq = l_pad // block_q
-    num_kb = l_pad // block_k
+    nq = lq_pad // block_q
+    num_kb = lk_pad // block_k
     if window is not None:
         nk_grid = min(num_kb, _cdiv(block_q + 2 * window, block_k) + 1)
     else:
@@ -209,7 +217,7 @@ def _flash_attention_fwd_impl(
         block_k=block_k,
         num_kb=num_kb,
         nk_grid=nk_grid,
-        seq_len=l,
+        seq_len=lk,
         head_group=hg,
     )
 
@@ -258,24 +266,27 @@ def _flash_attention_fwd_impl(
             pl.BlockSpec((1, hg, block_q), lambda bgi, qi, kj: (bgi, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bg, hg, l_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bg, hg, lq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bg, hg, lq_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((hg, block_q), jnp.float32),
             pltpu.VMEM((hg, block_q), jnp.float32),
             pltpu.VMEM((hg, block_q, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * l_pad * (min(l_pad, (2 * (window or l_pad))) * d),
-            bytes_accessed=3 * b * h * l_pad * d * q.dtype.itemsize,
-            transcendentals=b * h * l_pad * min(l_pad, 2 * (window or l_pad)),
+            flops=4 * b * h * lq_pad * (min(lk_pad, (2 * (window or lk_pad))) * d),
+            bytes_accessed=(b * h * (lq_pad + 2 * lk_pad) * d + b * h * lq_pad * d) * q.dtype.itemsize,
+            transcendentals=b * h * lq_pad * min(lk_pad, 2 * (window or lk_pad)),
         ),
     )(*args)
 
-    out = out.reshape(b, h, l_pad, d)[:, :, :l, :]
+    out = out.reshape(b, h, lq_pad, d)[:, :, :lq, :]
     if return_lse:
-        return out, lse.reshape(b, h, l_pad)[:, :, :l], hg
+        return out, lse.reshape(b, h, lq_pad)[:, :, :lq], hg
     return out
 
 

@@ -271,6 +271,9 @@ def flash_attention_bwd(
             pltpu.VMEM((hg, block_k, d), jnp.float32),
             pltpu.VMEM((hg, block_k, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(*dkv_args)
 
     # ---- dQ pass: grid (bg, nq, nk_grid)
@@ -321,6 +324,9 @@ def flash_attention_bwd(
         out_specs=pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((hg, block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(*dq_args)
 
     def unpack(x):
