@@ -24,6 +24,9 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
+    def should_save(self, step: int) -> bool:
+        return self._mgr.should_save(step)
+
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         return self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
 

@@ -149,22 +149,28 @@ class Trainer:
         # state.step counts micro-steps; optimizer steps advance every
         # grad_accum micro-steps (optax.MultiSteps)
         micro_steps = self.max_steps * self.grad_accum - start_step
+        pending_losses: list = []  # device arrays; synced only when logging
+        micro_base = start_step
         with self.mesh:
             for micro in range(micro_steps):
                 batch_dev = jax.device_put(batch, self._batch_sharding)
                 state, metrics = self._jitted(state, batch_dev, dropout_rng)
-                window_loss += float(metrics["loss"])
+                pending_losses.append(metrics["loss"])
                 window_count += 1
 
-                step = int(state.step)
+                step = micro_base + micro + 1
                 if window_count and step % self.grad_accum == 0:
                     opt_step = step // self.grad_accum
                     if opt_step % self.logging_steps == 0:
+                        # single host sync per logging window keeps the device
+                        # pipeline full between logs
+                        window_loss = float(jnp.mean(jnp.stack(pending_losses)))
+                        pending_losses = []
                         dt = time.perf_counter() - window_t0
                         self._log(
                             {
                                 "step": opt_step,
-                                "loss": window_loss / window_count,
+                                "loss": window_loss,
                                 "grad_norm": float(metrics["grad_norm"]),
                                 "steps_per_sec": window_count / self.grad_accum / max(dt, 1e-9),
                                 "samples_per_sec": window_count
@@ -173,14 +179,15 @@ class Trainer:
                             }
                         )
                         window_t0 = time.perf_counter()
-                        window_loss = 0.0
                         window_count = 0
 
                     if self.eval_iter_factory is not None and opt_step % self.eval_steps == 0 and opt_step > 0:
                         eval_metrics = self.evaluate(state)
                         self._log({"step": opt_step, **{f"eval_{k}": v for k, v in eval_metrics.items() if v is not None}})
 
-                    self.ckpt.save(opt_step, jax.device_get(state))
+                    # only pull the state to host when a save will happen
+                    if self.ckpt.should_save(opt_step):
+                        self.ckpt.save(opt_step, jax.device_get(state))
                     if opt_step >= self.max_steps:
                         break
 
