@@ -112,7 +112,7 @@ class MmrsDataset:
 
         rng = np.random.default_rng(self.seed)
         if not self.test:
-            subset_ids = filtered.index.get_level_values(0).unique().to_numpy()
+            subset_ids = filtered.index.get_level_values(0).unique().to_numpy().copy()
             rng.shuffle(subset_ids)
             filtered = filtered.loc[subset_ids]
 

