@@ -163,6 +163,7 @@ class TestValidateTool:
                 f'dataset.train_dataset_paths=["{root}"]',
                 "dataset.synthetic=false",
                 "dataset.include_audio=false",
+                "dataset.cycle_length=1",
                 "dataset.gamemodes=[0]",
                 "dataset.min_difficulty=0", "dataset.max_difficulty=14",
                 "dataset.min_year=2000", "dataset.max_year=2023",
