@@ -35,29 +35,55 @@ from .modernbert import ACTIVATIONS, LayerNormF32, ModernBertEncoder, pool_hidde
 # --------------------------------------------------------------------- losses
 
 
-def contrastive_loss(logits: jnp.ndarray, target: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Cross entropy against the diagonal (or explicit targets)."""
+def contrastive_loss(
+    logits: jnp.ndarray,
+    target: Optional[jnp.ndarray] = None,
+    row_valid: Optional[jnp.ndarray] = None,
+    col_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Cross entropy against the diagonal (or explicit targets).
+
+    ``row_valid``/``col_valid`` mask padded rows out of the mean and padded
+    columns out of the softmax (packed-batch training where the window
+    count is padded to a fixed size).
+    """
     if target is None:
         target = jnp.arange(logits.shape[0])
-    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    picked = jnp.take_along_axis(logprobs, target[:, None], axis=-1)
-    return -jnp.mean(picked)
+    logits = logits.astype(jnp.float32)
+    if col_valid is not None:
+        logits = jnp.where(col_valid[None, :] > 0, logits, -1e30)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    picked = -jnp.take_along_axis(logprobs, target[:, None], axis=-1)[:, 0]
+    if row_valid is not None:
+        picked = picked * row_valid
+        return jnp.sum(picked) / jnp.maximum(jnp.sum(row_valid), 1.0)
+    return jnp.mean(picked)
 
 
-def cm3p_loss(similarity: jnp.ndarray, metadata_variation_classes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def cm3p_loss(
+    similarity: jnp.ndarray,
+    metadata_variation_classes: Optional[jnp.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Symmetric CLIP loss; 3-D variant ranks the original metadata (class 0)
-    against its hard-negative variations per beatmap."""
+    against its hard-negative variations per beatmap. ``valid`` (B,) masks
+    padded window slots in packed batches (rows skipped, columns -inf)."""
     if similarity.ndim == 3:  # (metadata_batch, variations, beatmap_batch)
         m, v, b = similarity.shape
         true_idx = jnp.argmax((metadata_variation_classes == 0).astype(jnp.int32), axis=1)
-        metadata_loss = contrastive_loss(similarity[jnp.arange(m), true_idx])
+        metadata_loss = contrastive_loss(
+            similarity[jnp.arange(m), true_idx], row_valid=valid, col_valid=valid
+        )
 
         beatmap_similarity = jnp.transpose(similarity, (2, 0, 1)).reshape(b, m * v)
         target = jnp.arange(0, m * v, v) + true_idx
-        beatmap_loss = contrastive_loss(beatmap_similarity, target=target)
+        col_valid = jnp.repeat(valid, v) if valid is not None else None
+        beatmap_loss = contrastive_loss(
+            beatmap_similarity, target=target, row_valid=valid, col_valid=col_valid
+        )
     else:
-        metadata_loss = contrastive_loss(similarity)
-        beatmap_loss = contrastive_loss(similarity.T)
+        metadata_loss = contrastive_loss(similarity, row_valid=valid, col_valid=valid)
+        beatmap_loss = contrastive_loss(similarity.T, row_valid=valid, col_valid=valid)
     return (metadata_loss + beatmap_loss) / 2.0
 
 
@@ -76,6 +102,19 @@ def cross_entropy_ignore_index(logits: jnp.ndarray, labels: jnp.ndarray, ignore_
 def l2_normalize(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
     return (x / (norm + eps).astype(x.dtype)).astype(x.dtype)
+
+
+def _pool_packed(hidden, segment_ids, window_rows, window_segments, cls_embed: bool):
+    """Per-window pooling over packed rows: CLS gather or masked mean."""
+    row_hidden = hidden[window_rows]  # (W, L, H)
+    row_segs = segment_ids[window_rows]  # (W, L)
+    sel = (row_segs == window_segments[:, None]).astype(hidden.dtype)  # (W, L)
+    if cls_embed:
+        first = jnp.argmax(sel, axis=1)  # first token of each segment
+        return jnp.take_along_axis(row_hidden, first[:, None, None], axis=1)[:, 0]
+    summed = jnp.einsum("wl,wlh->wh", sel, row_hidden)
+    counts = jnp.clip(jnp.sum(sel, axis=1, keepdims=True), 1e-9, None)
+    return (summed / counts).astype(hidden.dtype)
 
 
 # --------------------------------------------------------------------- towers
@@ -320,26 +359,86 @@ class CM3PModule(nn.Module):
         yields one embedding per window — the TPU replacement for the
         reference's varlen batching.
         """
-        cfg = self.config.beatmap_config
         hidden = self.beatmap_model(
             input_ids,
             attention_mask=(segment_ids > 0).astype(jnp.int32),
             segment_ids=segment_ids,
             deterministic=deterministic,
         )
-        row_hidden = hidden[window_rows]  # (W, L, H)
-        row_segs = segment_ids[window_rows]  # (W, L)
-        sel = (row_segs == window_segments[:, None]).astype(hidden.dtype)  # (W, L)
-        if cfg.cls_embed:
-            # first token of each segment: argmax of sel along L
-            first = jnp.argmax(sel, axis=1)
-            pooled = jnp.take_along_axis(row_hidden, first[:, None, None], axis=1)[:, 0]
-        else:
-            summed = jnp.einsum("wl,wlh->wh", sel, row_hidden)
-            counts = jnp.clip(jnp.sum(sel, axis=1, keepdims=True), 1e-9, None)
-            pooled = (summed / counts).astype(hidden.dtype)
+        pooled = _pool_packed(hidden, segment_ids, window_rows, window_segments, self.config.beatmap_config.cls_embed)
         feats = self.beatmap_projection(pooled)
         return l2_normalize(feats) if normalize else feats
+
+    def forward_packed(
+        self,
+        input_ids,
+        segment_ids,
+        window_rows,
+        window_segments,
+        window_valid,
+        input_features=None,
+        metadata_ids=None,
+        metadata_attention_mask=None,
+        metadata_variation_classes=None,
+        labels=None,
+        return_loss: bool = True,
+        deterministic: bool = True,
+    ) -> CM3POutput:
+        """Contrastive training step over packed windows.
+
+        Logical windows (padded to a fixed count W, ``window_valid`` marking
+        real ones) each pair with their metadata rows; dummy slots are
+        excluded from the loss (rows skipped, columns -inf). Throughput
+        scales with the packing fill rate (~3x on real window lengths).
+        """
+        cfg = self.config
+        hidden = self.beatmap_model(
+            input_ids,
+            input_features=input_features,
+            attention_mask=(segment_ids > 0).astype(jnp.int32),
+            segment_ids=segment_ids,
+            deterministic=deterministic,
+        )
+        pooled = _pool_packed(hidden, segment_ids, window_rows, window_segments, cfg.beatmap_config.cls_embed)
+        beatmap_embeds = l2_normalize(self.beatmap_projection(pooled))  # (W, P)
+
+        metadata_embeds = None
+        logits_per_metadata = None
+        logits_per_beatmap = None
+        loss = jnp.asarray(0.0, jnp.float32) if return_loss else None
+        if metadata_ids is not None:
+            metadata_embeds = self.get_metadata_features(
+                metadata_ids, metadata_attention_mask, deterministic=deterministic, normalize=True
+            )
+            scale = jnp.exp(self.logit_scale).astype(metadata_embeds.dtype)
+            logits_per_metadata = (
+                jnp.einsum("...p,bp->...b", metadata_embeds, beatmap_embeds, preferred_element_type=jnp.float32)
+                * scale
+            )
+            logits_per_beatmap = (
+                jnp.transpose(logits_per_metadata, (2, 0, 1))
+                if logits_per_metadata.ndim == 3
+                else logits_per_metadata.T
+            )
+            if return_loss:
+                loss = cm3p_loss(
+                    logits_per_metadata, metadata_variation_classes, valid=window_valid.astype(jnp.float32)
+                )
+
+        logits = None
+        if cfg.has_decoder_head:
+            logits = self.decoder(self.head(hidden))
+            if labels is not None and return_loss:
+                loss = loss + 0.5 * cross_entropy_ignore_index(logits, labels)
+
+        return CM3POutput(
+            loss=loss,
+            logits_per_beatmap=logits_per_beatmap,
+            logits_per_metadata=logits_per_metadata,
+            metadata_embeds=metadata_embeds,
+            beatmap_embeds=beatmap_embeds,
+            logits=logits,
+        )
 
     def get_metadata_features(
         self,

@@ -24,8 +24,10 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def create_train_state(model, tx: optax.GradientTransformation, rng, example_batch: dict) -> TrainState:
-    params = model.init(rng, **example_batch)
+def create_train_state(
+    model, tx: optax.GradientTransformation, rng, example_batch: dict, method=None
+) -> TrainState:
+    params = model.init(rng, **example_batch, **({"method": method} if method is not None else {}))
     opt_state = tx.init(params["params"])
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
 
@@ -34,8 +36,13 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_key: str = "loss",
+    method=None,
 ) -> Callable:
-    """Build the pure train-step function (jit/pjit it at the call site)."""
+    """Build the pure train-step function (jit/pjit it at the call site).
+
+    ``method`` selects an alternative module forward (e.g.
+    ``CM3PModule.forward_packed`` for packed-window training).
+    """
 
     def train_step(state: TrainState, batch: dict, dropout_rng) -> tuple[TrainState, dict]:
         step_rng = jax.random.fold_in(dropout_rng, state.step)
@@ -46,6 +53,7 @@ def make_train_step(
                 **batch,
                 deterministic=False,
                 rngs={"dropout": step_rng},
+                **({"method": method} if method is not None else {}),
             )
             loss = getattr(out, loss_key)
             return loss, out
@@ -65,9 +73,12 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, method=None) -> Callable:
     def eval_step(state: TrainState, batch: dict):
-        out = model.apply(state.params, **batch, deterministic=True)
+        out = model.apply(
+            state.params, **batch, deterministic=True,
+            **({"method": method} if method is not None else {}),
+        )
         return out
 
     return eval_step

@@ -49,6 +49,7 @@ class Trainer:
         resume: bool = True,
         eval_has_variations: bool = True,
         labels_kind: str = "none",
+        forward_method=None,
         wandb_project: Optional[str] = None,
         wandb_entity: Optional[str] = None,
         wandb_mode: Optional[str] = None,
@@ -72,6 +73,7 @@ class Trainer:
         self.resume = resume
         self.eval_has_variations = eval_has_variations
         self.labels_kind = labels_kind
+        self.forward_method = forward_method
 
         self.ckpt = CheckpointManager(
             str(self.output_dir / "checkpoints"),
@@ -104,7 +106,7 @@ class Trainer:
 
     def _setup(self, example_batch: dict) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
-        state = create_train_state(self.model, self.tx, rng, example_batch)
+        state = create_train_state(self.model, self.tx, rng, example_batch, method=self.forward_method)
 
         if self.resume:
             latest = self.ckpt.latest_step()
@@ -113,7 +115,7 @@ class Trainer:
                 # the restored state.step carries the micro-step counter
                 state = self.ckpt.restore(state)
 
-        train_step = make_train_step(self.model, self.tx)
+        train_step = make_train_step(self.model, self.tx, method=self.forward_method)
         with self.mesh:
             self._jitted, self._state_sharding, self._batch_sharding = shard_train_step(
                 train_step, self.mesh, state, example_batch
@@ -204,7 +206,7 @@ class Trainer:
 
     def evaluate(self, state: TrainState) -> dict:
         if self._eval_fn is None:
-            eval_step = make_eval_step(self.model)
+            eval_step = make_eval_step(self.model, method=self.forward_method)
             self._eval_fn = jax.jit(eval_step)
         acc = MetricAccumulator()
         losses = []

@@ -135,6 +135,7 @@ def mmrs_batches(args: dict, processor, test: bool):
     training = args["training"]
     bsz = training["per_device_eval_batch_size" if test else "per_device_train_batch_size"]
     num_workers = 0 if test else training.get("num_workers", 0)
+    packed = training.get("packed", False)
 
     def factory():
         def dataset_factory(worker_id, num_workers_):
@@ -143,6 +144,17 @@ def mmrs_batches(args: dict, processor, test: bool):
             )
 
         loader = SampleLoader(dataset_factory, num_workers=num_workers)
+        if packed:
+            from cm3p_tpu.data.packing_collator import packed_batches
+
+            seq_len = args["processor"]["default_kwargs"]["beatmap_kwargs"].get("max_length", 4000)
+            return packed_batches(
+                iter(loader),
+                rows=bsz,
+                seq_len=seq_len,
+                pad_id=processor.beatmap_tokenizer.pad_token_id,
+                max_windows=training.get("packed_max_windows", bsz * 8),
+            )
         return batched_loader(iter(loader), bsz, drop_last=True)
 
     return factory
@@ -285,6 +297,14 @@ def main(argv=None):
         train_factory = mmrs_batches(args, processor, test=False)
         eval_factory = mmrs_batches(args, processor, test=True)
 
+    forward_method = None
+    if training.get("packed", False):
+        if args["model_cls"] != "CM3PModule":
+            raise ValueError("training.packed currently supports model_cls=CM3PModule")
+        if args["dataset"].get("include_audio"):
+            raise ValueError("training.packed requires dataset.include_audio=false for now")
+        forward_method = CM3PModule.forward_packed
+
     tx = build_optimizer(args)
     output_dir = Path(training["output_dir"])
 
@@ -306,6 +326,7 @@ def main(argv=None):
         resume=not training.get("overwrite_output_dir", False),
         eval_has_variations=args["model_cls"] == "CM3PModule",
         labels_kind=args["dataset"]["labels"],
+        forward_method=forward_method,
         wandb_project=args.get("wandb_project"),
         wandb_entity=args.get("wandb_entity"),
         wandb_mode=args.get("wandb_mode"),
