@@ -79,6 +79,13 @@ def packed_batches(
                 labels[r, off : off + len(lab)] = lab
             batch["labels"] = labels
 
+        if "input_features" in batch_samples[0]:
+            f0 = np.asarray(batch_samples[0]["input_features"])
+            features = np.zeros((max_windows,) + f0.shape, np.float32)
+            for wi, s in enumerate(batch_samples):
+                features[wi] = s["input_features"]
+            batch["input_features"] = features
+
         if "metadata_ids" in batch_samples[0]:
             m0 = np.asarray(batch_samples[0]["metadata_ids"])
             meta_shape = (max_windows,) + m0.shape

@@ -390,15 +390,51 @@ class CM3PModule(nn.Module):
         real ones) each pair with their metadata rows; dummy slots are
         excluded from the loss (rows skipped, columns -inf). Throughput
         scales with the packing fill rate (~3x on real window lengths).
+
+        ``input_features`` (W, n_mels, frames) are per *window*: every window
+        carries the same fixed audio-token count, so the scatter into packed
+        rows is static — window w's j-th audio embedding lands at the row's
+        (segment-1)*n_tok + j audio placeholder.
         """
         cfg = self.config
-        hidden = self.beatmap_model(
-            input_ids,
-            input_features=input_features,
-            attention_mask=(segment_ids > 0).astype(jnp.int32),
-            segment_ids=segment_ids,
-            deterministic=deterministic,
-        )
+        inputs_embeds = None
+        if input_features is not None:
+            audio_embeds = self.beatmap_model.audio_encoder(input_features, deterministic=deterministic)
+            w, n_tok, h = audio_embeds.shape
+            rows = input_ids.shape[0]
+            # a row can't hold more audio tokens than positions
+            max_slots = input_ids.shape[1]
+            row_audio = jnp.zeros((rows, max_slots, h), audio_embeds.dtype)
+            slot = (window_segments - 1) * n_tok
+            w_idx = jnp.arange(n_tok)[None, :]
+            flat_rows = jnp.repeat(window_rows, n_tok)
+            flat_slots = (slot[:, None] + w_idx).reshape(-1)
+            valid_scatter = jnp.repeat(window_valid > 0, n_tok)
+            flat_slots = jnp.where(valid_scatter, jnp.clip(flat_slots, 0, max_slots - 1), max_slots - 1)
+            row_audio = row_audio.at[flat_rows, flat_slots].set(
+                jnp.where(valid_scatter[:, None], audio_embeds.reshape(-1, h), 0.0)
+            )
+            # standard cumsum gather places them at the [AUDIO] placeholders
+            mask = input_ids == cfg.beatmap_config.audio_token_id
+            idx = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0, max_slots - 1)
+            gathered = jnp.take_along_axis(row_audio, idx[:, :, None], axis=1)
+            embeds = self.beatmap_model.encoder.embed(input_ids)
+            inputs_embeds = jnp.where(mask[:, :, None], gathered.astype(embeds.dtype), embeds)
+
+        if inputs_embeds is not None:
+            hidden = self.beatmap_model.encoder(
+                inputs_embeds=inputs_embeds,
+                attention_mask=(segment_ids > 0).astype(jnp.int32),
+                segment_ids=segment_ids,
+                deterministic=deterministic,
+            )
+        else:
+            hidden = self.beatmap_model(
+                input_ids,
+                attention_mask=(segment_ids > 0).astype(jnp.int32),
+                segment_ids=segment_ids,
+                deterministic=deterministic,
+            )
         pooled = _pool_packed(hidden, segment_ids, window_rows, window_segments, cfg.beatmap_config.cls_embed)
         beatmap_embeds = l2_normalize(self.beatmap_projection(pooled))  # (W, P)
 

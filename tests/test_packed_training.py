@@ -157,3 +157,64 @@ class TestPackedForwardLoss:
         new_state, metrics = jax.jit(step)(state, jb, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
+
+
+class TestPackedAudio:
+    def test_packed_with_audio_matches_dense(self):
+        from cm3p_tpu.processing.packing import pack_windows
+
+        cfg = tiny_cm3p_config()
+        cfg.beatmap_config.audio_token_id = 500
+        cfg.beatmap_config.audio_sos_token_id = 498
+        cfg.beatmap_config.audio_eos_token_id = 499
+        acfg = cfg.beatmap_config.audio_config
+        model = CM3PModule(cfg)
+        rng = np.random.default_rng(0)
+
+        n_tok, mel_frames = 2, 16
+        seqs, feats = [], []
+        for n in (40, 70, 25):
+            ids = np.zeros(3 + n_tok + n, np.int32)
+            ids[0] = 498
+            ids[1 : 1 + n_tok] = 500
+            ids[1 + n_tok] = 499
+            ids[2 + n_tok :] = rng.integers(1, 400, n + 1)
+            seqs.append(ids)
+            feats.append(rng.standard_normal((acfg.n_mels, mel_frames)).astype(np.float32))
+
+        packed = pack_windows(seqs, 160, 0)
+        w = len(seqs)
+        batch = dict(
+            input_ids=jnp.asarray(packed["input_ids"]),
+            segment_ids=jnp.asarray(packed["segment_ids"]),
+            window_rows=jnp.asarray(packed["window_to_row"]),
+            window_segments=jnp.asarray(packed["window_segment"]),
+            window_valid=jnp.ones(w, jnp.int32),
+            input_features=jnp.asarray(np.stack(feats)),
+        )
+        params = model.init(jax.random.PRNGKey(0), method=CM3PModule.forward_packed, return_loss=False, **batch)
+        out_packed = model.apply(params, method=CM3PModule.forward_packed, return_loss=False, **batch)
+
+        seq = max(len(s) for s in seqs)
+        ids_d = np.zeros((w, seq), np.int32)
+        mask_d = np.zeros((w, seq), np.int32)
+        for i, s in enumerate(seqs):
+            ids_d[i, : len(s)] = s
+            mask_d[i, : len(s)] = 1
+        out_dense = model.apply(
+            params,
+            input_ids=jnp.asarray(ids_d),
+            attention_mask=jnp.asarray(mask_d),
+            input_features=jnp.asarray(np.stack(feats)),
+            return_loss=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_packed.beatmap_embeds[:w]), np.asarray(out_dense.beatmap_embeds), atol=3e-4
+        )
+
+    def test_collator_carries_audio(self):
+        samples = make_samples(4)
+        for s in samples:
+            s["input_features"] = np.zeros((80, 16), np.float32)
+        (batch,) = list(packed_batches(iter(samples), rows=4, seq_len=128, pad_id=0, max_windows=8, drop_last=False))
+        assert batch["input_features"].shape == (8, 80, 16)

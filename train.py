@@ -301,8 +301,6 @@ def main(argv=None):
     if training.get("packed", False):
         if args["model_cls"] != "CM3PModule":
             raise ValueError("training.packed currently supports model_cls=CM3PModule")
-        if args["dataset"].get("include_audio"):
-            raise ValueError("training.packed requires dataset.include_audio=false for now")
         forward_method = CM3PModule.forward_packed
 
     tx = build_optimizer(args)
