@@ -99,7 +99,9 @@ def cross_entropy_ignore_index(logits: jnp.ndarray, labels: jnp.ndarray, ignore_
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def l2_normalize(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    # eps guards zero vectors (e.g. mean-pooled dummy windows in packed
+    # batches) from 0/0 NaNs that would leak through masked losses
     norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
     return (x / (norm + eps).astype(x.dtype)).astype(x.dtype)
 

@@ -218,3 +218,29 @@ class TestPackedAudio:
             s["input_features"] = np.zeros((80, 16), np.float32)
         (batch,) = list(packed_batches(iter(samples), rows=4, seq_len=128, pad_id=0, max_windows=8, drop_last=False))
         assert batch["input_features"].shape == (8, 80, 16)
+
+
+class TestPackedSharded:
+    def test_packed_step_on_mesh(self):
+        """Packed train step compiles and runs sharded over an 8-device mesh."""
+        from cm3p_tpu.parallel.mesh import make_mesh
+        from cm3p_tpu.train import muon
+        from cm3p_tpu.train.train_state import create_train_state, make_train_step, shard_train_step
+
+        cfg = tiny_cm3p_config()
+        model = CM3PModule(cfg)
+        samples = make_samples(24, seed=7)
+        batches = list(
+            packed_batches(iter(samples), rows=8, seq_len=128, pad_id=0, max_windows=32, drop_last=False)
+        )
+        jb = {k: jnp.asarray(v) for k, v in batches[0].items()}
+        tx = muon(1e-3)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), jb, method=CM3PModule.forward_packed)
+        step = make_train_step(model, tx, method=CM3PModule.forward_packed)
+        mesh = make_mesh(data=8, model=1)
+        with mesh:
+            jitted, ss, bs = shard_train_step(step, mesh, state, jb)
+            st = jax.device_put(state, ss)
+            bt = jax.device_put(jb, bs)
+            new_state, metrics = jitted(st, bt, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))

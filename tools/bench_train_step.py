@@ -28,6 +28,7 @@ def main(argv=None):
     parser.add_argument("--meta-len", type=int, default=24)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--optim", default="muon")
+    parser.add_argument("--packed", action="store_true", help="packed-window contrastive step (no audio)")
     ns = parser.parse_args(argv)
 
     import jax
@@ -41,6 +42,74 @@ def main(argv=None):
 
     cfg = CM3PConfig()
     model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=True)
+
+    if ns.packed:
+        from bench import real_window_sequences
+        from cm3p_tpu.processing.packing import pack_windows
+
+        rngp = np.random.default_rng(0)
+        b, v, ml = ns.batch_size, ns.variations, ns.meta_len
+        seq_len = 4096
+        seqs = real_window_sequences(b * 16)
+        packed = pack_windows(seqs, seq_len, pad_id=0)
+        while packed["input_ids"].shape[0] > b:
+            seqs = seqs[: int(len(seqs) * 0.95)]
+            packed = pack_windows(seqs, seq_len, pad_id=0)
+        w = len(seqs)
+        w_pad = -(-w // 16) * 16
+        window_rows = np.zeros(w_pad, np.int32)
+        window_segments = np.full(w_pad, -1, np.int32)
+        window_valid = np.zeros(w_pad, np.int32)
+        window_rows[:w] = packed["window_to_row"]
+        window_segments[:w] = packed["window_segment"]
+        window_valid[:w] = 1
+        rows_ids = np.zeros((b, seq_len), np.int32)
+        rows_segs = np.zeros((b, seq_len), np.int32)
+        rows_ids[: packed["input_ids"].shape[0]] = packed["input_ids"]
+        rows_segs[: packed["segment_ids"].shape[0]] = packed["segment_ids"]
+        classes = np.full((w_pad, v), 1, np.int32)
+        classes[:, 0] = 0
+        batch = {
+            "input_ids": jnp.asarray(rows_ids),
+            "segment_ids": jnp.asarray(rows_segs),
+            "window_rows": jnp.asarray(window_rows),
+            "window_segments": jnp.asarray(window_segments),
+            "window_valid": jnp.asarray(window_valid),
+            "metadata_ids": jnp.asarray(rngp.integers(0, 900, (w_pad, v, ml)), jnp.int32),
+            "metadata_attention_mask": jnp.ones((w_pad, v, ml), jnp.int32),
+            "metadata_variation_classes": jnp.asarray(classes),
+        }
+        tx = muon(4e-4) if ns.optim == "muon" else optax.adamw(1e-4)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), batch, method=CM3PModule.forward_packed)
+        step = jax.jit(make_train_step(model, tx, method=CM3PModule.forward_packed), donate_argnums=(0,))
+        drng = jax.random.PRNGKey(1)
+        state, metrics = step(state, batch, drng)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(ns.iters):
+            state, metrics = step(state, batch, drng)
+            loss = float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / ns.iters
+        print(
+            json.dumps(
+                {
+                    "metric": "pretrain_step_time_packed",
+                    "value": round(dt, 4),
+                    "unit": "s/step",
+                    "detail": {
+                        "windows_per_sec": round(w / dt, 2),
+                        "rows": b,
+                        "windows": w,
+                        "seq_len": seq_len,
+                        "variations": v,
+                        "loss": round(loss, 4),
+                        "optim": ns.optim,
+                        "device": str(jax.devices()[0]),
+                    },
+                }
+            )
+        )
+        return
 
     rng = np.random.default_rng(0)
     b, l, v, ml = ns.batch_size, ns.seq_len, ns.variations, ns.meta_len
