@@ -47,9 +47,10 @@ BEATMAP_FIXTURE = (
 )
 
 
-def real_window_sequences(n_windows: int) -> list:
+def real_window_sequences(n_windows: int) -> tuple:
     """Unpadded token sequences for 16s windows of the bundled beatmap,
-    tiled to n_windows — the realistic length distribution for extraction."""
+    tiled to n_windows, plus the tokenizer vocab size (the model config MUST
+    adopt it: out-of-range ids are NaN-producing OOB gathers on TPU)."""
     from cm3p_tpu.processing import CM3PProcessor
 
     proc = CM3PProcessor()
@@ -58,7 +59,7 @@ def real_window_sequences(n_windows: int) -> list:
     lengths = np.asarray(out["attention_mask"]).sum(axis=1)
     seqs = [ids[i, : lengths[i]] for i in range(len(ids))]
     reps = -(-n_windows // len(seqs))
-    return (seqs * reps)[:n_windows]
+    return (seqs * reps)[:n_windows], proc.beatmap_tokenizer.vocab_size
 
 
 def bench_packed(model, params, extract_packed, seq_len: int, rows: int, iters: int) -> tuple[float, dict]:
@@ -69,7 +70,7 @@ def bench_packed(model, params, extract_packed, seq_len: int, rows: int, iters: 
     from cm3p_tpu.processing.packing import pack_windows
 
     # oversupply windows, then trim to what fits in `rows` rows
-    seqs = real_window_sequences(rows * 16)
+    seqs, _ = real_window_sequences(rows * 16)
     packed = pack_windows(seqs, seq_len, pad_id=0)
     while packed["input_ids"].shape[0] > rows:
         seqs = seqs[: int(len(seqs) * 0.95)]
@@ -113,7 +114,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cm3p_tpu.configs import BeatmapConfig, tiny_cm3p_config
+    from cm3p_tpu.configs import tiny_cm3p_config
     from cm3p_tpu.models import CM3PModule
     from cm3p_tpu.configs import CM3PConfig
 
@@ -128,6 +129,11 @@ def main():
         args.iters = 3
     else:
         cfg = CM3PConfig()
+        # adopt the real tokenizer's vocab so real token ids are in range
+        # (OOB embedding gathers are silent NaN on TPU)
+        from cm3p_tpu.tokenize import BeatmapTokenizer
+
+        cfg.beatmap_config.vocab_size = BeatmapTokenizer().vocab_size
         candidates = [args.batch_size] if args.batch_size else [16, 32, 64]
 
     model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas")

@@ -10,7 +10,6 @@ Runs host-side in data workers; the arrays it emits feed the TPU audio tower.
 """
 from __future__ import annotations
 
-from pathlib import Path
 
 import numpy as np
 

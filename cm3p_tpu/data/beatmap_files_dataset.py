@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pandas import DataFrame, Series
 
-from ..processing.processor import CM3PProcessor, get_metadata
+from ..processing.processor import CM3PProcessor
 from ..beatmap.parser import load_beatmap
 
 logger = logging.getLogger(__name__)

@@ -15,7 +15,6 @@ import os
 import queue
 from typing import Callable, Iterator, Optional
 
-import numpy as np
 
 from .mmrs_dataset import batch_samples
 

@@ -21,8 +21,7 @@ Components:
 """
 from __future__ import annotations
 
-import math
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ from typing import IO, Optional, Union
 
 import numpy as np
 
-from ..audio.loading import prepare_waveform, resample
+from ..audio.loading import prepare_waveform
 from ..audio.mel import LogMelExtractor
 from ..beatmap.osu import Beatmap, HoldNote
 from ..beatmap.parser import BeatmapEventParser, get_song_length, load_beatmap

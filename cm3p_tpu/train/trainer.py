@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import batch_shardings, make_mesh
+from ..parallel.mesh import make_mesh
 from .checkpoint import CheckpointManager
 from .metrics import MetricAccumulator
 from .train_state import TrainState, create_train_state, make_eval_step, make_train_step, shard_train_step

@@ -41,7 +41,6 @@ def main(argv=None):
     from cm3p_tpu.train.train_state import create_train_state, make_train_step
 
     cfg = CM3PConfig()
-    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=True)
 
     if ns.packed:
         from bench import real_window_sequences
@@ -50,7 +49,9 @@ def main(argv=None):
         rngp = np.random.default_rng(0)
         b, v, ml = ns.batch_size, ns.variations, ns.meta_len
         seq_len = 4096
-        seqs = real_window_sequences(b * 16)
+        seqs, vocab = real_window_sequences(b * 16)
+        cfg.beatmap_config.vocab_size = vocab
+        model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=True)
         packed = pack_windows(seqs, seq_len, pad_id=0)
         while packed["input_ids"].shape[0] > b:
             seqs = seqs[: int(len(seqs) * 0.95)]
@@ -111,6 +112,7 @@ def main(argv=None):
         )
         return
 
+    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=True)
     rng = np.random.default_rng(0)
     b, l, v, ml = ns.batch_size, ns.seq_len, ns.variations, ns.meta_len
     n_audio = ns.mel_frames // 8

@@ -252,7 +252,7 @@ def main(argv=None):
     from cm3p_tpu.configs import BeatmapConfig, CM3PConfig, MetadataConfig
     from cm3p_tpu.data import DatasetConfig
     from cm3p_tpu.models import ClassifierModule, CM3PModule, MaskedLMModule
-    from cm3p_tpu.train import Trainer, load_model
+    from cm3p_tpu.train import Trainer
     from cm3p_tpu.train.checkpoint import save_model
 
     np.random.seed(training["seed"])
