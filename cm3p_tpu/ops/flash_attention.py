@@ -11,11 +11,13 @@ local/global attention"). Replaces the reference's flash-attn-2 varlen path
   overlapping [qs-w, qs+Bq+w) are loaded — attention cost drops from O(L²)
   to O(L·w), which is the dominant win for ModernBERT-style encoders where
   2 of every 3 layers are local.
-* fp32 accumulation, bf16 inputs.
-
-Forward-only kernel with a recompute (XLA) backward via ``jax.custom_vjp``:
-embedding extraction — the headline benchmark — is inference, and training
-defaults to the XLA path until the Pallas backward lands.
+* fp32 accumulation and softmax statistics over bf16 inputs; head-group
+  batching amortizes grid/DMA overhead at head_dim 64
+* packed sequences via integer segment IDs (0 = padding), masked in-kernel
+* rectangular Lq != Lk support (sequence-parallel allgather-KV shards)
+* fused Pallas backward (flash_attention_bwd.py) through ``jax.custom_vjp``
+  with saved logsumexp residuals; a dense XLA recompute fallback remains
+  behind ``BACKWARD_MODE = "xla"``.
 """
 from __future__ import annotations
 

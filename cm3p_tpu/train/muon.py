@@ -103,22 +103,26 @@ def muon(
     adamw_eps: float = 1e-8,
     adamw_weight_decay: float = 0.0,
     label_fn: Optional[Callable[[tuple, Any], str]] = None,
+    compat_adamw_lr: bool = False,
 ) -> optax.GradientTransformation:
     """Muon + AdamW composite optimizer.
 
     ``learning_rate`` drives the Muon branch; the AdamW branch runs at
     ``learning_rate * adamw_lr_ratio`` (the reference passes lr/4,
-    train.py:347).
+    train.py:347). ``compat_adamw_lr=True`` reproduces the reference quirk
+    exactly (the full Muon lr applied to the AdamW update, the reduced lr
+    only to weight decay — muon_utils.py:201-203).
     """
     label_fn = label_fn or default_muon_label_fn
 
     def labels(params):
         return jax.tree_util.tree_map_with_path(label_fn, params)
 
+    effective_ratio = 1.0 if compat_adamw_lr else adamw_lr_ratio
     if callable(learning_rate) or not isinstance(learning_rate, (int, float)):
-        adamw_lr = lambda step: learning_rate(step) * adamw_lr_ratio  # noqa: E731
+        adamw_lr = lambda step: learning_rate(step) * effective_ratio  # noqa: E731
     else:
-        adamw_lr = learning_rate * adamw_lr_ratio
+        adamw_lr = learning_rate * effective_ratio
 
     muon_tx = optax.chain(
         scale_by_muon(momentum=momentum, nesterov=nesterov, ns_steps=ns_steps),

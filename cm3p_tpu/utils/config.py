@@ -71,7 +71,19 @@ def _resolve_interpolations(config: dict, root: Optional[dict] = None) -> dict:
 
 
 def _parse_override_value(raw: str) -> Any:
-    return yaml.safe_load(raw)
+    value = yaml.safe_load(raw)
+    if isinstance(value, str):
+        # YAML 1.1 parses bare scientific notation ("5e-5") as a string;
+        # users passing lr=5e-5 on the CLI clearly mean the number
+        try:
+            return int(value)
+        except ValueError:
+            pass
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    return value
 
 
 def apply_overrides(config: dict, overrides: list[str]) -> dict:
