@@ -63,4 +63,9 @@ class TestConfigSystem:
         for name in ("default", "v1", "v2", "v3", "v4", "v5", "v6", "v6_mask", "v7", "v7_classifier", "v8_packed", "smoke"):
             cfg = load_config(train_dir, name)
             assert "training" in cfg and "processor" in cfg and "dataset" in cfg, name
-            assert isinstance(cfg["model"]["beatmap_config"]["norm_eps"], float), name
+            assert isinstance(cfg["model"]["metadata_config"]["norm_eps"], float), name
+            # the composed dict must construct valid model configs
+            from cm3p_tpu.configs import BeatmapConfig, MetadataConfig
+
+            BeatmapConfig(**cfg["model"]["beatmap_config"])
+            MetadataConfig(**cfg["model"]["metadata_config"])
