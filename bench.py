@@ -114,6 +114,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cm3p_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cm3p_tpu.configs import tiny_cm3p_config
     from cm3p_tpu.models import CM3PModule
     from cm3p_tpu.configs import CM3PConfig

@@ -344,12 +344,66 @@ class CM3PModule(nn.Module):
         feats = self.beatmap_projection(pooled)
         return l2_normalize(feats) if normalize else feats
 
+    def _packed_hidden(
+        self,
+        input_ids,
+        segment_ids,
+        window_rows,
+        window_segments,
+        window_valid=None,
+        input_features=None,
+        deterministic: bool = True,
+    ):
+        """Encode packed rows, scattering per-window audio when present.
+
+        Every window carries the same fixed audio-token count, so window w's
+        j-th audio embedding lands at the row's (segment-1)*n_tok + j audio
+        placeholder — a static scatter.
+        """
+        cfg = self.config
+        if input_features is None:
+            return self.beatmap_model(
+                input_ids,
+                attention_mask=(segment_ids > 0).astype(jnp.int32),
+                segment_ids=segment_ids,
+                deterministic=deterministic,
+            )
+
+        audio_embeds = self.beatmap_model.audio_encoder(input_features, deterministic=deterministic)
+        w, n_tok, h = audio_embeds.shape
+        rows = input_ids.shape[0]
+        # a row can't hold more audio tokens than positions
+        max_slots = input_ids.shape[1]
+        row_audio = jnp.zeros((rows, max_slots, h), audio_embeds.dtype)
+        slot = (window_segments - 1) * n_tok
+        w_idx = jnp.arange(n_tok)[None, :]
+        flat_rows = jnp.repeat(window_rows, n_tok)
+        flat_slots = (slot[:, None] + w_idx).reshape(-1)
+        valid = window_valid if window_valid is not None else (window_segments > 0).astype(jnp.int32)
+        valid_scatter = jnp.repeat(valid > 0, n_tok)
+        flat_slots = jnp.where(valid_scatter, jnp.clip(flat_slots, 0, max_slots - 1), max_slots - 1)
+        row_audio = row_audio.at[flat_rows, flat_slots].set(
+            jnp.where(valid_scatter[:, None], audio_embeds.reshape(-1, h), 0.0)
+        )
+        mask = input_ids == cfg.beatmap_config.audio_token_id
+        idx = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0, max_slots - 1)
+        gathered = jnp.take_along_axis(row_audio, idx[:, :, None], axis=1)
+        embeds = self.beatmap_model.encoder.embed(input_ids)
+        inputs_embeds = jnp.where(mask[:, :, None], gathered.astype(embeds.dtype), embeds)
+        return self.beatmap_model.encoder(
+            inputs_embeds=inputs_embeds,
+            attention_mask=(segment_ids > 0).astype(jnp.int32),
+            segment_ids=segment_ids,
+            deterministic=deterministic,
+        )
+
     def get_packed_beatmap_features(
         self,
         input_ids,
         segment_ids,
         window_rows,
         window_segments,
+        input_features=None,
         deterministic: bool = True,
         normalize: bool = False,
     ):
@@ -358,13 +412,11 @@ class CM3PModule(nn.Module):
         ``window_rows``/``window_segments`` (W,) locate each logical window;
         pooling is per-segment CLS or masked mean, so one packed forward
         yields one embedding per window — the TPU replacement for the
-        reference's varlen batching.
+        reference's varlen batching. Supports per-window audio fusion.
         """
-        hidden = self.beatmap_model(
-            input_ids,
-            attention_mask=(segment_ids > 0).astype(jnp.int32),
-            segment_ids=segment_ids,
-            deterministic=deterministic,
+        hidden = self._packed_hidden(
+            input_ids, segment_ids, window_rows, window_segments,
+            input_features=input_features, deterministic=deterministic,
         )
         pooled = _pool_packed(hidden, segment_ids, window_rows, window_segments, self.config.beatmap_config.cls_embed)
         feats = self.beatmap_projection(pooled)
@@ -398,44 +450,11 @@ class CM3PModule(nn.Module):
         (segment-1)*n_tok + j audio placeholder.
         """
         cfg = self.config
-        inputs_embeds = None
-        if input_features is not None:
-            audio_embeds = self.beatmap_model.audio_encoder(input_features, deterministic=deterministic)
-            w, n_tok, h = audio_embeds.shape
-            rows = input_ids.shape[0]
-            # a row can't hold more audio tokens than positions
-            max_slots = input_ids.shape[1]
-            row_audio = jnp.zeros((rows, max_slots, h), audio_embeds.dtype)
-            slot = (window_segments - 1) * n_tok
-            w_idx = jnp.arange(n_tok)[None, :]
-            flat_rows = jnp.repeat(window_rows, n_tok)
-            flat_slots = (slot[:, None] + w_idx).reshape(-1)
-            valid_scatter = jnp.repeat(window_valid > 0, n_tok)
-            flat_slots = jnp.where(valid_scatter, jnp.clip(flat_slots, 0, max_slots - 1), max_slots - 1)
-            row_audio = row_audio.at[flat_rows, flat_slots].set(
-                jnp.where(valid_scatter[:, None], audio_embeds.reshape(-1, h), 0.0)
-            )
-            # standard cumsum gather places them at the [AUDIO] placeholders
-            mask = input_ids == cfg.beatmap_config.audio_token_id
-            idx = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0, max_slots - 1)
-            gathered = jnp.take_along_axis(row_audio, idx[:, :, None], axis=1)
-            embeds = self.beatmap_model.encoder.embed(input_ids)
-            inputs_embeds = jnp.where(mask[:, :, None], gathered.astype(embeds.dtype), embeds)
-
-        if inputs_embeds is not None:
-            hidden = self.beatmap_model.encoder(
-                inputs_embeds=inputs_embeds,
-                attention_mask=(segment_ids > 0).astype(jnp.int32),
-                segment_ids=segment_ids,
-                deterministic=deterministic,
-            )
-        else:
-            hidden = self.beatmap_model(
-                input_ids,
-                attention_mask=(segment_ids > 0).astype(jnp.int32),
-                segment_ids=segment_ids,
-                deterministic=deterministic,
-            )
+        hidden = self._packed_hidden(
+            input_ids, segment_ids, window_rows, window_segments,
+            window_valid=window_valid, input_features=input_features,
+            deterministic=deterministic,
+        )
         pooled = _pool_packed(hidden, segment_ids, window_rows, window_segments, cfg.beatmap_config.cls_embed)
         beatmap_embeds = l2_normalize(self.beatmap_projection(pooled))  # (W, P)
 

@@ -52,9 +52,12 @@ def build_model_and_params(model_dir: Optional[str], processor, dtype_name: str,
         params = load_model(model_dir)
     else:
         seq = processor.default_kwargs["beatmap_kwargs"].get("max_length", 4000)
+        n_mels = cfg.beatmap_config.audio_config.n_mels
         dummy = {
             "input_ids": jnp.zeros((1, min(seq, 128)), jnp.int32),
             "attention_mask": jnp.ones((1, min(seq, 128)), jnp.int32),
+            # audio params must exist even if this run has no audio files
+            "input_features": jnp.zeros((1, n_mels, 32), jnp.float32),
         }
         params = model.init(jax.random.PRNGKey(0), **dummy, return_loss=False)
     return model, params
@@ -79,12 +82,10 @@ def main(argv=None):
     parser.add_argument(
         "--pack",
         action="store_true",
-        help="pack windows into fixed rows with segment IDs (no-audio path; "
-        "3-5x throughput on real length distributions)",
+        help="pack windows into fixed rows with segment IDs "
+        "(3-5x throughput on real length distributions)",
     )
     ns = parser.parse_args(argv)
-    if ns.pack and not ns.no_audio:
-        parser.error("--pack currently requires --no-audio")
 
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
@@ -98,6 +99,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from cm3p_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from cm3p_tpu.data import BeatmapFilesDataset, DatasetConfig, MmrsDataset, SampleLoader, batched_loader
     from cm3p_tpu.models import CM3PModule
@@ -122,6 +127,7 @@ def main(argv=None):
             jax.random.PRNGKey(0),
             input_ids=jnp.zeros((1, 64), jnp.int32),
             attention_mask=jnp.ones((1, 64), jnp.int32),
+            input_features=jnp.zeros((1, cfg.beatmap_config.audio_config.n_mels, 32), jnp.float32),
             return_loss=False,
         )
     else:
@@ -169,7 +175,7 @@ def main(argv=None):
         )
 
     @jax.jit
-    def extract_packed(params, input_ids, segment_ids, window_rows, window_segments):
+    def extract_packed(params, input_ids, segment_ids, window_rows, window_segments, input_features=None):
         return model.apply(
             params,
             method=CM3PModule.get_packed_beatmap_features,
@@ -177,6 +183,7 @@ def main(argv=None):
             segment_ids=segment_ids,
             window_rows=window_rows,
             window_segments=window_segments,
+            input_features=input_features,
             normalize=True,
         )
 
@@ -197,6 +204,7 @@ def main(argv=None):
                 return
             seqs = [p[0] for p in pending]
             ids_list = [p[1] for p in pending]
+            feats_list = [p[2] for p in pending]
             packed = pack_windows(seqs, seq_len, pad_id=processor.beatmap_tokenizer.pad_token_id)
             rows = -(-packed["input_ids"].shape[0] // 4) * 4
             input_ids = np.zeros((rows, seq_len), np.int32)
@@ -209,6 +217,13 @@ def main(argv=None):
             window_segments = np.full(w_pad, -1, np.int32)  # dummies select nothing
             window_rows[:w] = packed["window_to_row"]
             window_segments[:w] = packed["window_segment"]
+            features = None
+            if feats_list[0] is not None:
+                f0 = np.asarray(feats_list[0])
+                features = np.zeros((w_pad,) + f0.shape, np.float32)
+                for wi, f in enumerate(feats_list):
+                    features[wi] = f
+                features = jnp.asarray(features)
             embeds = np.asarray(
                 extract_packed(
                     params,
@@ -216,6 +231,7 @@ def main(argv=None):
                     jnp.asarray(segment_ids),
                     jnp.asarray(window_rows),
                     jnp.asarray(window_segments),
+                    features,
                 ),
                 np.float32,
             )[:w]
@@ -237,7 +253,7 @@ def main(argv=None):
             if filled + len(seq) > capacity and pending:
                 flush(pending)
                 pending, filled = [], 0
-            pending.append((seq, sample.get("beatmap_id")))
+            pending.append((seq, sample.get("beatmap_id"), sample.get("input_features")))
             filled += len(seq)
         flush(pending)
         dt = time.perf_counter() - t0

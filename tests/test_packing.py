@@ -92,6 +92,63 @@ class TestPackedForwardEquivalence:
             got = hidden_packed[r, off : off + len(seq)]
             np.testing.assert_allclose(got, np.asarray(solo[0]), atol=2e-4)
 
+    def test_packed_audio_features_match_dense(self):
+        """get_packed_beatmap_features with audio == per-window dense features.
+
+        The packed path scatters each window's audio tokens at the static
+        offset (segment-1)*n_tok within its row; RoPE shift-invariance and
+        segment masking make the result bit-equal to the dense path.
+        """
+        from cm3p_tpu.configs import AudioConfig, BeatmapConfig, CM3PConfig, MetadataConfig
+        from cm3p_tpu.models.cm3p import CM3PModule
+
+        ac = AudioConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+                         num_attention_heads=2, projector_intermediate_size=64,
+                         projector_dim=32)
+        bc = BeatmapConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=512, audio_token_id=100,
+                           global_attn_every_n_layers=2, local_attention=8,
+                           audio_config=ac)
+        mc = MetadataConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            max_position_embeddings=64)
+        model = CM3PModule(CM3PConfig(beatmap_config=bc, metadata_config=mc, projection_dim=16))
+
+        n_tok = 4
+        seqs = []
+        for i, n in enumerate((20, 12, 16)):
+            s = np.random.default_rng(i).integers(5, 90, n)
+            s[2 : 2 + n_tok] = 100  # [AUDIO] placeholders
+            seqs.append(np.asarray(s))
+        feats = np.random.default_rng(9).normal(size=(3, 80, n_tok * 8)).astype(np.float32)
+        packed = pack_windows(seqs, max_length=32, pad_id=0)
+
+        ids = np.zeros((3, 24), np.int64)
+        mask = np.zeros((3, 24), np.int64)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                            input_features=jnp.asarray(feats),
+                            attention_mask=jnp.asarray(mask),
+                            method=CM3PModule.get_beatmap_features)
+        dense = np.asarray(model.apply(params, jnp.asarray(ids),
+                                       input_features=jnp.asarray(feats),
+                                       attention_mask=jnp.asarray(mask),
+                                       method=CM3PModule.get_beatmap_features,
+                                       normalize=True))
+        pf = np.asarray(model.apply(params,
+                                    input_ids=jnp.asarray(packed["input_ids"]),
+                                    segment_ids=jnp.asarray(packed["segment_ids"]),
+                                    window_rows=jnp.asarray(packed["window_to_row"]),
+                                    window_segments=jnp.asarray(packed["window_segment"]),
+                                    input_features=jnp.asarray(feats),
+                                    method=CM3PModule.get_packed_beatmap_features,
+                                    normalize=True))
+        np.testing.assert_allclose((dense * pf).sum(-1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(dense, pf, atol=1e-5)
+
     def test_segment_cls_pool(self):
         hidden = np.arange(2 * 6 * 3).reshape(2, 6, 3)
         pooled = segment_cls_pool(hidden, np.array([0, 1, 1]), np.array([0, 0, 3]))

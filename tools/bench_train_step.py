@@ -35,6 +35,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
+    from cm3p_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cm3p_tpu.configs import CM3PConfig
     from cm3p_tpu.models import CM3PModule
     from cm3p_tpu.train.muon import muon

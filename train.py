@@ -249,6 +249,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from cm3p_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cm3p_tpu.configs import BeatmapConfig, CM3PConfig, MetadataConfig
     from cm3p_tpu.data import DatasetConfig
     from cm3p_tpu.models import ClassifierModule, CM3PModule, MaskedLMModule
