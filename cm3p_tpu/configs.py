@@ -43,6 +43,7 @@ class EncoderConfig:
     mlp_bias: bool = False
     mlp_dropout: float = 0.0
     decoder_bias: bool = True
+    tie_word_embeddings: bool = False
 
     @property
     def head_dim(self) -> int:

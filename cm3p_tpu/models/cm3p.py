@@ -670,13 +670,30 @@ class MaskedLMModule(nn.Module):
         cfg = self.config
         self.beatmap_model = BeatmapTransformer(cfg, self.dtype, self.attn_impl, self.remat)
         self.head = PredictionHead(cfg, self.dtype)
-        self.decoder = nn.Dense(
-            cfg.vocab_size,
-            use_bias=cfg.decoder_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init(cfg.initializer_range),
-        )
+        if cfg.tie_word_embeddings:
+            # decoder weight is the token-embedding table transposed
+            # (reference _tied_weights_keys=['decoder.weight'])
+            if cfg.decoder_bias:
+                self.decoder_bias_param = self.param(
+                    "decoder_bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32
+                )
+        else:
+            self.decoder = nn.Dense(
+                cfg.vocab_size,
+                use_bias=cfg.decoder_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init(cfg.initializer_range),
+            )
+
+    def _decode(self, h):
+        if not self.config.tie_word_embeddings:
+            return self.decoder(h)
+        table = self.beatmap_model.encoder.tok_embeddings.embedding
+        logits = h @ table.T.astype(h.dtype)
+        if self.config.decoder_bias:
+            logits = logits + self.decoder_bias_param.astype(h.dtype)
+        return logits
 
     def __call__(
         self,
@@ -704,11 +721,11 @@ class MaskedLMModule(nn.Module):
             _, idx = jax.lax.top_k(is_masked.astype(jnp.int32), budget)
             sel_h = flat_h[idx]
             sel_labels = jnp.where(is_masked[idx], flat_labels[idx], self.config.sparse_pred_ignore_index)
-            logits = self.decoder(self.head(sel_h))
+            logits = self._decode(self.head(sel_h))
             loss = cross_entropy_ignore_index(logits, sel_labels, self.config.sparse_pred_ignore_index)
             return MaskedLMOutput(loss=loss, logits=logits)
 
-        logits = self.decoder(self.head(hidden))
+        logits = self._decode(self.head(hidden))
         loss = None
         if labels is not None:
             loss = cross_entropy_ignore_index(logits, labels, self.config.sparse_pred_ignore_index)

@@ -273,3 +273,37 @@ class TestHeads:
         out = model.apply(params, ids, labels=labels)
         assert out.logits.shape == (4, 1)
         assert np.isfinite(float(out.loss))
+
+
+class TestTiedMaskedLM:
+    def test_tied_decoder_shares_embedding(self):
+        """tie_word_embeddings=True decodes through the embedding table
+        (reference _tied_weights_keys=['decoder.weight'])."""
+        import numpy as np
+
+        from cm3p_tpu.configs import BeatmapConfig
+        from cm3p_tpu.models.cm3p import MaskedLMModule
+
+        cfg = BeatmapConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=128, global_attn_every_n_layers=2,
+            local_attention=8, tie_word_embeddings=True, sparse_prediction=False,
+        )
+        model = MaskedLMModule(cfg)
+        ids = jnp.asarray(np.random.default_rng(0).integers(1, 60, (2, 16)))
+        params = model.init(jax.random.PRNGKey(0), ids)
+        names = [
+            "/".join(str(getattr(k, "key", "?")) for k in path)
+            for path, _ in jax.tree_util.tree_leaves_with_path(params)
+        ]
+        assert not any("decoder/kernel" in n for n in names)
+
+        out = model.apply(params, ids)
+        assert out.logits.shape == (2, 16, 64)
+        # tied: logits must move when the embedding table moves
+        table = params["params"]["beatmap_model"]["encoder"]["tok_embeddings"]["embedding"]
+        bumped = jax.tree_util.tree_map(lambda x: x, params)
+        bumped["params"]["beatmap_model"]["encoder"]["tok_embeddings"]["embedding"] = table + 0.1
+        out2 = model.apply(bumped, ids)
+        assert not np.allclose(np.asarray(out.logits), np.asarray(out2.logits))

@@ -76,7 +76,7 @@ def _convert_encoder(state: dict, prefix: str, out: dict, tower_path: list[str])
         _set(out, tower_path + ["final_norm", "LayerNorm_0", "bias"], t("final_norm.bias"))
 
 
-def convert_cm3p_state_dict(state: dict) -> dict:
+def convert_cm3p_state_dict(state: dict, tie_word_embeddings: bool = False) -> dict:
     """torch CM3PModel state_dict (numpy values) -> flax params dict."""
     state = dict(state)
     out: dict = {}
@@ -118,9 +118,16 @@ def convert_cm3p_state_dict(state: dict) -> dict:
         if "head.norm.bias" in state:
             _set(out, ["head", "norm", "LayerNorm_0", "bias"], state.pop("head.norm.bias"))
     if "decoder.weight" in state:
-        _set(out, ["decoder", "kernel"], state.pop("decoder.weight").T)
-        if "decoder.bias" in state:
-            _set(out, ["decoder", "bias"], state.pop("decoder.bias"))
+        if tie_word_embeddings:
+            # reference ties decoder.weight to the token embedding
+            # (_tied_weights_keys); the table was already placed above
+            state.pop("decoder.weight")
+            if "decoder.bias" in state:
+                _set(out, ["decoder_bias"], state.pop("decoder.bias"))
+        else:
+            _set(out, ["decoder", "kernel"], state.pop("decoder.weight").T)
+            if "decoder.bias" in state:
+                _set(out, ["decoder", "bias"], state.pop("decoder.bias"))
     if "classifier.weight" in state:
         _set(out, ["classifier", "kernel"], state.pop("classifier.weight").T)
         if "classifier.bias" in state:
