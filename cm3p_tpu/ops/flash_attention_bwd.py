@@ -7,7 +7,10 @@ needs. Window / padding / segment masks mirror the forward kernel's
 2-D-bias construction; block ranges are the window-intersection logic with
 q/k roles swapped for dKV.
 
-Math (q' = q / sqrt(d) is pre-scaled like the forward):
+Math (q' = q / sqrt(d) is pre-scaled; the forward kernel works in base-2
+for exp2 throughput, so its saved residual is log2-sum-exp2 — the prologue
+converts it to natural units once (lse = lse2 · ln2) and these kernels stay
+in natural space, sidestepping a Mosaic codegen crash exp2 triggers here):
     p  = exp(q'·kᵀ + bias - lse)
     dv = pᵀ · do
     ds = p ∘ (do·vᵀ - delta),  delta = rowsum(do ∘ out)
@@ -173,6 +176,13 @@ def flash_attention_bwd(
     b, h, l, d = q.shape
     scale = 1.0 / math.sqrt(d)
     qs = q * jnp.asarray(scale, q.dtype)
+    lse = lse * math.log(2.0)  # forward residual is base-2; convert once
+
+    if window is None and qseg is None:
+        # Mosaic (libtpu 2026-xx) crashes in ApplyVectorLayout compiling the
+        # mask-free global variant of these kernels; all-ones segments are
+        # semantically identical and take the (stable) segmented codepath
+        qseg = kseg = jnp.ones((b, l), jnp.int32)
 
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b, h, l)
 

@@ -47,6 +47,7 @@ class Trainer:
         mesh=None,
         model_axis: int = 1,
         resume: bool = True,
+        load_best_model_at_end: bool = False,
         eval_has_variations: bool = True,
         labels_kind: str = "none",
         forward_method=None,
@@ -71,7 +72,11 @@ class Trainer:
         self.seed = seed
         self.mesh = mesh or make_mesh(model=model_axis)
         self.resume = resume
+        self.load_best_model_at_end = load_best_model_at_end
         self.eval_has_variations = eval_has_variations
+        self._best_eval_loss: Optional[float] = None
+        self._best_eval_step: Optional[int] = None
+        self._last_eval: dict = {}
         self.labels_kind = labels_kind
         self.forward_method = forward_method
 
@@ -183,6 +188,17 @@ class Trainer:
                     if self.eval_iter_factory is not None and opt_step % self.eval_steps == 0 and opt_step > 0:
                         eval_metrics = self.evaluate(state)
                         self._log({"step": opt_step, **{f"eval_{k}": v for k, v in eval_metrics.items() if v is not None}})
+                        self._last_eval = eval_metrics
+                        eval_loss = eval_metrics.get("loss")
+                        if eval_loss is not None and (
+                            self._best_eval_loss is None or eval_loss < self._best_eval_loss
+                        ):
+                            self._best_eval_loss = float(eval_loss)
+                            self._best_eval_step = opt_step
+                            # make sure the best step is on disk (retention may
+                            # still prune it later; reference has the same hazard)
+                            if self.ckpt.latest_step() != opt_step:
+                                self.ckpt.save(opt_step, jax.device_get(state), force=True)
 
                     # only pull the state to host when a save will happen
                     if self.ckpt.should_save(opt_step):
@@ -200,6 +216,32 @@ class Trainer:
         if self.ckpt.latest_step() != final_step:
             self.ckpt.save(final_step, jax.device_get(state), force=True)
         self.ckpt.wait()
+
+        # reference parity: trainer.save_metrics -> *_results.json
+        # (train.py:378-386) and load_best_model_at_end (default.yaml:36-38)
+        results = {
+            "final_step": final_step,
+            "train_loss": window_loss,
+            "best_eval_loss": self._best_eval_loss,
+            "best_eval_step": self._best_eval_step,
+        }
+        (self.output_dir / "train_results.json").write_text(json.dumps(results, indent=2))
+        if self._last_eval:
+            (self.output_dir / "eval_results.json").write_text(
+                json.dumps({k: v for k, v in self._last_eval.items() if v is not None}, indent=2)
+            )
+        if (
+            self.load_best_model_at_end
+            and self._best_eval_step is not None
+            and self._best_eval_step != final_step
+        ):
+            restored = self.ckpt.restore(jax.device_get(state), step=self._best_eval_step)
+            if restored is not None:
+                logger.info("restoring best checkpoint (step %d, eval_loss %.5g)",
+                            self._best_eval_step, self._best_eval_loss)
+                state = restored
+            else:
+                logger.warning("best checkpoint step %d no longer on disk", self._best_eval_step)
         return state
 
     # ------------------------------------------------------------------- eval

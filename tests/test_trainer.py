@@ -41,11 +41,7 @@ def make_trainer(tmp_path, max_steps=3, **kw):
     cfg, factory = tiny_batches()
     model = CM3PModule(cfg)
     tx = muon(1e-3)
-    return Trainer(
-        model,
-        tx,
-        factory,
-        factory,
+    kwargs = dict(
         output_dir=str(tmp_path),
         max_steps=max_steps,
         gradient_accumulation_steps=1,
@@ -53,8 +49,9 @@ def make_trainer(tmp_path, max_steps=3, **kw):
         eval_steps=100,
         save_steps=1,
         model_axis=1,
-        **kw,
     )
+    kwargs.update(kw)
+    return Trainer(model, tx, factory, factory, **kwargs)
 
 
 class TestTrainerLoop:
@@ -172,3 +169,23 @@ class TestValidateTool:
         stats = json.loads((out_dir / "stats.json").read_text())
         assert stats["num_samples"] == 4
         assert stats["token_length"]["mean"] > 0
+
+
+class TestBestModelAndResults:
+    def test_results_json_and_best_restore(self, tmp_path):
+        """train_results.json is written; load_best_model_at_end restores the
+        best-eval-loss checkpoint (reference default.yaml:36-38)."""
+        tr = make_trainer(
+            tmp_path, max_steps=4, load_best_model_at_end=True,
+            eval_steps=2, max_eval_batches=2,
+        )
+        state = tr.train()
+        tr.close()
+        results = json.loads((tmp_path / "train_results.json").read_text())
+        assert results["final_step"] == 4
+        assert results["best_eval_loss"] is not None
+        assert results["best_eval_step"] in (2, 4)
+        assert (tmp_path / "eval_results.json").exists()
+        # restored state step must match the best step when it differs
+        if results["best_eval_step"] != results["final_step"]:
+            assert int(state.step) == results["best_eval_step"]
