@@ -97,6 +97,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny config on CPU for smoke testing")
     parser.add_argument("--batch-size", type=int, default=0, help="0 = auto-scan")
+    parser.add_argument("--packed-rows", type=int, default=64, help="rows for the packed headline")
     parser.add_argument("--seq-len", type=int, default=4096)
     parser.add_argument("--mel-frames", type=int, default=1600)  # 16 s windows
     parser.add_argument("--iters", type=int, default=20)
@@ -193,8 +194,10 @@ def main():
     packed_rate = None
     packed_detail = {}
     if not args.no_packed and not args.tiny:
+        # fixed row count: packed throughput amortizes with batch, and the
+        # dense scan's best_bs jitters run-to-run through the relay
         packed_rate, packed_detail = bench_packed(
-            model, params, extract_packed, args.seq_len, rows=max(best_bs, 16), iters=args.iters
+            model, params, extract_packed, args.seq_len, rows=args.packed_rows, iters=args.iters
         )
 
     headline = packed_rate if packed_rate else best_rate

@@ -69,7 +69,12 @@ def cm3p_loss(
     padded window slots in packed batches (rows skipped, columns -inf)."""
     if similarity.ndim == 3:  # (metadata_batch, variations, beatmap_batch)
         m, v, b = similarity.shape
-        true_idx = jnp.argmax((metadata_variation_classes == 0).astype(jnp.int32), axis=1)
+        if metadata_variation_classes is None:
+            # the processor always emits the original metadata first
+            # (class 0 at variation index 0, processor.py "[0] + m_classes")
+            true_idx = jnp.zeros((m,), jnp.int32)
+        else:
+            true_idx = jnp.argmax((metadata_variation_classes == 0).astype(jnp.int32), axis=1)
         metadata_loss = contrastive_loss(
             similarity[jnp.arange(m), true_idx], row_valid=valid, col_valid=valid
         )

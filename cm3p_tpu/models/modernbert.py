@@ -302,12 +302,13 @@ class ModernBertEncoder(nn.Module):
         else:
             cos_l, sin_l = cos_g, sin_g
 
-        # Flash routing: at long sequence lengths, both layer kinds go
+        # Flash routing: past a few hundred tokens, both layer kinds go
         # through the Pallas kernel (local for the O(L·w) win, global to
-        # avoid XLA's O(B·H·L²) score materialization). Short sequences
-        # (metadata tower) stay on XLA dense attention. The kernel masks
+        # avoid XLA's O(B·H·L²) fp32 score materialization — already
+        # HBM-bound at the audio tower's L=800). Short sequences (metadata
+        # tower, L≈14) stay on XLA dense attention. The kernel masks
         # padding, window, and packed segments in-kernel.
-        use_flash = self.attn_impl == "pallas" and l >= 1024
+        use_flash = self.attn_impl == "pallas" and l >= 512
         local_flash = cfg.local_attention // 2 if (use_flash and need_local) else None
         global_flash = -1 if use_flash else None
 

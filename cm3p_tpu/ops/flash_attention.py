@@ -159,13 +159,19 @@ def _fa_kernel(
         lse_ref[0] = m_safe + jnp.log2(denom)
 
 
-def _pick_head_group(h: int, block_q: int, block_k: int, d: int) -> int:
-    """Largest head group keeping the fp32 score block under ~4.5 MB VMEM."""
-    budget = 4_500_000
+def _pick_head_group(h: int, block_q: int, block_k: int, d: int, itemsize: int = 2) -> int:
+    """Largest head group keeping the fp32 score block under ~4.5 MB VMEM.
+
+    fp32 inputs double the q/k/v/out block footprints (double-buffered by the
+    pipeline), so the budget is halved — bf16-calibrated hg=12 at 256x256
+    blocks overflows the 16 MB scoped-vmem limit by ~2 MB in fp32.
+    """
+    budget = 4_500_000 if itemsize <= 2 else 2_250_000
     hg = max(1, budget // (block_q * block_k * 4))
     while hg > 1 and h % hg != 0:
         hg -= 1
     return min(hg, h)
+
 
 
 def _flash_attention_fwd_impl(
@@ -202,7 +208,7 @@ def _flash_attention_fwd_impl(
         if kseg is not None:
             kseg = jnp.pad(kseg, [(0, 0), (0, lk_pad - lk)])
 
-    hg = _pick_head_group(h, block_q, block_k, d)
+    hg = _pick_head_group(h, block_q, block_k, d, q.dtype.itemsize)
     groups_per_batch = h // hg
     bg = b * groups_per_batch
     qf = q.reshape(bg, hg, lq_pad, d)
