@@ -244,3 +244,67 @@ class TestPackedSharded:
             bt = jax.device_put(jb, bs)
             new_state, metrics = jitted(st, bt, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestPackedEval:
+    def test_packed_evaluate_matches_dense_zero_shot(self, tmp_path):
+        """Trainer.evaluate over packed batches produces the same zero-shot
+        variation-ranking metrics as dense batches on the same windows
+        (reference eval semantics train.py:92-139; ROADMAP rough edge #2)."""
+        from cm3p_tpu.train import Trainer, muon
+
+        v = 5
+        samples = make_samples(16, v=v, seed=3)
+        # spread variation classes 1..4 so every metric bucket fills
+        for s in samples:
+            s["metadata_variation_classes"] = np.array([0, 1, 2, 3, 4], np.int32)
+
+        def dense_factory():
+            def gen():
+                for i in range(0, 16, 8):
+                    chunk = samples[i : i + 8]
+                    yield {
+                        k: np.stack([s[k] for s in chunk])
+                        for k in (
+                            "input_ids", "attention_mask", "metadata_ids",
+                            "metadata_attention_mask", "metadata_variation_classes",
+                        )
+                    }
+            return gen()
+
+        def packed_factory():
+            return packed_batches(
+                iter(list(samples)), rows=4, seq_len=128, pad_id=0,
+                max_windows=12, drop_last=False,
+            )
+
+        cfg = tiny_cm3p_config()
+        model = CM3PModule(cfg)
+        tx = muon(1e-3)
+        common = dict(
+            output_dir=str(tmp_path), max_steps=1, gradient_accumulation_steps=1,
+            logging_steps=1, eval_steps=100, save_steps=100, model_axis=1,
+            max_eval_batches=10,
+        )
+        dense_tr = Trainer(model, tx, dense_factory, dense_factory, **common)
+        packed_tr = Trainer(
+            model, tx, packed_factory, packed_factory,
+            forward_method=CM3PModule.forward_packed, **common,
+        )
+
+        from cm3p_tpu.train.train_state import create_train_state
+        example = {k: jnp.asarray(v_) for k, v_ in next(iter(dense_factory())).items()}
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), example)
+
+        dense_metrics = dense_tr.evaluate(state)
+        packed_metrics = packed_tr.evaluate(state)
+        dense_tr.close()
+        packed_tr.close()
+
+        for key in ("accuracy_year", "accuracy_status", "accuracy_tags", "accuracy_mapper"):
+            assert dense_metrics.get(key) is not None, f"dense missing {key}"
+            assert packed_metrics.get(key) is not None, f"packed missing {key}"
+            assert packed_metrics[key] == pytest.approx(dense_metrics[key]), key
+        # losses are NOT comparable: contrastive CE depends on the in-batch
+        # negative count (8 dense vs up-to-12 packed windows per batch)
+        assert np.isfinite(packed_metrics["loss"]) and np.isfinite(dense_metrics["loss"])
