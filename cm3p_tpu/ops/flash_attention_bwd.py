@@ -55,105 +55,107 @@ def _mask_bias2d(q_start, k_start, block_q, block_k, window, qseg, kseg, seq_len
 
 
 def _dkv_kernel(
+    start_ref, count_ref,
     qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, window, block_q, block_k, num_qb, nq_grid, seq_len,
+    *, window, block_q, block_k, num_qb, nq_grid, seq_len, groups_per_batch,
 ):
     ki = pl.program_id(1)
     qj = pl.program_id(2)
+    bi = pl.program_id(0) // groups_per_batch
+    cnt = count_ref[bi, ki]
+    qb = start_ref[bi, ki] + jnp.minimum(qj, jnp.maximum(cnt - 1, 0))
 
     @pl.when(qj == 0)
     def _init():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    if window is not None:
-        start_qb = jnp.clip((ki * block_k - window) // block_q, 0, num_qb - nq_grid)
-        qb = start_qb + qj
-    else:
-        qb = qj
+    @pl.when(qj < cnt)
+    def _accumulate():
+        qs = qs_ref[0]  # (hg, bq, D) pre-scaled
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0]  # (hg, bq) fp32
+        delta = delta_ref[0]
+        acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        bias2d = _mask_bias2d(
+            qb * block_q, ki * block_k, block_q, block_k, window,
+            qseg_ref[0, 0] if qseg_ref is not None else None,
+            kseg_ref[0, 0] if kseg_ref is not None else None,
+            seq_len, kseg_ref is None, jnp.float32,
+        )
+        if bias2d is not None:
+            s_b = s + bias2d[None, :, :]
+        else:
+            s_b = s
+        p = jnp.exp(s_b - lse[:, :, None]).astype(acc_t)  # (hg, bq, bk)
 
-    qs = qs_ref[0]  # (hg, bq, D) pre-scaled
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0]  # (hg, bq) fp32
-    delta = delta_ref[0]
+        # dv += pᵀ · do : contract over bq
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dp = do · vᵀ : (hg, bq, bk)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        ds = (p.astype(jnp.float32) * (dp - delta[:, :, None])).astype(acc_t)
+        # dk += dsᵀ · q' : contract over bq
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds, qs, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
 
-    acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
-    s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    bias2d = _mask_bias2d(
-        qb * block_q, ki * block_k, block_q, block_k, window,
-        qseg_ref[0, 0] if qseg_ref is not None else None,
-        kseg_ref[0, 0] if kseg_ref is not None else None,
-        seq_len, kseg_ref is None, jnp.float32,
-    )
-    if bias2d is not None:
-        s = s + bias2d[None, :, :]
-    p = jnp.exp(s - lse[:, :, None]).astype(acc_t)  # (hg, bq, bk)
-
-    # dv += pᵀ · do : contract over bq
-    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    # dp = do · vᵀ : (hg, bq, bk)
-    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    ds = (p.astype(jnp.float32) * (dp - delta[:, :, None])).astype(acc_t)
-    # dk += dsᵀ · q' : contract over bq
-    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds, qs, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(qj == nq_grid - 1)
+    @pl.when(qj == jnp.maximum(cnt, 1) - 1)
     def _finalize():
         dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _dq_kernel(
+    start_ref, count_ref,
     qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dq_ref, dq_scr,
-    *, window, block_q, block_k, num_kb, nk_grid, seq_len,
+    *, window, block_q, block_k, num_kb, nk_grid, seq_len, groups_per_batch,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
+    bi = pl.program_id(0) // groups_per_batch
+    cnt = count_ref[bi, qi]
+    kb = start_ref[bi, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
 
     @pl.when(kj == 0)
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    if window is not None:
-        start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nk_grid)
-        kb = start_kb + kj
-    else:
-        kb = kj
+    @pl.when(kj < cnt)
+    def _accumulate():
+        qs = qs_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        bias2d = _mask_bias2d(
+            qi * block_q, kb * block_k, block_q, block_k, window,
+            qseg_ref[0, 0] if qseg_ref is not None else None,
+            kseg_ref[0, 0] if kseg_ref is not None else None,
+            seq_len, kseg_ref is None, jnp.float32,
+        )
+        if bias2d is not None:
+            s_b = s + bias2d[None, :, :]
+        else:
+            s_b = s
+        p = jnp.exp(s_b - lse[:, :, None])
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, :, None])).astype(acc_t)
+        # dq += ds · k : contract over bk (ds dim 2, k dim 1)
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
 
-    qs = qs_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
-
-    acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
-    s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    bias2d = _mask_bias2d(
-        qi * block_q, kb * block_k, block_q, block_k, window,
-        qseg_ref[0, 0] if qseg_ref is not None else None,
-        kseg_ref[0, 0] if kseg_ref is not None else None,
-        seq_len, kseg_ref is None, jnp.float32,
-    )
-    if bias2d is not None:
-        s = s + bias2d[None, :, :]
-    p = jnp.exp(s - lse[:, :, None])
-    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta[:, :, None])).astype(acc_t)
-    # dq += ds · k : contract over bk (ds dim 2, k dim 1)
-    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(kj == nk_grid - 1)
+    @pl.when(kj == jnp.maximum(cnt, 1) - 1)
     def _finalize():
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
@@ -223,18 +225,22 @@ def flash_attention_bwd(
         nk_grid = nk
         nq_grid = nq
 
-    # ---- dKV pass: grid (bg, nk, nq_grid)
-    def q_index_dkv(bgi, ki, qj):
-        if window is not None:
-            start_qb = jnp.clip((ki * block_k - window) // block_q, 0, nq - nq_grid)
-            return (bgi, 0, start_qb + qj, 0)
-        return (bgi, 0, qj, 0)
+    # ---- dKV pass: grid (bg, nk, nq_grid); per-k-block q ranges (roles
+    # swapped: interval intersection is symmetric)
+    from .flash_attention import _block_ranges
 
-    def q_index3_dkv(bgi, ki, qj, _g=g):
-        idx = q_index_dkv(bgi, ki, qj)
+    kv_start, kv_count = _block_ranges(b, nk, nq, nq_grid, block_k, block_q, window, kseg, qseg)
+
+    def q_index_dkv(bgi, ki, qj, start_ref, count_ref):
+        cnt = count_ref[bgi // g, ki]
+        qb = start_ref[bgi // g, ki] + jnp.minimum(qj, jnp.maximum(cnt - 1, 0))
+        return (bgi, 0, qb, 0)
+
+    def q_index3_dkv(bgi, ki, qj, *s):
+        idx = q_index_dkv(bgi, ki, qj, *s)
         return (idx[0], 0, idx[2])
 
-    def k_index_dkv(bgi, ki, qj):
+    def k_index_dkv(bgi, ki, qj, *_):
         return (bgi, 0, ki, 0)
 
     dkv_specs = [
@@ -248,55 +254,59 @@ def flash_attention_bwd(
     dkv_args = [qsf, kf, vf, dof, lsef, deltaf]
     if qseg is not None:
         dkv_specs.append(
-            pl.BlockSpec((1, 1, block_q), lambda bgi, ki, qj, _g=g: (bgi // _g, 0, q_index_dkv(bgi, ki, qj)[2]), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_q), lambda bgi, ki, qj, *s, _g=g: (bgi // _g, 0, q_index_dkv(bgi, ki, qj, *s)[2]), memory_space=pltpu.VMEM)
         )
         dkv_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda bgi, ki, qj, _g=g: (bgi // _g, 0, ki), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_k), lambda bgi, ki, qj, *_s, _g=g: (bgi // _g, 0, ki), memory_space=pltpu.VMEM)
         )
         dkv_args += [qseg.astype(jnp.int32)[:, None, :], kseg.astype(jnp.int32)[:, None, :]]
         dkv_kernel = functools.partial(
             _dkv_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_qb=nq, nq_grid=nq_grid, seq_len=l,
+            num_qb=nq, nq_grid=nq_grid, seq_len=l, groups_per_batch=g,
         )
     else:
         base = functools.partial(
             _dkv_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_qb=nq, nq_grid=nq_grid, seq_len=l,
+            num_qb=nq, nq_grid=nq_grid, seq_len=l, groups_per_batch=g,
         )
-        dkv_kernel = lambda a, b_, c, d_, e, f, *rest: base(a, b_, c, d_, e, f, None, None, *rest)
+        dkv_kernel = lambda s0, c0, a, b_, c, d_, e, f, *rest: base(s0, c0, a, b_, c, d_, e, f, None, None, *rest)
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(bg, nk, nq_grid),
-        in_specs=dkv_specs,
-        out_specs=(
-            pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bg, nk, nq_grid),
+            in_specs=dkv_specs,
+            out_specs=(
+                pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hg, block_k, d), jnp.float32),
+                pltpu.VMEM((hg, block_k, d), jnp.float32),
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((hg, block_k, d), jnp.float32),
-            pltpu.VMEM((hg, block_k, d), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(*dkv_args)
+    )(kv_start, kv_count, *dkv_args)
 
     # ---- dQ pass: grid (bg, nq, nk_grid)
-    def k_index_dq(bgi, qi, kj):
-        if window is not None:
-            start_kb = jnp.clip((qi * block_q - window) // block_k, 0, nk - nk_grid)
-            return (bgi, 0, start_kb + kj, 0)
-        return (bgi, 0, kj, 0)
+    q_start, q_count = _block_ranges(b, nq, nk, nk_grid, block_q, block_k, window, qseg, kseg)
 
-    def q_index_dq(bgi, qi, kj):
+    def k_index_dq(bgi, qi, kj, start_ref, count_ref):
+        cnt = count_ref[bgi // g, qi]
+        kb = start_ref[bgi // g, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
+        return (bgi, 0, kb, 0)
+
+    def q_index_dq(bgi, qi, kj, *_):
         return (bgi, 0, qi, 0)
 
-    def q_index3_dq(bgi, qi, kj):
+    def q_index3_dq(bgi, qi, kj, *_):
         return (bgi, 0, qi)
 
     dq_specs = [
@@ -310,34 +320,37 @@ def flash_attention_bwd(
     dq_args = [qsf, kf, vf, dof, lsef, deltaf]
     if qseg is not None:
         dq_specs.append(
-            pl.BlockSpec((1, 1, block_q), lambda bgi, qi, kj, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_q), lambda bgi, qi, kj, *_s, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM)
         )
         dq_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda bgi, qi, kj, _g=g: (bgi // _g, 0, k_index_dq(bgi, qi, kj)[2]), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_k), lambda bgi, qi, kj, *s, _g=g: (bgi // _g, 0, k_index_dq(bgi, qi, kj, *s)[2]), memory_space=pltpu.VMEM)
         )
         dq_args += [qseg.astype(jnp.int32)[:, None, :], kseg.astype(jnp.int32)[:, None, :]]
         dq_kernel = functools.partial(
             _dq_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_kb=nk, nk_grid=nk_grid, seq_len=l,
+            num_kb=nk, nk_grid=nk_grid, seq_len=l, groups_per_batch=g,
         )
     else:
         base_q = functools.partial(
             _dq_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_kb=nk, nk_grid=nk_grid, seq_len=l,
+            num_kb=nk, nk_grid=nk_grid, seq_len=l, groups_per_batch=g,
         )
-        dq_kernel = lambda a, b_, c, d_, e, f, *rest: base_q(a, b_, c, d_, e, f, None, None, *rest)
+        dq_kernel = lambda s0, c0, a, b_, c, d_, e, f, *rest: base_q(s0, c0, a, b_, c, d_, e, f, None, None, *rest)
 
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(bg, nq, nk_grid),
-        in_specs=dq_specs,
-        out_specs=pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bg, nq, nk_grid),
+            in_specs=dq_specs,
+            out_specs=pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((hg, block_q, d), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((hg, block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(*dq_args)
+    )(q_start, q_count, *dq_args)
 
     def unpack(x):
         return x.reshape(b, h, l_pad, d)[:, :, :l, :]

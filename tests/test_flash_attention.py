@@ -119,3 +119,74 @@ class TestBackward:
 
         g = jax.grad(loss)(q, k, v)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSegmentBlockSkipping:
+    """Global layers visit only key blocks whose segment interval intersects
+    the query block's (scalar-prefetch dynamic ranges). Shapes here span
+    many 256-token blocks with short segments so ranges genuinely shrink."""
+
+    def test_block_range_computation(self):
+        b, l, bq, bk = 2, 1024, 256, 256
+        seg = np.zeros((b, l), np.int32)
+        # row 0: 4 segments of 250 + padding tail; row 1: one long segment
+        for i, s in enumerate(range(0, 1000, 250)):
+            seg[0, s : s + 250] = i + 1
+        seg[1, :700] = 1
+        segj = jnp.asarray(seg)
+        start, count = fa._block_ranges(b, l // bq, l // bk, l // bk, bq, bk, None, segj, segj)
+        start, count = np.asarray(start), np.asarray(count)
+        # row 0 q-block 0 holds segs 1-2 -> key blocks 0-1
+        assert start[0, 0] == 0 and count[0, 0] == 2
+        # row 0 q-block 3 holds segs 4 (+padding) -> key blocks 2-3
+        assert start[0, 3] == 2 and count[0, 3] == 2
+        # row 1 q-block 3 is all padding -> nothing to visit
+        assert count[1, 3] == 0
+        # row 1 q-blocks 0-2 share seg 1 spanning key blocks 0-2
+        assert start[1, 0] == 0 and count[1, 0] == 3
+
+    def test_global_packed_parity_multiblock(self):
+        rng = np.random.default_rng(11)
+        b, h, l, d = 2, 4, 1024, 64
+        q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        seg = np.zeros((b, l), np.int32)
+        for i, s in enumerate(range(0, 900, 300)):
+            seg[0, s : s + 300] = i + 1
+        seg[1, :512] = 1
+        seg[1, 512:800] = 2
+        segj = jnp.asarray(seg)
+        out = fa.flash_attention(q, k, v, segment_ids=segj)
+        ref = fa._xla_reference(q, k, v, segj, segj, None)
+        valid = (seg > 0)[:, None, :, None]
+        err = np.max(np.abs(np.where(valid, np.asarray(out) - np.asarray(ref), 0.0)))
+        assert err < 2e-5
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_global_packed_grads_multiblock(self):
+        rng = np.random.default_rng(12)
+        b, h, l, d = 1, 2, 1024, 32
+        q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        seg = np.zeros((b, l), np.int32)
+        seg[0, :300] = 1
+        seg[0, 300:640] = 2
+        seg[0, 640:900] = 3
+        segj = jnp.asarray(seg)
+        # masked rows are don't-care (kernel zeroes them, reference softmax
+        # spreads uniformly) — gradients only compared through valid rows
+        valid = jnp.asarray((seg > 0)[:, None, :, None].astype(np.float32))
+        g_out = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32) * valid
+
+        def f(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v, segment_ids=segj) * g_out)
+
+        def fr(q, k, v):
+            return jnp.sum(fa._xla_reference(q, k, v, segj, segj, None) * g_out)
+
+        g1 = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-4)
