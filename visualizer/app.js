@@ -15,6 +15,9 @@ const state = {
   indices: [],
   columns: [],
   colorMode: 'cluster',
+  fieldValues: null,   // column values when colorMode is a metadata field
+  fieldLevels: null,   // distinct value -> palette index
+  density: false,
   selected: null,
   haveData: false,
 };
@@ -35,7 +38,36 @@ function pointColor(i) {
     const t = state.n > 1 ? i / (state.n - 1) : 0;
     return `hsl(${Math.round(t * 300)}, 70%, 50%)`;
   }
+  if (state.colorMode !== 'cluster' && state.fieldValues) {
+    const level = state.fieldLevels.get(String(state.fieldValues[i])) ?? 0;
+    return CLUSTER_COLORS[level % CLUSTER_COLORS.length];
+  }
   return CLUSTER_COLORS[(state.labels?.[i] ?? 0) % CLUSTER_COLORS.length];
+}
+
+function setColorField(values) {
+  state.fieldValues = values;
+  state.fieldLevels = new Map();
+  for (const v of values) {
+    const key = String(v);
+    if (!state.fieldLevels.has(key)) state.fieldLevels.set(key, state.fieldLevels.size);
+  }
+  renderLegend();
+  render();
+}
+
+function renderLegend() {
+  const el = $('legend');
+  if (!el) return;
+  if (state.colorMode === 'cluster' || state.colorMode === 'date' || !state.fieldLevels) {
+    el.innerHTML = '';
+    return;
+  }
+  el.innerHTML = Array.from(state.fieldLevels.entries())
+    .slice(0, 16)
+    .map(([v, lvl]) =>
+      `<span class="legend-item"><span class="swatch" style="background:${CLUSTER_COLORS[lvl % CLUSTER_COLORS.length]}"></span>${v.slice(0, 20)}</span>`)
+    .join(' ');
 }
 
 // --------------------------------------------------------------- renderer
@@ -63,6 +95,28 @@ function toScreen(x, y, w, h) {
   ];
 }
 
+function renderDensityCanvas(ctx, w, h) {
+  // 64x48 bin grid, log-scaled alpha — reference app's density view
+  const bx = 64, by = 48;
+  const bins = new Float64Array(bx * by);
+  for (let i = 0; i < state.n; i++) {
+    const [sx, sy] = toScreen(state.points[i * 2], state.points[i * 2 + 1], w, h);
+    const gx = Math.min(bx - 1, Math.max(0, Math.floor((sx / w) * bx)));
+    const gy = Math.min(by - 1, Math.max(0, Math.floor((sy / h) * by)));
+    bins[gy * bx + gx]++;
+  }
+  const maxLog = Math.log1p(Math.max(...bins));
+  const cw = w / bx, ch = h / by;
+  for (let gy = 0; gy < by; gy++)
+    for (let gx = 0; gx < bx; gx++) {
+      const v = bins[gy * bx + gx];
+      if (!v) continue;
+      const t = Math.log1p(v) / (maxLog || 1);
+      ctx.fillStyle = `hsla(${240 - 240 * t}, 80%, 50%, ${0.25 + 0.75 * t})`;
+      ctx.fillRect(gx * cw, gy * ch, cw + 1, ch + 1);
+    }
+}
+
 function renderCanvas() {
   const plot = $('plot');
   if (!canvas) {
@@ -77,6 +131,10 @@ function renderCanvas() {
   const ctx = canvas.getContext('2d');
   ctx.clearRect(0, 0, w, h);
   computeView();
+  if (state.density) {
+    renderDensityCanvas(ctx, w, h);
+    return;
+  }
   const r = state.n > 20000 ? 1 : state.n > 2000 ? 2 : 3.5;
   for (let i = 0; i < state.n; i++) {
     const [sx, sy] = toScreen(state.points[i * 2], state.points[i * 2 + 1], w, h);
@@ -114,12 +172,15 @@ function renderPlotly() {
     y.push(state.points[i * 2 + 1]);
     colors.push(pointColor(i));
   }
-  window.Plotly.newPlot('plot', [{
-    x, y, mode: 'markers', type: 'scattergl',
-    marker: { color: colors, size: 5 },
-    hoverinfo: 'text',
-  }], { margin: { t: 10 }, dragmode: 'pan' }, { responsive: true });
-  $('plot').on('plotly_click', (d) => selectPoint(d.points[0].pointIndex));
+  const traces = state.density
+    ? [{ x, y, type: 'histogram2dcontour', colorscale: 'Viridis', ncontours: 18 }]
+    : [{
+        x, y, mode: 'markers', type: 'scattergl',
+        marker: { color: colors, size: 5 },
+        hoverinfo: 'text',
+      }];
+  window.Plotly.newPlot('plot', traces, { margin: { t: 10 }, dragmode: 'pan' }, { responsive: true });
+  if (!state.density) $('plot').on('plotly_click', (d) => selectPoint(d.points[0].pointIndex));
   canvas = null;
 }
 
@@ -145,7 +206,7 @@ worker.onmessage = (e) => {
     case 'READY':
       status('Worker ready. Load an embeddings file.');
       break;
-    case 'DATA_READY':
+    case 'DATA_READY': {
       state.n = msg.n;
       state.points = msg.points;
       state.labels = msg.labels;
@@ -153,8 +214,26 @@ worker.onmessage = (e) => {
       state.columns = msg.columns;
       state.haveData = true;
       state.selected = null;
+      const sel = $('color-mode');
+      const current = sel.value;
+      sel.innerHTML = '<option value="cluster">cluster</option><option value="date">date (rainbow)</option>'
+        + (msg.categorical || []).map((c) => `<option value="${c}">${c}</option>`).join('');
+      if ([...sel.options].some((o) => o.value === current)) sel.value = current;
+      state.colorMode = sel.value;
+      const dl = $('column-suggestions');
+      if (dl) dl.innerHTML = msg.columns.map((c) => `<option value="${c} "></option>`).join('');
+      if (state.colorMode !== 'cluster' && state.colorMode !== 'date') {
+        worker.postMessage({ type: 'GET_COLUMN', name: state.colorMode });
+      } else {
+        state.fieldValues = null;
+        renderLegend();
+      }
       status(`${msg.n} points (${msg.columns.length} metadata columns)`);
       render();
+      break;
+    }
+    case 'COLUMN':
+      if (msg.name === state.colorMode) setColorField(msg.values);
       break;
     case 'CLUSTERS':
       state.labels = msg.labels;
@@ -217,6 +296,18 @@ $('file-input').addEventListener('change', async (e) => {
 
 $('color-mode').addEventListener('change', (e) => {
   state.colorMode = e.target.value;
+  if (state.colorMode !== 'cluster' && state.colorMode !== 'date') {
+    worker.postMessage({ type: 'GET_COLUMN', name: state.colorMode });
+  } else {
+    state.fieldValues = null;
+    renderLegend();
+    render();
+  }
+});
+
+const densityEl = $('density');
+if (densityEl) densityEl.addEventListener('change', (e) => {
+  state.density = e.target.checked;
   render();
 });
 

@@ -167,6 +167,21 @@ function jsKnn(norm, n, d, query, kNeighbors) {
   };
 }
 
+function findNeighbors(norm, n, d, query, kNeighbors) {
+  if (wasm) {
+    const inPtr = wasm._malloc(norm.length * 4);
+    wasm.HEAPF32.set(norm, inPtr / 4);
+    const idxPtr = wasm._malloc(kNeighbors * 4);
+    const distPtr = wasm._malloc(kNeighbors * 4);
+    const k = wasm._cm3p_knn(inPtr, n, d, query, kNeighbors, idxPtr, distPtr);
+    const indices = Array.from(new Uint32Array(wasm.HEAPU32.buffer, idxPtr, k));
+    const distances = Array.from(new Float32Array(wasm.HEAPF32.buffer, distPtr, k));
+    wasm._free(inPtr); wasm._free(idxPtr); wasm._free(distPtr);
+    return { indices, distances };
+  }
+  return jsKnn(norm, n, d, query, kNeighbors);
+}
+
 // -------------------------------------------------------------- WASM glue
 
 async function initWasm() {
@@ -355,6 +370,26 @@ function metadataRow(idx) {
   return row;
 }
 
+function categoricalColumns(maxDistinct = 24) {
+  // columns worth a discrete color legend: strings, or numerics with few
+  // distinct values (Mode, Year, Ranked, ...) — reference app.js color modes
+  const out = [];
+  for (const c of columnNames) {
+    if (c === 'embedding' || /^e\d+$/.test(c)) continue;
+    const vals = columns[c];
+    const distinct = new Set();
+    let ok = true;
+    for (let i = 0; i < vals.length; i++) {
+      const v = vals[i];
+      if (v != null && typeof v === 'object') { ok = false; break; }
+      distinct.add(String(v));
+      if (distinct.size > maxDistinct) { ok = false; break; }
+    }
+    if (ok && distinct.size > 1) out.push(c);
+  }
+  return out;
+}
+
 async function runPipeline(indices, projection, k) {
   activeIndices = indices;
   const sub = indices.length === nSamples ? embeddings : gatherSubset(indices);
@@ -369,6 +404,7 @@ async function runPipeline(indices, projection, k) {
       labels,
       indices: Array.from(indices),
       columns: columnNames.filter((c) => c !== 'embedding'),
+      categorical: categoricalColumns(),
     },
     [points.buffer.slice(0)].length ? [] : []
   );
@@ -404,11 +440,18 @@ self.onmessage = async (e) => {
         postMessage({ type: 'CLUSTERS', labels });
         break;
       }
+      case 'GET_COLUMN': {
+        const col = resolveColumn(msg.name);
+        const idx = activeIndices || Uint32Array.from({ length: nSamples }, (_, i) => i);
+        const values = col ? Array.from(idx, (src) => columns[col][src]) : [];
+        postMessage({ type: 'COLUMN', name: msg.name, values });
+        break;
+      }
       case 'GET_METADATA':
         postMessage({ type: 'METADATA', index: msg.index, row: metadataRow(msg.index) });
         break;
       case 'FIND_NEIGHBORS': {
-        const res = jsKnn(normalized, nSamples, nFeatures, msg.index, msg.k || 10);
+        const res = findNeighbors(normalized, nSamples, nFeatures, msg.index, msg.k || 10);
         postMessage({
           type: 'NEIGHBORS',
           query: msg.index,
