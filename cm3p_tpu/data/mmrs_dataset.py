@@ -75,6 +75,8 @@ class MmrsDataset:
         test: bool = False,
         worker_id: int = 0,
         num_workers: int = 1,
+        process_id: int = 0,
+        process_count: int = 1,
         seed: Optional[int] = None,
     ):
         self.args = args
@@ -89,6 +91,8 @@ class MmrsDataset:
         self.subset_ids = subset_ids
         self.worker_id = worker_id
         self.num_workers = num_workers
+        self.process_id = process_id
+        self.process_count = process_count
         self.seed = seed
 
     def get_filtered_metadata(self) -> DataFrame:
@@ -104,11 +108,26 @@ class MmrsDataset:
             max_difficulty=self.args.max_difficulty,
         )
 
-    def __iter__(self) -> Iterator[dict]:
+    def get_sharded_metadata(self) -> DataFrame:
+        """Filtered metadata restricted to this (process, worker) shard.
+
+        Flattens (host process, dataloader worker) into one strided shard so
+        every worker on every host sees a disjoint slice (multi-host DP;
+        generalizes the reference's per-worker stride, mmrs_dataset.py:46-53).
+        """
         filtered = self.get_filtered_metadata()
-        if self.num_workers > 1:
-            filtered = filtered[self.worker_id :: self.num_workers]
-            logger.info("Worker %d processing %d beatmaps.", self.worker_id, len(filtered))
+        shard = self.process_id * self.num_workers + self.worker_id
+        num_shards = self.process_count * self.num_workers
+        if num_shards > 1:
+            filtered = filtered[shard::num_shards]
+            logger.info(
+                "Shard %d/%d (process %d, worker %d) processing %d beatmaps.",
+                shard, num_shards, self.process_id, self.worker_id, len(filtered),
+            )
+        return filtered
+
+    def __iter__(self) -> Iterator[dict]:
+        filtered = self.get_sharded_metadata()
 
         rng = np.random.default_rng(self.seed)
         if not self.test:

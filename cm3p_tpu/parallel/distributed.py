@@ -1,0 +1,92 @@
+"""Multi-host (TPU pod) process management.
+
+The reference is single-node: HF Trainer + torch.distributed DDP under
+torchrun (``train.py:198-201``). The TPU-native equivalent (SURVEY.md §2.5
+"Distributed comm backend") is ``jax.distributed.initialize`` plus the same
+`(data, model)` mesh spanning all pod devices — XLA collectives then ride
+ICI within a slice and DCN across slices with no further code changes.
+
+Single-process runs (the common case, and every test) hit only no-op paths,
+so this module adds zero overhead and zero new dependencies there.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+_initialized = False
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize JAX's multi-process runtime (idempotent).
+
+    On Cloud TPU pods all three arguments are auto-detected from the
+    metadata server — call with no arguments. For manual clusters pass the
+    coordinator address (``host:port``) plus this process's id and count.
+    """
+    global _initialized
+    import jax
+
+    if _initialized:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
+    logger.info(
+        "jax.distributed initialized: process %d/%d, %d local + %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the process that should own logging / wandb / result files.
+
+    Orbax checkpointing must still be called from EVERY process (it
+    coordinates internally); only human-facing side effects are gated.
+    """
+    return process_index() == 0
+
+
+def put_global_batch(batch: dict, batch_shardings) -> dict:
+    """Place a batch on the mesh, assembling across hosts when needed.
+
+    Single-process: plain ``device_put`` (unchanged fast path). Multi-host:
+    each process contributes its local rows and the result is a global
+    jax.Array whose leading dim is ``local_rows * process_count`` — every
+    host must therefore feed the SAME per-host batch shape (the data
+    pipeline's process-sharding guarantees disjoint content).
+    """
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(batch, batch_shardings)
+
+    def _make(x, sharding):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(_make, batch, batch_shardings)

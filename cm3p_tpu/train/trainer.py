@@ -9,6 +9,7 @@ metric suite (loss, zero-shot variation ranking, MLM/classification acc).
 from __future__ import annotations
 
 import json
+import os
 import logging
 import time
 from pathlib import Path
@@ -22,6 +23,7 @@ import optax
 from ..parallel.mesh import make_mesh
 from .checkpoint import CheckpointManager
 from .metrics import MetricAccumulator
+from ..parallel.distributed import put_global_batch
 from .train_state import TrainState, create_train_state, make_eval_step, make_train_step, shard_train_step
 
 logger = logging.getLogger(__name__)
@@ -85,7 +87,15 @@ class Trainer:
             save_interval_steps=save_steps,
             max_to_keep=save_total_limit,
         )
-        self._log_file = open(self.output_dir / "train_log.jsonl", "a")
+        from ..parallel.distributed import is_primary
+
+        # multi-host: only process 0 writes human-facing logs / wandb /
+        # result files; checkpointing still runs on every process (orbax
+        # coordinates multihost saves internally)
+        self._primary = is_primary()
+        self._log_file = open(
+            self.output_dir / "train_log.jsonl" if self._primary else os.devnull, "a"
+        )
         self._jitted = None
         self._state_sharding = None
         self._batch_sharding = None
@@ -93,7 +103,7 @@ class Trainer:
 
         # optional wandb (reference train.py:176-181); JSONL always writes
         self._wandb = None
-        if wandb_project:
+        if wandb_project and self._primary:
             try:
                 import wandb
 
@@ -157,7 +167,7 @@ class Trainer:
         micro_base = start_step
         with self.mesh:
             for micro in range(micro_steps):
-                batch_dev = jax.device_put(batch, self._batch_sharding)
+                batch_dev = put_global_batch(batch, self._batch_sharding)
                 state, metrics = self._jitted(state, batch_dev, dropout_rng)
                 pending_losses.append(metrics["loss"])
                 window_count += 1
@@ -225,11 +235,12 @@ class Trainer:
             "best_eval_loss": self._best_eval_loss,
             "best_eval_step": self._best_eval_step,
         }
-        (self.output_dir / "train_results.json").write_text(json.dumps(results, indent=2))
-        if self._last_eval:
-            (self.output_dir / "eval_results.json").write_text(
-                json.dumps({k: v for k, v in self._last_eval.items() if v is not None}, indent=2)
-            )
+        if self._primary:
+            (self.output_dir / "train_results.json").write_text(json.dumps(results, indent=2))
+            if self._last_eval:
+                (self.output_dir / "eval_results.json").write_text(
+                    json.dumps({k: v for k, v in self._last_eval.items() if v is not None}, indent=2)
+                )
         if (
             self.load_best_model_at_end
             and self._best_eval_step is not None

@@ -216,3 +216,36 @@ class TestBeatmapFilesDataset:
             zf.writestr("inner.osu", make_osu(33, 3))
         df = build_metadata_dataframe([str(d)], tmp_path / "extract")
         assert len(df) == 1
+
+
+class TestMultiHostSharding:
+    def test_process_worker_shards_disjoint_and_covering(self, mmrs_root, processor):
+        """(process, worker) shards partition the filtered metadata exactly —
+        SURVEY §2.5 DP row: per-host data sharding for multi-host pods."""
+        cfg = make_config(mmrs_root, cycle_length=1)
+        full = MmrsDataset(cfg, processor, test=True).get_filtered_metadata()
+
+        seen = []
+        for pid in range(2):
+            for wid in range(2):
+                ds = MmrsDataset(
+                    cfg, processor, test=True,
+                    worker_id=wid, num_workers=2,
+                    process_id=pid, process_count=2,
+                )
+                seen.extend(ds.get_sharded_metadata().index.tolist())
+        assert sorted(seen) == sorted(full.index.tolist())
+        assert len(seen) == len(set(seen))
+
+    def test_put_global_batch_single_process_is_device_put(self):
+        import jax.numpy as jnp
+
+        from cm3p_tpu.parallel.distributed import is_primary, put_global_batch
+        from cm3p_tpu.parallel.mesh import batch_shardings, make_mesh
+
+        assert is_primary()
+        mesh = make_mesh(data=8, model=1)
+        batch = {"input_ids": np.arange(8 * 16, dtype=np.int32).reshape(8, 16)}
+        shardings = batch_shardings(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+        out = put_global_batch({k: jnp.asarray(v) for k, v in batch.items()}, shardings)
+        np.testing.assert_array_equal(np.asarray(out["input_ids"]), batch["input_ids"])

@@ -138,9 +138,12 @@ def mmrs_batches(args: dict, processor, test: bool):
     packed = training.get("packed", False)
 
     def factory():
+        import jax
+
         def dataset_factory(worker_id, num_workers_):
             return MmrsDataset(
-                ds_cfg, processor, test=test, worker_id=worker_id, num_workers=num_workers_
+                ds_cfg, processor, test=test, worker_id=worker_id, num_workers=num_workers_,
+                process_id=jax.process_index(), process_count=jax.process_count(),
             )
 
         loader = SampleLoader(dataset_factory, num_workers=num_workers)
@@ -252,6 +255,18 @@ def main(argv=None):
     from cm3p_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # multi-host TPU pods: initialize the process group BEFORE any other
+    # backend use so jax.devices() spans the whole pod and the mesh/pjit
+    # path needs no further changes (collectives ride ICI/DCN automatically)
+    if training.get("multihost", False):
+        from cm3p_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=training.get("coordinator_address"),
+            num_processes=training.get("num_processes"),
+            process_id=training.get("process_id"),
+        )
 
     from cm3p_tpu.configs import BeatmapConfig, CM3PConfig, MetadataConfig
     from cm3p_tpu.data import DatasetConfig
