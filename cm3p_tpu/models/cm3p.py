@@ -21,7 +21,7 @@ Components:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -163,7 +163,7 @@ class AudioEncoder(nn.Module):
     config: AudioConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     @nn.compact
     def __call__(self, input_features: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -213,7 +213,7 @@ class BeatmapTransformer(nn.Module):
     config: BeatmapConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     def setup(self):
         self.audio_encoder = AudioEncoder(self.config.audio_config, self.dtype, self.attn_impl, self.remat)
@@ -296,11 +296,18 @@ class CM3PModule(nn.Module):
     config: CM3PConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     def setup(self):
         cfg = self.config
-        self.metadata_model = ModernBertEncoder(cfg.metadata_config, self.dtype, self.attn_impl, self.remat)
+        # the metadata tower always uses FULL remat when any remat is on:
+        # its compute is tiny (6 layers x 256 hidden) but its batch is huge
+        # (windows x variations sequences), so saving its dots costs ~2 GB
+        # HBM for negligible recompute savings — with "dots" reserved for
+        # the beatmap tower, the v7 packed step fits in 15.75 GB
+        self.metadata_model = ModernBertEncoder(
+            cfg.metadata_config, self.dtype, self.attn_impl, bool(self.remat)
+        )
         self.beatmap_model = BeatmapTransformer(cfg.beatmap_config, self.dtype, self.attn_impl, self.remat)
         self.beatmap_projection = nn.Dense(
             cfg.projection_dim,
@@ -596,7 +603,7 @@ class BeatmapModelWithProjection(nn.Module):
     config: BeatmapConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     def setup(self):
         cfg = self.config
@@ -636,7 +643,7 @@ class MetadataModelWithProjection(nn.Module):
     config: MetadataConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     def setup(self):
         cfg = self.config
@@ -669,7 +676,7 @@ class MaskedLMModule(nn.Module):
     config: BeatmapConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     def setup(self):
         cfg = self.config
@@ -748,7 +755,7 @@ class ClassifierModule(nn.Module):
     config: BeatmapConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     def setup(self):
         cfg = self.config

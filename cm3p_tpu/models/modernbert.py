@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -248,7 +248,7 @@ class ModernBertEncoder(nn.Module):
     config: EncoderConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots"
 
     def setup(self):
         cfg = self.config
@@ -260,7 +260,20 @@ class ModernBertEncoder(nn.Module):
             embedding_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
         )
         self.embeddings_norm = LayerNormF32(cfg.norm_eps, cfg.norm_bias)
-        layer_cls = nn.remat(EncoderLayer, static_argnums=(5, 7)) if self.remat else EncoderLayer
+        # remat: False = none, True = full per-layer recompute, "dots" =
+        # full recompute except weight matmuls (qkv/o/GLU projections stay
+        # materialized — jax.checkpoint_policies.dots_with_no_batch_dims) —
+        # trades HBM for less backward recompute
+        if self.remat == "dots":
+            layer_cls = nn.remat(
+                EncoderLayer,
+                static_argnums=(5, 7),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(5, 7))
+        else:
+            layer_cls = EncoderLayer
         self.layers = [
             layer_cls(cfg, i, self.dtype, self.attn_impl, name=f"layers_{i}")
             for i in range(cfg.num_hidden_layers)

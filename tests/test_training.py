@@ -157,3 +157,29 @@ class TestShardedTrainStep:
         # same batch twice: loss should not explode
         assert np.isfinite(float(m2["loss"]))
         assert int(st.step) == 2
+
+
+class TestRematModes:
+    @pytest.mark.parametrize("remat", [False, True, "dots"])
+    def test_remat_modes_same_loss(self, remat):
+        """All remat policies are numerically equivalent — they only trade
+        backward recompute against saved activations."""
+        cfg = tiny_cm3p_config()
+        model = CM3PModule(cfg, remat=remat)
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_ids": jnp.asarray(rng.integers(0, 400, (2, 64)), jnp.int32),
+            "attention_mask": jnp.ones((2, 64), jnp.int32),
+            "metadata_ids": jnp.asarray(rng.integers(0, 200, (2, 2, 16)), jnp.int32),
+            "metadata_attention_mask": jnp.ones((2, 2, 16), jnp.int32),
+            "metadata_variation_classes": jnp.asarray(np.tile([[0, 1]], (2, 1)), jnp.int32),
+        }
+        tx = muon(1e-3)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        step = jax.jit(make_train_step(model, tx))
+        _, metrics = step(state, batch, jax.random.PRNGKey(1))
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        if not hasattr(TestRematModes, "_ref_loss"):
+            TestRematModes._ref_loss = loss
+        assert abs(loss - TestRematModes._ref_loss) < 1e-4

@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("--meta-len", type=int, default=24)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--optim", default="muon")
+    parser.add_argument("--remat", default="full", choices=["full", "dots", "none"],
+                        help="layer remat policy: full recompute, dots-saveable, or off")
     parser.add_argument("--packed", action="store_true", help="packed-window contrastive step (no audio)")
     ns = parser.parse_args(argv)
 
@@ -55,7 +57,8 @@ def main(argv=None):
         seq_len = 4096
         seqs, vocab = real_window_sequences(b * 16)
         cfg.beatmap_config.vocab_size = vocab
-        model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=True)
+        remat = {"full": True, "dots": "dots", "none": False}[ns.remat]
+        model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=remat)
         packed = pack_windows(seqs, seq_len, pad_id=0)
         while packed["input_ids"].shape[0] > b:
             seqs = seqs[: int(len(seqs) * 0.95)]
@@ -109,6 +112,7 @@ def main(argv=None):
                         "variations": v,
                         "loss": round(loss, 4),
                         "optim": ns.optim,
+                        "remat": ns.remat,
                         "device": str(jax.devices()[0]),
                     },
                 }
