@@ -59,7 +59,15 @@ def _resolve_interpolations(config: dict, root: Optional[dict] = None) -> dict:
         if isinstance(value, str):
             m = _INTERP.match(value)
             if m:
-                return resolve(_lookup(root, m.group(1)))
+                key = m.group(1)
+                if key.startswith("now:"):
+                    # ${now:%Y-%m-%d/%H-%M-%S} — per-run output dirs, the
+                    # counterpart of hydra's run-dir (reference
+                    # default.yaml:158-162). Resolved once per load.
+                    import datetime
+
+                    return datetime.datetime.now().strftime(key[4:])
+                return resolve(_lookup(root, key))
             return value
         if isinstance(value, dict):
             return {k: resolve(v) for k, v in value.items()}

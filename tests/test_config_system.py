@@ -69,3 +69,14 @@ class TestConfigSystem:
 
             BeatmapConfig(**cfg["model"]["beatmap_config"])
             MetadataConfig(**cfg["model"]["metadata_config"])
+
+
+def test_now_interpolation_makes_timestamped_dirs():
+    """${now:FMT} resolves to a strftime of load time — the counterpart of
+    hydra's per-run output dir (reference configs chdir to logs/date/time)."""
+    import re
+
+    from cm3p_tpu.utils.config import _resolve_interpolations
+
+    out = _resolve_interpolations({"output_dir": "${now:logs/%Y-%m-%d/%H-%M-%S}"})
+    assert re.fullmatch(r"logs/\d{4}-\d{2}-\d{2}/\d{2}-\d{2}-\d{2}", out["output_dir"])
