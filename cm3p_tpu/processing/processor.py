@@ -11,6 +11,7 @@ with ragged lengths.
 from __future__ import annotations
 
 import copy
+import logging
 import math
 from os import PathLike
 from pathlib import Path
@@ -25,6 +26,8 @@ from ..beatmap.parser import BeatmapEventParser, get_song_length, load_beatmap
 from ..tokenize.beatmap_tokenizer import BatchTokens, BeatmapTokenizer
 from ..tokenize.metadata_tokenizer import Metadata, MetadataTokenizer, merge_metadata_dicts
 from ..utils.io import read_json, write_json
+
+logger = logging.getLogger(__name__)
 
 BeatmapInput = Union[str, PathLike, IO[str], Beatmap]
 
@@ -339,6 +342,18 @@ class CM3PProcessor:
                 b = load_beatmap(b)
                 song_length = get_song_length(audio_array, sampling_rate, b)
                 beatmap_groups = self.beatmap_parser.parse_beatmap(b, speed=speed, song_length=song_length)
+                if audio_array is not None and beatmap_groups:
+                    # windows derive from the AUDIO length (reference
+                    # semantics): a beatmap outlasting its audio silently
+                    # loses its tail — surface that instead of hiding it
+                    last_ms = beatmap_groups[-1].time
+                    if last_ms > song_length * 1000 + 2000:
+                        logger.warning(
+                            "beatmap extends %.1fs past its %.1fs audio; "
+                            "%d ms of objects will not appear in any window",
+                            last_ms / 1000 - song_length, song_length,
+                            int(last_ms - song_length * 1000),
+                        )
 
                 def add_metadata(song_position: Optional[float] = None):
                     if populate_metadata:

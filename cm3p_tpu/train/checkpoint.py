@@ -17,12 +17,21 @@ class CheckpointManager:
     def __init__(self, directory: str, save_interval_steps: int = 1000, max_to_keep: int = 3):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self._protected_step: Optional[int] = None
         options = ocp.CheckpointManagerOptions(
             save_interval_steps=save_interval_steps,
             max_to_keep=max_to_keep,
             enable_async_checkpointing=True,
+            # the best-eval checkpoint is pinned against max_to_keep pruning
+            # (the reference's save_total_limit could delete its best model;
+            # load_best_model_at_end then failed — same hazard HF has)
+            should_keep_fn=lambda step: step == self._protected_step,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def protect(self, step: Optional[int]) -> None:
+        """Pin ``step`` (the current best) so retention never deletes it."""
+        self._protected_step = step
 
     def should_save(self, step: int) -> bool:
         return self._mgr.should_save(step)

@@ -205,8 +205,10 @@ class Trainer:
                         ):
                             self._best_eval_loss = float(eval_loss)
                             self._best_eval_step = opt_step
-                            # make sure the best step is on disk (retention may
-                            # still prune it later; reference has the same hazard)
+                            # persist the best step and pin it against
+                            # max_to_keep pruning (fixes the retention race
+                            # the reference inherits from HF Trainer)
+                            self.ckpt.protect(opt_step)
                             if self.ckpt.latest_step() != opt_step:
                                 self.ckpt.save(opt_step, jax.device_get(state), force=True)
 

@@ -189,3 +189,24 @@ class TestBestModelAndResults:
         # restored state step must match the best step when it differs
         if results["best_eval_step"] != results["final_step"]:
             assert int(state.step) == results["best_eval_step"]
+
+
+class TestRetentionProtection:
+    def test_protected_step_survives_max_to_keep(self, tmp_path):
+        """The pinned best-eval checkpoint is exempt from retention pruning
+        (ROADMAP rough edge #6: the reference's save_total_limit can delete
+        its own best model)."""
+        from cm3p_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ck"), save_interval_steps=1, max_to_keep=1)
+        state = {"w": jnp.arange(4.0)}
+        mgr.save(1, state, force=True)
+        mgr.protect(2)
+        mgr.save(2, {"w": jnp.arange(4.0) * 2}, force=True)
+        mgr.save(3, state, force=True)
+        mgr.save(4, state, force=True)
+        mgr.wait()
+        restored = mgr.restore({"w": jnp.zeros(4)}, step=2)
+        np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0) * 2)
+        assert mgr.latest_step() == 4
+        mgr.close()
