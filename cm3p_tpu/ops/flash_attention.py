@@ -222,6 +222,161 @@ def _block_ranges(b, nq, num_kb, nk_grid, block_q, block_k, window, qseg, kseg):
     return start.astype(jnp.int32), count.astype(jnp.int32)
 
 
+def _window_fused_kernel(
+    q_ref, *rest,
+    window: int, block_q: int, block_k: int, num_kb: int,
+    nblocks: int, seq_len: int, has_seg: bool,
+):
+    """Single-pass windowed attention: all key blocks in one grid step.
+
+    Local layers visit only ``nblocks`` (typically 3) key blocks per query
+    block, so unrolling them into one step removes the online-softmax
+    rescale chain AND 2/3 of the grid steps — per-step overhead (~4.6 us)
+    was ~40% of the streaming kernel's runtime at w=64 on v5e.
+    Ref layout: q, k*nblocks, v*nblocks[, qseg, kseg*nblocks], out, lse.
+    """
+    k_refs = rest[:nblocks]
+    v_refs = rest[nblocks:2 * nblocks]
+    if has_seg:
+        qseg_ref = rest[2 * nblocks]
+        kseg_refs = rest[2 * nblocks + 1:3 * nblocks + 1]
+        out_ref, lse_ref = rest[3 * nblocks + 1:3 * nblocks + 3]
+    else:
+        qseg_ref, kseg_refs = None, [None] * nblocks
+        out_ref, lse_ref = rest[2 * nblocks:2 * nblocks + 2]
+
+    qi = pl.program_id(1)
+    start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
+    q = q_ref[0]  # (hg, bq, D) pre-scaled
+    acc_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    ss, ms = [], []
+    for j in range(nblocks):
+        s = jax.lax.dot_general(
+            q, k_refs[j][0], (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(acc_t)
+        cols = (start_kb + j) * block_k + col0
+        mask2d = jnp.abs(rows - cols) <= window
+        if has_seg:
+            kseg = kseg_refs[j][0, 0]
+            qseg = qseg_ref[0, 0]
+            mask2d = jnp.logical_and(
+                mask2d, jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            )
+        elif seq_len % block_k != 0:
+            mask2d = jnp.logical_and(mask2d, cols < seq_len)
+        s = s + jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t)[None, :, :]
+        ss.append(s)
+        ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
+
+    m = ms[0]
+    for j in range(1, nblocks):
+        m = jnp.maximum(m, ms[j])
+    m_safe = jnp.where(m < NEG_INF * 0.5, 0.0, m)
+
+    l = None
+    acc = None
+    for j in range(nblocks):
+        p = jnp.exp2(ss[j] - m_safe[:, :, None].astype(acc_t))
+        lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
+        pv = jax.lax.dot_general(
+            p.astype(v_refs[j].dtype), v_refs[j][0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        l = lj if l is None else l + lj
+        acc = pv if acc is None else acc + pv
+    l = jnp.maximum(l, 1e-30)
+    out_ref[0] = (acc / l[:, :, None]).astype(out_ref.dtype)
+    lse_ref[0] = m_safe + jnp.log2(l)
+
+
+def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, return_lse):
+    """Dispatcher for the single-pass windowed kernel (lq == lk)."""
+    b, h, l, d = q.shape
+    q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
+    l_pad = _cdiv(l, block_q) * block_q
+    if l_pad % block_k:
+        l_pad = _cdiv(l_pad, block_k) * block_k
+    if l_pad != l:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, l_pad - l), (0, 0)])
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, l_pad - l), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, l_pad - l), (0, 0)])
+        if qseg is not None:
+            qseg = jnp.pad(qseg, [(0, 0), (0, l_pad - l)])
+            kseg = jnp.pad(kseg, [(0, 0), (0, l_pad - l)])
+    num_kb = l_pad // block_k
+    nq = l_pad // block_q
+    nblocks = min(num_kb, _cdiv(block_q + 2 * window, block_k) + 1)
+
+    hg = _pick_head_group(h, block_q, block_k * nblocks, d, q.dtype.itemsize)
+    g = h // hg
+    bg = b * g
+    qf = q.reshape(bg, hg, l_pad, d)
+    kf = k.reshape(bg, hg, l_pad, d)
+    vf = v.reshape(bg, hg, l_pad, d)
+
+    def kix(j):
+        return lambda bgi, qi, _j=j: (
+            bgi, 0, jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j, 0
+        )
+
+    in_specs = [pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM)]
+    args = [qf]
+    for j in range(nblocks):
+        in_specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
+        args.append(kf)
+    for j in range(nblocks):
+        in_specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
+        args.append(vf)
+    has_seg = qseg is not None
+    if has_seg:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_q), lambda bgi, qi, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM))
+        args.append(qseg.astype(jnp.int32)[:, None, :])
+        ksegf = kseg.astype(jnp.int32)[:, None, :]
+        for j in range(nblocks):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, block_k),
+                lambda bgi, qi, _j=j, _g=g: (
+                    bgi // _g, 0,
+                    jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j,
+                ),
+                memory_space=pltpu.VMEM))
+            args.append(ksegf)
+
+    kernel = functools.partial(
+        _window_fused_kernel, window=window, block_q=block_q, block_k=block_k,
+        num_kb=num_kb, nblocks=nblocks, seq_len=l, has_seg=has_seg,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bg, nq),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, block_q), lambda bgi, qi: (bgi, 0, qi), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bg, hg, l_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * l_pad * nblocks * block_k * d,
+            bytes_accessed=(b * h * l_pad * d * 4) * q.dtype.itemsize,
+            transcendentals=b * h * l_pad * nblocks * block_k,
+        ),
+    )(*args)
+    out = out.reshape(b, h, l_pad, d)[:, :, :l, :]
+    if return_lse:
+        return out, lse.reshape(b, h, l_pad)[:, :, :l], hg
+    return out
+
+
 def _flash_attention_fwd_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -237,6 +392,8 @@ def _flash_attention_fwd_impl(
     lk = k.shape[2]
     if window is not None and lq != lk:
         raise ValueError("windowed attention requires equal q/k lengths")
+    if window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4:
+        return _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, return_lse)
     # fold both the softmax scale and log2(e) into q: scores land in log2
     # space so the kernel's transcendental is exp2, not exp
     q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
