@@ -160,6 +160,243 @@ def _dq_kernel(
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
+def _dq_fused_kernel(
+    qs_ref, *rest,
+    window: int, block_q: int, block_k: int, num_kb: int, nblocks: int,
+    seq_len: int, has_seg: bool,
+):
+    """Single-pass dQ for windowed layers: all key blocks in one grid step.
+
+    Same rationale as the forward's _window_fused_kernel — at w=64 only 3
+    key blocks are visited per query block, so unrolling removes 2/3 of the
+    grid steps and the scratch accumulate/read chain.
+    Ref layout: qs, k*n, v*n, do, lse, delta[, qseg, kseg*n], dq.
+    """
+    k_refs = rest[:nblocks]
+    v_refs = rest[nblocks:2 * nblocks]
+    do_ref, lse_ref, delta_ref = rest[2 * nblocks:2 * nblocks + 3]
+    if has_seg:
+        qseg_ref = rest[2 * nblocks + 3]
+        kseg_refs = rest[2 * nblocks + 4:3 * nblocks + 4]
+        dq_ref = rest[3 * nblocks + 4]
+    else:
+        qseg_ref, kseg_refs = None, [None] * nblocks
+        dq_ref = rest[2 * nblocks + 3]
+
+    qi = pl.program_id(1)
+    start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
+    qs = qs_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+
+    dq = None
+    for j in range(nblocks):
+        k = k_refs[j][0]
+        v = v_refs[j][0]
+        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        bias2d = _mask_bias2d(
+            qi * block_q, (start_kb + j) * block_k, block_q, block_k, window,
+            qseg_ref[0, 0] if has_seg else None,
+            kseg_refs[j][0, 0] if has_seg else None,
+            seq_len, not has_seg, jnp.float32,
+        )
+        if bias2d is not None:
+            s = s + bias2d[None, :, :]
+        p = jnp.exp(s - lse[:, :, None])
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, :, None])).astype(acc_t)
+        contrib = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dq = contrib if dq is None else dq + contrib
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_fused_kernel(
+    k_ref, v_ref, *rest,
+    window: int, block_q: int, block_k: int, num_qb: int, nblocks: int,
+    seq_len: int, has_seg: bool,
+):
+    """Single-pass dK/dV for windowed layers (q blocks unrolled).
+
+    Ref layout: k, v, qs*n, do*n, lse*n, delta*n[, qseg*n, kseg], dk, dv.
+    """
+    qs_refs = rest[:nblocks]
+    do_refs = rest[nblocks:2 * nblocks]
+    lse_refs = rest[2 * nblocks:3 * nblocks]
+    delta_refs = rest[3 * nblocks:4 * nblocks]
+    if has_seg:
+        qseg_refs = rest[4 * nblocks:5 * nblocks]
+        kseg_ref = rest[5 * nblocks]
+        dk_ref, dv_ref = rest[5 * nblocks + 1:5 * nblocks + 3]
+    else:
+        qseg_refs, kseg_ref = [None] * nblocks, None
+        dk_ref, dv_ref = rest[4 * nblocks:4 * nblocks + 2]
+
+    ki = pl.program_id(1)
+    start_qb = jnp.clip((ki * block_k - window) // block_q, 0, num_qb - nblocks)
+    k = k_ref[0]
+    v = v_ref[0]
+
+    dk = None
+    dv = None
+    for j in range(nblocks):
+        qs = qs_refs[j][0]
+        do = do_refs[j][0]
+        lse = lse_refs[j][0]
+        delta = delta_refs[j][0]
+        acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        bias2d = _mask_bias2d(
+            (start_qb + j) * block_q, ki * block_k, block_q, block_k, window,
+            qseg_refs[j][0, 0] if has_seg else None,
+            kseg_ref[0, 0] if has_seg else None,
+            seq_len, not has_seg, jnp.float32,
+        )
+        if bias2d is not None:
+            s = s + bias2d[None, :, :]
+        p = jnp.exp(s - lse[:, :, None]).astype(acc_t)
+        dvj = jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+        ds = (p.astype(jnp.float32) * (dp - delta[:, :, None])).astype(acc_t)
+        dkj = jax.lax.dot_general(
+            ds, qs, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dk = dkj if dk is None else dk + dkj
+        dv = dvj if dv is None else dv + dvj
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k, hg, l, l_pad):
+    """Single-pass windowed backward dispatcher (both passes, grid (bg, n))."""
+    b, h = qs.shape[0], qs.shape[1]
+    d = qs.shape[3]
+    g = h // hg
+    bg = b * g
+
+    def r4(x):
+        return x.reshape(bg, hg, l_pad, d)
+
+    def r3(x):
+        return x.reshape(bg, hg, l_pad)
+
+    qsf, kf, vf, dof = r4(qs), r4(k), r4(v), r4(dout)
+    lsef, deltaf = r3(lse), r3(delta)
+    nq = l_pad // block_q
+    nk = l_pad // block_k
+    nkb = min(nk, _cdiv(block_q + 2 * window, block_k) + 1)
+    nqb = min(nq, _cdiv(block_k + 2 * window, block_q) + 1)
+    has_seg = qseg is not None
+
+    def kix(j):
+        return lambda bgi, qi, _j=j: (
+            bgi, 0, jnp.clip((qi * block_q - window) // block_k, 0, nk - nkb) + _j, 0
+        )
+
+    def kix3(j, _g=g):
+        return lambda bgi, qi, _j=j: (
+            bgi // _g, 0, jnp.clip((qi * block_q - window) // block_k, 0, nk - nkb) + _j
+        )
+
+    def qix_dkv(j):
+        return lambda bgi, ki, _j=j: (
+            bgi, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j, 0
+        )
+
+    def qix3_dkv(j, _g=g):
+        return lambda bgi, ki, _j=j: (
+            bgi, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j
+        )
+
+    # ---- dQ pass: grid (bg, nq)
+    specs = [pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM)]
+    args = [qsf]
+    for j in range(nkb):
+        specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
+        args.append(kf)
+    for j in range(nkb):
+        specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
+        args.append(vf)
+    specs += [
+        pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q), lambda bgi, qi: (bgi, 0, qi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_q), lambda bgi, qi: (bgi, 0, qi), memory_space=pltpu.VMEM),
+    ]
+    args += [dof, lsef, deltaf]
+    if has_seg:
+        specs.append(pl.BlockSpec((1, 1, block_q), lambda bgi, qi, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM))
+        args.append(qseg.astype(jnp.int32)[:, None, :])
+        ksegf = kseg.astype(jnp.int32)[:, None, :]
+        for j in range(nkb):
+            specs.append(pl.BlockSpec((1, 1, block_k), kix3(j), memory_space=pltpu.VMEM))
+            args.append(ksegf)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_fused_kernel, window=window, block_q=block_q, block_k=block_k,
+            num_kb=nk, nblocks=nkb, seq_len=l, has_seg=has_seg,
+        ),
+        grid=(bg, nq),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), qs.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+    )(*args)
+
+    # ---- dKV pass: grid (bg, nk)
+    specs = [
+        pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [kf, vf]
+    for j in range(nqb):
+        specs.append(pl.BlockSpec((1, hg, block_q, d), qix_dkv(j), memory_space=pltpu.VMEM))
+        args.append(qsf)
+    for j in range(nqb):
+        specs.append(pl.BlockSpec((1, hg, block_q, d), qix_dkv(j), memory_space=pltpu.VMEM))
+        args.append(dof)
+    for j in range(nqb):
+        specs.append(pl.BlockSpec((1, hg, block_q), qix3_dkv(j), memory_space=pltpu.VMEM))
+        args.append(lsef)
+    for j in range(nqb):
+        specs.append(pl.BlockSpec((1, hg, block_q), qix3_dkv(j), memory_space=pltpu.VMEM))
+        args.append(deltaf)
+    if has_seg:
+        qsegf = qseg.astype(jnp.int32)[:, None, :]
+        for j in range(nqb):
+            specs.append(pl.BlockSpec(
+                (1, 1, block_q),
+                lambda bgi, ki, _j=j, _g=g: (
+                    bgi // _g, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j,
+                ),
+                memory_space=pltpu.VMEM))
+            args.append(qsegf)
+        specs.append(pl.BlockSpec((1, 1, block_k), lambda bgi, ki, _g=g: (bgi // _g, 0, ki), memory_space=pltpu.VMEM))
+        args.append(kseg.astype(jnp.int32)[:, None, :])
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_fused_kernel, window=window, block_q=block_q, block_k=block_k,
+            num_qb=nq, nblocks=nqb, seq_len=l, has_seg=has_seg,
+        ),
+        grid=(bg, nk),
+        in_specs=specs,
+        out_specs=(
+            pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bg, hg, l_pad, d), qs.dtype),
+            jax.ShapeDtypeStruct((bg, hg, l_pad, d), qs.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+    )(*args)
+    return dq, dk, dv
+
+
 def flash_attention_bwd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -206,6 +443,17 @@ def flash_attention_bwd(
     hg = head_group
     g = h // hg
     bg = b * g
+
+    if window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4 \
+            and _cdiv(block_k + 2 * window, block_q) + 1 <= 4:
+        dq, dk, dv = _window_fused_bwd(
+            qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k, hg, l, l_pad
+        )
+
+        def unpack_f(x):
+            return x.reshape(b, h, l_pad, d)[:, :, :l, :]
+
+        return unpack_f(dq) * jnp.asarray(scale, q.dtype), unpack_f(dk), unpack_f(dv)
 
     def r4(x):
         return x.reshape(bg, hg, l_pad, d)
