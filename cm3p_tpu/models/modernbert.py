@@ -67,13 +67,13 @@ def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
-    """Apply rotary embedding. q/k: (B, H, L, D); cos/sin: (B, L, D) or (L, D)."""
+    """Apply rotary embedding. q/k: head-minor (B, L, H, D); cos/sin: (B, L, D) or (L, D)."""
     if cos.ndim == 2:
-        cos = cos[None, None, :, :]
-        sin = sin[None, None, :, :]
+        cos = cos[None, :, None, :]
+        sin = sin[None, :, None, :]
     else:
-        cos = cos[:, None, :, :]
-        sin = sin[:, None, :, :]
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
     q = q * cos + rotate_half(q) * sin
     k = k * cos + rotate_half(k) * sin
     return q, k
@@ -92,9 +92,9 @@ def padding_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def xla_attention(q, k, v, bias, dropout_rate=0.0, deterministic=True, dropout_rng=None):
-    """Reference attention: fp32 softmax, MXU-friendly einsums."""
+    """Reference attention over head-minor (B, L, H, D): fp32 softmax."""
     head_dim = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(head_dim)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
@@ -103,7 +103,7 @@ def xla_attention(q, k, v, bias, dropout_rate=0.0, deterministic=True, dropout_r
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
     probs = probs.astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
 class SelfAttention(nn.Module):
@@ -131,8 +131,11 @@ class SelfAttention(nn.Module):
             name="Wqkv",
         )(x)
         b, l, _ = qkv.shape
+        # head-minor (B, L, H, D): the layout the Pallas kernels take — no
+        # (B, H, L, D) transposes anywhere on the flash path (they were real
+        # HBM copies, and head-major DMAs run ~4x slower; see ops/flash_attention.py)
         qkv = qkv.reshape(b, l, 3, heads, head_dim)
-        q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))  # (B, H, L, D)
+        q, k, v = (qkv[:, :, i] for i in range(3))  # (B, L, H, D)
 
         q, k = apply_rope(q, k, cos, sin)
 
@@ -156,7 +159,7 @@ class SelfAttention(nn.Module):
                 dropout_rng=None if deterministic else self.make_rng("dropout"),
             )
 
-        out = jnp.moveaxis(out, 1, 2).reshape(b, l, hidden)
+        out = out.reshape(b, l, hidden)
         out = nn.Dense(
             hidden,
             use_bias=cfg.attention_bias,

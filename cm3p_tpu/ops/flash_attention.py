@@ -11,8 +11,15 @@ local/global attention"). Replaces the reference's flash-attn-2 varlen path
   overlapping [qs-w, qs+Bq+w) are loaded — attention cost drops from O(L²)
   to O(L·w), which is the dominant win for ModernBERT-style encoders where
   2 of every 3 layers are local.
-* fp32 accumulation and softmax statistics over bf16 inputs; head-group
-  batching amortizes grid/DMA overhead at head_dim 64
+* **head-minor (B, L, H, D) layout**: q/k/v blocks are (1, block, H·D) —
+  fully contiguous with a 128-lane-aligned minor dim. The previous
+  (B, H, L, 64) layout half-filled every VMEM tile (minor dim 64) and
+  fragmented DMAs per head, capping HBM at ~170 GB/s vs ~640 GB/s head-minor
+  (measured, tools/bench_dma.py); the kernels were ~92 % DMA-bound
+  (tools/bench_kernel_anatomy.py). Heads are lane-sliced in-kernel — each
+  head's 64 lanes sit inside a single 128-lane tile, which Mosaic supports
+  (an in-kernel moveaxis to batched-head layout does NOT compile).
+* fp32 accumulation and softmax statistics over bf16 inputs
 * packed sequences via integer segment IDs (0 = padding), masked in-kernel
 * rectangular Lq != Lk support (sequence-parallel allgather-KV shards)
 * fused Pallas backward (flash_attention_bwd.py) through ``jax.custom_vjp``
@@ -37,6 +44,10 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _acc_t(x):
+    return jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+
+
 def _fa_kernel(
     start_ref,
     count_ref,
@@ -55,17 +66,15 @@ def _fa_kernel(
     block_q: int,
     block_k: int,
     num_kb: int,
-    nk_grid: int,
     seq_len: int,
-    head_group: int,
-    groups_per_batch: int,
+    heads: int,
+    head_dim: int,
 ):
-    """Online-softmax attention over a group of ``head_group`` heads.
+    """Streaming online-softmax attention, one (q-block, k-block) per step.
 
-    Batching heads into one grid step amortizes grid/DMA overhead, which
-    dominates at head_dim 64 (measured 4.6µs/step vs ~1µs compute on v5e).
-    Block shapes: q/k/v (1, hg, block, D); scratch m/l (hg, block_q),
-    acc (hg, block_q, D).
+    Head-minor blocks: q (1, bq, H·D), k/v (1, bk, H·D); the head loop is
+    unrolled in-kernel over lane slices. Scratch: m/l (H, bq) fp32 running
+    max/denominator, acc (bq, H·D) fp32.
 
     ``start_ref``/``count_ref`` (B, nq) int32 scalar-prefetch arrays give the
     key-block range each query block must visit — the window's span for
@@ -75,9 +84,9 @@ def _fa_kernel(
     query block's. Steps past ``count`` re-fetch the previous block (the
     pipeline elides the DMA) and skip all compute.
     """
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     kj = pl.program_id(2)
-    bi = pl.program_id(0) // groups_per_batch
     cnt = count_ref[bi, qi]
     kb = start_ref[bi, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
 
@@ -89,30 +98,18 @@ def _fa_kernel(
 
     @pl.when(kj < cnt)
     def _accumulate():
-        q = q_ref[0]  # (hg, block_q, D) — pre-scaled by 1/sqrt(D) outside
-        k = k_ref[0]  # (hg, block_k, D)
+        q = q_ref[0]  # (bq, H*D) — pre-scaled by log2(e)/sqrt(D) outside
+        k = k_ref[0]
         v = v_ref[0]
-
-        # batched QK^T over the head group. Scores/probs stay in the input
-        # dtype (bf16 in production): the elementwise softmax passes over
-        # (hg, bq, bk) dominate this kernel's runtime, and halving their
-        # width is a direct win; max/sum statistics accumulate in fp32.
-        acc_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(acc_t)  # MXU must accumulate fp32; narrow once for the VPU chain
+        acc_t = _acc_t(q)
 
         # one 2-D additive bias folds every mask (window / padding /
-        # segments); building it costs (bq, bk)-sized work once, and
-        # applying it is a single (hg, bq, bk) pass — the VPU, not the MXU,
-        # is this kernel's bottleneck at head_dim 64.
-        bias2d = None
+        # segments); built once per step and shared by every head.
+        mask2d = None
         if window is not None:
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask2d = jnp.abs(rows - cols) <= window
-        else:
-            mask2d = None
         if kseg_ref is not None:
             # segment semantics: key must be non-padding (seg > 0) and in
             # the same segment as the query; plain key-padding masks are
@@ -129,53 +126,129 @@ def _fa_kernel(
             cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask2d = jnp.logical_and(mask2d, cols < seq_len)
 
+        bias2d = None
         if mask2d is not None:
-            # select in fp32 layout, then cast: Mosaic cannot relayout an i1
-            # vector from fp32 (8,128) tiling to bf16 (16,128) tiling
             bias2d = jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t)
-            s = s + bias2d[None, :, :]
 
-        m_prev = m_scr[:]  # (hg, block_q) fp32
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1).astype(jnp.float32))
-        # fully-masked rows have m_new <= NEG_INF (finite!): pin the shift to
-        # 0 there so exp2(s - m) underflows to 0 instead of exp2(0) = 1
-        m_safe = jnp.where(m_new < NEG_INF * 0.5, 0.0, m_new)
-        # base-2 softmax: log2(e) is folded into the q-scale, so the VPU
-        # evaluates exp2 (~1.5x the throughput of exp on TPU)
-        p = jnp.exp2(s - m_safe[:, :, None].astype(acc_t))  # masked entries underflow to 0
-        alpha = jnp.where(m_prev < NEG_INF * 0.5, 0.0, jnp.exp2(m_prev - m_safe))
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(acc_t)  # (bq, bk); MXU accumulates fp32, narrow once for the VPU chain
+            if bias2d is not None:
+                s = s + bias2d
 
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, dtype=jnp.float32)
-        # batched PV: (hg, block_q, block_k) @ (hg, block_k, D)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # fp32 accumulate
-        acc_scr[:] = acc_scr[:] * alpha[:, :, None] + pv
-        m_scr[:] = m_new
+            m_prev = m_scr[h]  # (bq,) fp32
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1).astype(jnp.float32))
+            # fully-masked rows have m_new <= NEG_INF (finite!): pin the
+            # shift to 0 there so exp2(s - m) underflows instead of exp2(0)=1
+            m_safe = jnp.where(m_new < NEG_INF * 0.5, 0.0, m_new)
+            # base-2 softmax: log2(e) folded into the q-scale, so the VPU
+            # evaluates exp2 (~1.5x the throughput of exp on TPU)
+            p = jnp.exp2(s - m_safe[:, None].astype(acc_t))
+            alpha = jnp.where(m_prev < NEG_INF * 0.5, 0.0, jnp.exp2(m_prev - m_safe))
+
+            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=-1, dtype=jnp.float32)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[:, sl] = acc_scr[:, sl] * alpha[:, None] + pv
+            m_scr[h] = m_new
 
     @pl.when(kj == jnp.maximum(cnt, 1) - 1)
     def _finalize():
-        denom = jnp.maximum(l_scr[:], 1e-30)
-        out_ref[0] = (acc_scr[:] / denom[:, :, None]).astype(out_ref.dtype)
+        denom = jnp.maximum(l_scr[:], 1e-30)  # (H, bq)
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            out_ref[0, :, sl] = (acc_scr[:, sl] / denom[h][:, None]).astype(out_ref.dtype)
         # log2-sum-exp2 residual for the Pallas backward; fully-masked rows
-        # get a moderately negative value so exp2(s - lse) underflows to 0
+        # get a moderately negative value so exp2(s - lse) underflows to 0.
+        # lse block is (1, h_pad, bq) with h_pad 8-aligned >= heads: write
+        # real head rows only, the padding rows are sliced away outside
         m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
-        lse_ref[0] = m_safe + jnp.log2(denom)
+        lse2 = m_safe + jnp.log2(denom)
+        for h in range(heads):
+            lse_ref[0, h] = lse2[h]
 
 
-def _pick_head_group(h: int, block_q: int, block_k: int, d: int, itemsize: int = 2) -> int:
-    """Largest head group keeping the fp32 score block under ~4.5 MB VMEM.
+def _window_fused_kernel(
+    q_ref, *rest,
+    window: int, block_q: int, block_k: int, num_kb: int,
+    nblocks: int, seq_len: int, has_seg: bool, heads: int, head_dim: int,
+):
+    """Single-pass windowed attention: all key blocks in one grid step.
 
-    fp32 inputs double the q/k/v/out block footprints (double-buffered by the
-    pipeline), so the budget is halved — bf16-calibrated hg=12 at 256x256
-    blocks overflows the 16 MB scoped-vmem limit by ~2 MB in fp32.
+    Local layers visit only ``nblocks`` (typically 3) key blocks per query
+    block, so unrolling them into one step removes the online-softmax
+    rescale chain AND 2/3 of the grid steps — per-step overhead was ~40 %
+    of the streaming kernel's runtime at w=64 on v5e.
+    Ref layout: q, k*nblocks, v*nblocks[, qseg, kseg*nblocks], out, lse.
     """
-    budget = 4_500_000 if itemsize <= 2 else 2_250_000
-    hg = max(1, budget // (block_q * block_k * 4))
-    while hg > 1 and h % hg != 0:
-        hg -= 1
-    return min(hg, h)
+    k_refs = rest[:nblocks]
+    v_refs = rest[nblocks:2 * nblocks]
+    if has_seg:
+        qseg_ref = rest[2 * nblocks]
+        kseg_refs = rest[2 * nblocks + 1:3 * nblocks + 1]
+        out_ref, lse_ref = rest[3 * nblocks + 1:3 * nblocks + 3]
+    else:
+        qseg_ref, kseg_refs = None, [None] * nblocks
+        out_ref, lse_ref = rest[2 * nblocks:2 * nblocks + 2]
 
+    qi = pl.program_id(1)
+    start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
+    q = q_ref[0]  # (bq, H*D) pre-scaled
+    acc_t = _acc_t(q)
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    # per-key-block masks, shared across heads
+    biases = []
+    for j in range(nblocks):
+        cols = (start_kb + j) * block_k + col0
+        mask2d = jnp.abs(rows - cols) <= window
+        if has_seg:
+            kseg = kseg_refs[j][0, 0]
+            qseg = qseg_ref[0, 0]
+            mask2d = jnp.logical_and(
+                mask2d, jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            )
+        elif seq_len % block_k != 0:
+            mask2d = jnp.logical_and(mask2d, cols < seq_len)
+        biases.append(jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t))
+
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, sl]
+        ss, ms = [], []
+        for j in range(nblocks):
+            s = jax.lax.dot_general(
+                qh, k_refs[j][0][:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(acc_t)
+            s = s + biases[j]
+            ss.append(s)
+            ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
+
+        m = ms[0]
+        for j in range(1, nblocks):
+            m = jnp.maximum(m, ms[j])
+        m_safe = jnp.where(m < NEG_INF * 0.5, 0.0, m)
+
+        l_sum = None
+        acc = None
+        for j in range(nblocks):
+            p = jnp.exp2(ss[j] - m_safe[:, None].astype(acc_t))
+            lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
+            pv = jax.lax.dot_general(
+                p.astype(v_refs[j].dtype), v_refs[j][0][:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_sum = lj if l_sum is None else l_sum + lj
+            acc = pv if acc is None else acc + pv
+        l_sum = jnp.maximum(l_sum, 1e-30)
+        out_ref[0, :, sl] = (acc / l_sum[:, None]).astype(out_ref.dtype)
+        lse_ref[0, h] = m_safe + jnp.log2(l_sum)
 
 
 def _block_ranges(b, nq, num_kb, nk_grid, block_q, block_k, window, qseg, kseg):
@@ -222,87 +295,222 @@ def _block_ranges(b, nq, num_kb, nk_grid, block_q, block_k, window, qseg, kseg):
     return start.astype(jnp.int32), count.astype(jnp.int32)
 
 
-def _window_fused_kernel(
+UNROLL = 4  # key blocks per grid step in the unrolled global kernel
+
+
+def _seg_unrolled_kernel(
+    start_ref, count_ref,
     q_ref, *rest,
-    window: int, block_q: int, block_k: int, num_kb: int,
-    nblocks: int, seq_len: int, has_seg: bool,
+    block_q: int, block_k: int, heads: int, head_dim: int, unroll: int,
 ):
-    """Single-pass windowed attention: all key blocks in one grid step.
+    """Global/packed attention, ``unroll`` key blocks per grid step.
 
-    Local layers visit only ``nblocks`` (typically 3) key blocks per query
-    block, so unrolling them into one step removes the online-softmax
-    rescale chain AND 2/3 of the grid steps — per-step overhead (~4.6 us)
-    was ~40% of the streaming kernel's runtime at w=64 on v5e.
-    Ref layout: q, k*nblocks, v*nblocks[, qseg, kseg*nblocks], out, lse.
+    A per-key-block streaming kernel pays ~3 dozen tiny VPU ops per step
+    (12 heads x per-head m/l updates and lane-sliced scratch rescales) —
+    measured 2x slower than batched-head streaming. Unrolling U blocks into
+    one step divides both the grid steps and the online-softmax rescale
+    chain by U, which is exactly the structure that makes the fused local
+    kernel fast. Blocks past ``count`` are clamped re-fetches of a valid
+    block; an explicit (t*U + j < count) term in the mask excludes them
+    (the segment mask alone would double-count the clamped duplicates).
+
+    Ref layout: q, k*U, v*U, qseg, kseg*U, out, lse, scratch m/l/acc.
     """
-    k_refs = rest[:nblocks]
-    v_refs = rest[nblocks:2 * nblocks]
-    if has_seg:
-        qseg_ref = rest[2 * nblocks]
-        kseg_refs = rest[2 * nblocks + 1:3 * nblocks + 1]
-        out_ref, lse_ref = rest[3 * nblocks + 1:3 * nblocks + 3]
-    else:
-        qseg_ref, kseg_refs = None, [None] * nblocks
-        out_ref, lse_ref = rest[2 * nblocks:2 * nblocks + 2]
+    k_refs = rest[:unroll]
+    v_refs = rest[unroll:2 * unroll]
+    qseg_ref = rest[2 * unroll]
+    kseg_refs = rest[2 * unroll + 1:3 * unroll + 1]
+    out_ref, lse_ref = rest[3 * unroll + 1:3 * unroll + 3]
+    m_scr, l_scr, acc_scr = rest[3 * unroll + 3:3 * unroll + 6]
 
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
-    start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
-    q = q_ref[0]  # (hg, bq, D) pre-scaled
-    acc_t = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
-    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    t = pl.program_id(2)
+    cnt = count_ref[bi, qi]
+    outer = (cnt + unroll - 1) // unroll
 
-    ss, ms = [], []
-    for j in range(nblocks):
-        s = jax.lax.dot_general(
-            q, k_refs[j][0], (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(acc_t)
-        cols = (start_kb + j) * block_k + col0
-        mask2d = jnp.abs(rows - cols) <= window
-        if has_seg:
+    @pl.when(t == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(t < outer)
+    def _accumulate():
+        q = q_ref[0]
+        acc_t = _acc_t(q)
+        qseg = qseg_ref[0, 0]
+        biases = []
+        for j in range(unroll):
             kseg = kseg_refs[j][0, 0]
-            qseg = qseg_ref[0, 0]
-            mask2d = jnp.logical_and(
-                mask2d, jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            seg_ok = jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            valid = t * unroll + j < cnt  # scalar; kills clamped duplicate blocks
+            biases.append(jnp.where(jnp.logical_and(seg_ok, valid), 0.0, NEG_INF).astype(acc_t))
+
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            qh = q[:, sl]
+            ss, ms = [], []
+            for j in range(unroll):
+                s = jax.lax.dot_general(
+                    qh, k_refs[j][0][:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(acc_t)
+                s = s + biases[j]
+                ss.append(s)
+                ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
+            m_blk = ms[0]
+            for j in range(1, unroll):
+                m_blk = jnp.maximum(m_blk, ms[j])
+            m_prev = m_scr[h]
+            m_new = jnp.maximum(m_prev, m_blk)
+            m_safe = jnp.where(m_new < NEG_INF * 0.5, 0.0, m_new)
+            alpha = jnp.where(m_prev < NEG_INF * 0.5, 0.0, jnp.exp2(m_prev - m_safe))
+
+            l_sum = None
+            pv = None
+            for j in range(unroll):
+                p = jnp.exp2(ss[j] - m_safe[:, None].astype(acc_t))
+                lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
+                pvj = jax.lax.dot_general(
+                    p.astype(v_refs[j].dtype), v_refs[j][0][:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                l_sum = lj if l_sum is None else l_sum + lj
+                pv = pvj if pv is None else pv + pvj
+            l_scr[h] = l_scr[h] * alpha + l_sum
+            acc_scr[:, sl] = acc_scr[:, sl] * alpha[:, None] + pv
+            m_scr[h] = m_new
+
+    @pl.when(t == jnp.maximum(outer, 1) - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:], 1e-30)
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            out_ref[0, :, sl] = (acc_scr[:, sl] / denom[h][:, None]).astype(out_ref.dtype)
+        m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
+        lse2 = m_safe + jnp.log2(denom)
+        for h in range(heads):
+            lse_ref[0, h] = lse2[h]
+
+
+def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
+    """Dispatcher for the unrolled global/packed kernel (window=None, segments).
+
+    q/k/v: (B, L, H*D) head-minor; handles rectangular lq != lk."""
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    d = hd // heads
+    unroll = UNROLL
+    q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
+
+    lq_pad = _cdiv(lq, block_q) * block_q
+    lk_pad = _cdiv(lk, block_k) * block_k
+    if lq_pad != lq:
+        q = jnp.pad(q, [(0, 0), (0, lq_pad - lq), (0, 0)])
+        qseg = jnp.pad(qseg, [(0, 0), (0, lq_pad - lq)])
+    if lk_pad != lk:
+        k = jnp.pad(k, [(0, 0), (0, lk_pad - lk), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, lk_pad - lk), (0, 0)])
+        kseg = jnp.pad(kseg, [(0, 0), (0, lk_pad - lk)])
+
+    nq = lq_pad // block_q
+    num_kb = lk_pad // block_k
+    nt = _cdiv(num_kb, unroll)
+
+    start_arr, count_arr = _block_ranges(
+        b, nq, num_kb, num_kb, block_q, block_k, None, qseg, kseg
+    )
+
+    def kb_index(j):
+        def index(bi, qi, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, qi]
+            kb = start_ref[bi, qi] + jnp.minimum(
+                t * unroll + _j, jnp.maximum(cnt - 1, 0)
             )
-        elif seq_len % block_k != 0:
-            mask2d = jnp.logical_and(mask2d, cols < seq_len)
-        s = s + jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t)[None, :, :]
-        ss.append(s)
-        ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
+            return (bi, kb, 0)
 
-    m = ms[0]
-    for j in range(1, nblocks):
-        m = jnp.maximum(m, ms[j])
-    m_safe = jnp.where(m < NEG_INF * 0.5, 0.0, m)
+        return index
 
-    l = None
-    acc = None
-    for j in range(nblocks):
-        p = jnp.exp2(ss[j] - m_safe[:, :, None].astype(acc_t))
-        lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
-        pv = jax.lax.dot_general(
-            p.astype(v_refs[j].dtype), v_refs[j][0], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        l = lj if l is None else l + lj
-        acc = pv if acc is None else acc + pv
-    l = jnp.maximum(l, 1e-30)
-    out_ref[0] = (acc / l[:, :, None]).astype(out_ref.dtype)
-    lse_ref[0] = m_safe + jnp.log2(l)
+    def kseg_index(j):
+        def index(bi, qi, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, qi]
+            kb = start_ref[bi, qi] + jnp.minimum(
+                t * unroll + _j, jnp.maximum(cnt - 1, 0)
+            )
+            return (bi, 0, kb)
+
+        return index
+
+    in_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    args = [q]
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kb_index(j), memory_space=pltpu.VMEM))
+        args.append(k)
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kb_index(j), memory_space=pltpu.VMEM))
+        args.append(v)
+    in_specs.append(pl.BlockSpec((1, 1, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM))
+    args.append(qseg.astype(jnp.int32)[:, None, :])
+    ksegi = kseg.astype(jnp.int32)[:, None, :]
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((1, 1, block_k), kseg_index(j), memory_space=pltpu.VMEM))
+        args.append(ksegi)
+
+    h_pad = _cdiv(heads, 8) * 8
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _seg_unrolled_kernel, block_q=block_q, block_k=block_k,
+            heads=heads, head_dim=d, unroll=unroll,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nq, nt),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((heads, block_q), jnp.float32),
+                pltpu.VMEM((heads, block_q), jnp.float32),
+                pltpu.VMEM((block_q, hd), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h_pad, lq_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * lq_pad * lk_pad * d,
+            bytes_accessed=(b * (lq_pad + 2 * lk_pad) * hd + b * lq_pad * hd) * q.dtype.itemsize,
+            transcendentals=b * heads * lq_pad * lk_pad,
+        ),
+    )(start_arr, count_arr, *args)
+
+    out = out[:, :lq, :]
+    if return_lse:
+        return out, lse[:, :heads, :lq]
+    return out
 
 
-def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, return_lse):
-    """Dispatcher for the single-pass windowed kernel (lq == lk)."""
-    b, h, l, d = q.shape
+def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse):
+    """Dispatcher for the single-pass windowed kernel (lq == lk).
+
+    q/k/v: (B, L, H*D) head-minor."""
+    b, l, hd = q.shape
+    d = hd // heads
     q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
     l_pad = _cdiv(l, block_q) * block_q
     if l_pad % block_k:
         l_pad = _cdiv(l_pad, block_k) * block_k
     if l_pad != l:
-        q = jnp.pad(q, [(0, 0), (0, 0), (0, l_pad - l), (0, 0)])
-        k = jnp.pad(k, [(0, 0), (0, 0), (0, l_pad - l), (0, 0)])
-        v = jnp.pad(v, [(0, 0), (0, 0), (0, l_pad - l), (0, 0)])
+        q = jnp.pad(q, [(0, 0), (0, l_pad - l), (0, 0)])
+        k = jnp.pad(k, [(0, 0), (0, l_pad - l), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, l_pad - l), (0, 0)])
         if qseg is not None:
             qseg = jnp.pad(qseg, [(0, 0), (0, l_pad - l)])
             kseg = jnp.pad(kseg, [(0, 0), (0, l_pad - l)])
@@ -310,70 +518,63 @@ def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, return_lse)
     nq = l_pad // block_q
     nblocks = min(num_kb, _cdiv(block_q + 2 * window, block_k) + 1)
 
-    hg = _pick_head_group(h, block_q, block_k * nblocks, d, q.dtype.itemsize)
-    g = h // hg
-    bg = b * g
-    qf = q.reshape(bg, hg, l_pad, d)
-    kf = k.reshape(bg, hg, l_pad, d)
-    vf = v.reshape(bg, hg, l_pad, d)
-
     def kix(j):
-        return lambda bgi, qi, _j=j: (
-            bgi, 0, jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j, 0
+        return lambda bi, qi, _j=j: (
+            bi, jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j, 0
         )
 
-    in_specs = [pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM)]
-    args = [qf]
+    in_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    args = [q]
     for j in range(nblocks):
-        in_specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
-        args.append(kf)
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kix(j), memory_space=pltpu.VMEM))
+        args.append(k)
     for j in range(nblocks):
-        in_specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
-        args.append(vf)
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kix(j), memory_space=pltpu.VMEM))
+        args.append(v)
     has_seg = qseg is not None
     if has_seg:
-        in_specs.append(pl.BlockSpec(
-            (1, 1, block_q), lambda bgi, qi, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM))
+        # (B, 1, L) layout keeps the TPU block tiling legal: block (1, 1, Bk)
+        in_specs.append(pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM))
         args.append(qseg.astype(jnp.int32)[:, None, :])
-        ksegf = kseg.astype(jnp.int32)[:, None, :]
+        ksegi = kseg.astype(jnp.int32)[:, None, :]
         for j in range(nblocks):
             in_specs.append(pl.BlockSpec(
                 (1, 1, block_k),
-                lambda bgi, qi, _j=j, _g=g: (
-                    bgi // _g, 0,
-                    jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j,
+                lambda bi, qi, _j=j: (
+                    bi, 0, jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j,
                 ),
                 memory_space=pltpu.VMEM))
-            args.append(ksegf)
+            args.append(ksegi)
 
     kernel = functools.partial(
         _window_fused_kernel, window=window, block_q=block_q, block_k=block_k,
-        num_kb=num_kb, nblocks=nblocks, seq_len=l, has_seg=has_seg,
+        num_kb=num_kb, nblocks=nblocks, seq_len=l, has_seg=has_seg, heads=heads, head_dim=d,
     )
+    h_pad = _cdiv(heads, 8) * 8  # lse sublane dim must be 8-aligned for TPU blocks
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bg, nq),
+        grid=(b, nq),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, block_q), lambda bgi, qi: (bgi, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bg, hg, l_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h_pad, l_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * l_pad * nblocks * block_k * d,
-            bytes_accessed=(b * h * l_pad * d * 4) * q.dtype.itemsize,
-            transcendentals=b * h * l_pad * nblocks * block_k,
+            flops=4 * b * heads * l_pad * nblocks * block_k * d,
+            bytes_accessed=(b * l_pad * hd * 4) * q.dtype.itemsize,
+            transcendentals=b * heads * l_pad * nblocks * block_k,
         ),
     )(*args)
-    out = out.reshape(b, h, l_pad, d)[:, :, :l, :]
+    out = out[:, :l, :]
     if return_lse:
-        return out, lse.reshape(b, h, l_pad)[:, :, :l], hg
+        return out, lse[:, :heads, :l]
     return out
 
 
@@ -386,14 +587,19 @@ def _flash_attention_fwd_impl(
     window: Optional[int],
     block_q: int,
     block_k: int,
+    heads: int,
     return_lse: bool = False,
 ):
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
+    """q/k/v: (B, L, H*D) head-minor flattened."""
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    d = hd // heads
     if window is not None and lq != lk:
         raise ValueError("windowed attention requires equal q/k lengths")
     if window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4:
-        return _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, return_lse)
+        return _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse)
+    if window is None and qseg is not None:
+        return _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse)
     # fold both the softmax scale and log2(e) into q: scores land in log2
     # space so the kernel's transcendental is exp2, not exp
     q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
@@ -403,22 +609,15 @@ def _flash_attention_fwd_impl(
     if window is not None:
         lq_pad = lk_pad = max(lq_pad, lk_pad)
     if lq_pad != lq:
-        q = jnp.pad(q, [(0, 0), (0, 0), (0, lq_pad - lq), (0, 0)])
+        q = jnp.pad(q, [(0, 0), (0, lq_pad - lq), (0, 0)])
         if qseg is not None:
             qseg = jnp.pad(qseg, [(0, 0), (0, lq_pad - lq)])
     if lk_pad != lk:
-        pad = [(0, 0), (0, 0), (0, lk_pad - lk), (0, 0)]
+        pad = [(0, 0), (0, lk_pad - lk), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         if kseg is not None:
             kseg = jnp.pad(kseg, [(0, 0), (0, lk_pad - lk)])
-
-    hg = _pick_head_group(h, block_q, block_k, d, q.dtype.itemsize)
-    groups_per_batch = h // hg
-    bg = b * groups_per_batch
-    qf = q.reshape(bg, hg, lq_pad, d)
-    kf = k.reshape(bg, hg, lk_pad, d)
-    vf = v.reshape(bg, hg, lk_pad, d)
 
     nq = lq_pad // block_q
     num_kb = lk_pad // block_k
@@ -433,42 +632,35 @@ def _flash_attention_fwd_impl(
         block_q=block_q,
         block_k=block_k,
         num_kb=num_kb,
-        nk_grid=nk_grid,
         seq_len=lk,
-        head_group=hg,
-        groups_per_batch=groups_per_batch,
+        heads=heads,
+        head_dim=d,
     )
 
     start_arr, count_arr = _block_ranges(
         b, nq, num_kb, nk_grid, block_q, block_k, window, qseg, kseg
     )
 
-    def k_index(bgi, qi, kj, start_ref, count_ref):
-        cnt = count_ref[bgi // groups_per_batch, qi]
-        kb = start_ref[bgi // groups_per_batch, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
-        return (bgi, 0, kb, 0)
+    def k_index(bi, qi, kj, start_ref, count_ref):
+        cnt = count_ref[bi, qi]
+        kb = start_ref[bi, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
+        return (bi, kb, 0)
 
     in_specs = [
-        pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi, kj, *_: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_k, d), k_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_k, d), k_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, hd), lambda bi, qi, kj, *_: (bi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), k_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), k_index, memory_space=pltpu.VMEM),
     ]
-    args = [qf, kf, vf]
+    args = [q, k, v]
     if qseg is not None:
         # (B, 1, L) layout keeps the TPU block tiling legal: block (1, 1, Bk)
         in_specs.append(
-            pl.BlockSpec(
-                (1, 1, block_q),
-                lambda bgi, qi, kj, *_s, _g=groups_per_batch: (bgi // _g, 0, qi),
-                memory_space=pltpu.VMEM,
-            )
+            pl.BlockSpec((1, 1, block_q), lambda bi, qi, kj, *_: (bi, 0, qi), memory_space=pltpu.VMEM)
         )
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, block_k),
-                lambda bgi, qi, kj, *_s, _g=groups_per_batch: (
-                    bgi // _g, 0, k_index(bgi, qi, kj, *_s)[2]
-                ),
+                lambda bi, qi, kj, *_s: (bi, 0, k_index(bi, qi, kj, *_s)[1]),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -480,52 +672,59 @@ def _flash_attention_fwd_impl(
             s_ref, c_ref, q_ref, k_ref, v_ref, None, None, *rest
         )
 
+    h_pad = _cdiv(heads, 8) * 8  # lse sublane dim must be 8-aligned for TPU blocks
     out, lse = pl.pallas_call(
         wrapped,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bg, nq, nk_grid),
+            grid=(b, nq, nk_grid),
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec(
-                    (1, hg, block_q, d), lambda bgi, qi, kj, *_: (bgi, 0, qi, 0), memory_space=pltpu.VMEM
+                    (1, block_q, hd), lambda bi, qi, kj, *_: (bi, qi, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, hg, block_q), lambda bgi, qi, kj, *_: (bgi, 0, qi), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, kj, *_: (bi, 0, qi), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((hg, block_q), jnp.float32),
-                pltpu.VMEM((hg, block_q), jnp.float32),
-                pltpu.VMEM((hg, block_q, d), jnp.float32),
+                pltpu.VMEM((heads, block_q), jnp.float32),
+                pltpu.VMEM((heads, block_q), jnp.float32),
+                pltpu.VMEM((block_q, hd), jnp.float32),
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bg, hg, lq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bg, hg, lq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h_pad, lq_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lq_pad * (min(lk_pad, (2 * (window or lk_pad))) * d),
-            bytes_accessed=(b * h * (lq_pad + 2 * lk_pad) * d + b * h * lq_pad * d) * q.dtype.itemsize,
-            transcendentals=b * h * lq_pad * min(lk_pad, 2 * (window or lk_pad)),
+            flops=4 * b * heads * lq_pad * (min(lk_pad, (2 * (window or lk_pad))) * d),
+            bytes_accessed=(b * (lq_pad + 2 * lk_pad) * hd + b * lq_pad * hd) * q.dtype.itemsize,
+            transcendentals=b * heads * lq_pad * min(lk_pad, 2 * (window or lk_pad)),
         ),
     )(start_arr, count_arr, *args)
 
-    out = out.reshape(b, h, lq_pad, d)[:, :, :lq, :]
+    out = out[:, :lq, :]
     if return_lse:
-        return out, lse.reshape(b, h, lq_pad)[:, :, :lq], hg
+        return out, lse[:, :heads, :lq]
     return out
 
 
-def _xla_reference(q, k, v, qseg, kseg, window):
-    """Dense-mask attention used for the recompute backward + parity tests."""
-    d = q.shape[-1]
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(d)
-    l = q.shape[2]
-    mask = jnp.ones((l, l), bool)
+def _xla_reference(q, k, v, qseg, kseg, window, heads):
+    """Dense-mask attention used for the recompute backward + parity tests.
+
+    q/k/v: (B, L, H*D) head-minor."""
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    d = hd // heads
+    qh = q.reshape(b, lq, heads, d)
+    kh = k.reshape(b, lk, heads, d)
+    vh = v.reshape(b, lk, heads, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32) / math.sqrt(d)
+    mask = jnp.ones((lq, lk), bool)
     if window is not None:
-        idx = jnp.arange(l)
+        idx = jnp.arange(lq)
         mask = jnp.abs(idx[:, None] - idx[None, :]) <= window
     mask = mask[None, None]
     if kseg is not None:
@@ -533,35 +732,38 @@ def _xla_reference(q, k, v, qseg, kseg, window):
         mask = jnp.logical_and(mask, qseg[:, None, :, None] == kseg[:, None, None, :])
     s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+    return o.reshape(b, lq, hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k):
-    return _flash_attention_fwd_impl(q, k, v, qseg, kseg, window, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k, heads):
+    return _flash_attention_fwd_impl(q, k, v, qseg, kseg, window, block_q, block_k, heads)
 
 
-def _fwd(q, k, v, qseg, kseg, window, block_q, block_k):
-    out, lse, hg = _flash_attention_fwd_impl(
-        q, k, v, qseg, kseg, window, block_q, block_k, return_lse=True
+def _fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads):
+    out, lse = _flash_attention_fwd_impl(
+        q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True
     )
-    return out, (q, k, v, qseg, kseg, out, lse, hg)
+    return out, (q, k, v, qseg, kseg, out, lse)
 
 
 BACKWARD_MODE = "pallas"  # "pallas" (fused kernels) or "xla" (dense recompute)
 
 
-def _bwd(window, block_q, block_k, res, g):
-    q, k, v, qseg, kseg, out, lse, hg = res
+def _bwd(window, block_q, block_k, heads, res, g):
+    q, k, v, qseg, kseg, out, lse = res
     if BACKWARD_MODE == "pallas":
         from .flash_attention_bwd import flash_attention_bwd
 
         dq, dk, dv = flash_attention_bwd(
-            q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, hg
+            q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads
         )
         return dq, dk, dv, None, None
     # dense recompute fallback (materializes O(L²) scores)
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window), q, k, v)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window, heads), q, k, v
+    )
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None
 
@@ -577,12 +779,20 @@ def flash_attention(
     key_mask: Optional[jnp.ndarray] = None,
     window: Optional[int] = None,
     segment_ids: Optional[jnp.ndarray] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 0,
+    block_k: int = 0,
 ) -> jnp.ndarray:
-    """Flash attention over (B, H, L, D) tensors.
+    """Flash attention over head-minor (B, L, H, D) tensors.
+
+    The (B, L, H, D) layout (flattened to (B, L, H·D) blocks in-kernel) is
+    deliberate: it keeps every DMA contiguous with 128-lane-aligned tiles —
+    ~4x the HBM bandwidth of the conventional (B, H, L, D) blocks at
+    head_dim 64 (tools/bench_dma.py) — and lets the caller skip the
+    (B, H, L, D) transposes entirely (the fused QKV projection already
+    produces (B, L, H, D)).
 
     Args:
+        q, k, v: (B, L, H, D).
         bias: optional additive (B, 1, 1, L) key-padding bias (0 / -inf style);
             converted to a boolean key mask.
         key_mask: optional (B, L) 0/1 mask (alternative to ``bias``).
@@ -590,7 +800,11 @@ def flash_attention(
         segment_ids: optional (B, L) int segments for packed sequences
             (0 = padding, >0 = segment index); attention stays within a
             segment — the TPU-native replacement for FA2 varlen unpadding.
+        block_q/block_k: 0 = auto (128 for windowed layers — measured best
+            at w=64 — and 256 for global/streaming).
     """
+    b, lq, heads, d = q.shape
+    lk = k.shape[1]
     if key_mask is None and bias is not None:
         key_mask = (bias.reshape(bias.shape[0], bias.shape[-1]) >= -0.5).astype(jnp.int32)
 
@@ -602,20 +816,29 @@ def flash_attention(
     elif key_mask is not None:
         # qseg sized by the QUERY length: in the rectangular allgather-KV
         # path key_mask spans the full gathered key axis while q is a shard
-        qseg = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)
+        qseg = jnp.ones((b, lq), jnp.int32)
         kseg = key_mask.astype(jnp.int32)
     else:
         qseg = kseg = None
 
     if window is None and qseg is None:
         # Mosaic (libtpu 2026-xx) crashes in ApplyVectorLayout on some
-        # mask-free global variants of the kernel (fp32 / small head
-        # groups); all-ones segments are semantically identical and take
-        # the well-exercised segmented codepath
-        qseg = kseg = jnp.ones(q.shape[:1] + q.shape[2:3], jnp.int32)
+        # mask-free global variants of the kernel; all-ones segments are
+        # semantically identical and take the well-exercised segmented
+        # codepath
+        qseg = kseg = jnp.ones((b, lq), jnp.int32)
 
-    l = q.shape[2]
-    block_q = min(block_q, max(128, 1 << (l - 1).bit_length()))
+    if not block_q:
+        block_q = 128 if window is not None else 256
+    if not block_k:
+        block_k = block_q
+    block_q = min(block_q, max(128, 1 << (lq - 1).bit_length()))
     block_q = min(block_q, 512)
-    block_k = min(block_k, block_q)
-    return _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k)
+    block_k = min(block_k, max(128, 1 << (lk - 1).bit_length()))
+    block_k = min(block_k, 512)
+
+    qf = q.reshape(b, lq, heads * d)
+    kf = k.reshape(b, lk, heads * d)
+    vf = v.reshape(b, lk, heads * d)
+    out = _flash_attention(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads)
+    return out.reshape(b, lq, heads, d)

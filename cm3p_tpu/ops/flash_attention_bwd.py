@@ -1,4 +1,4 @@
-"""Pallas backward kernels for flash attention.
+"""Pallas backward kernels for flash attention (head-minor layout).
 
 Standard two-kernel flash backward (dKV accumulates over query blocks, dQ
 over key blocks), recomputing probabilities from saved logsumexp residuals
@@ -6,6 +6,10 @@ instead of materializing the O(L²) score matrix the XLA-recompute fallback
 needs. Window / padding / segment masks mirror the forward kernel's
 2-D-bias construction; block ranges are the window-intersection logic with
 q/k roles swapped for dKV.
+
+Layout matches the forward: q/k/v/do blocks are head-minor (1, block, H·D)
+(contiguous, 128-lane-aligned DMAs — see flash_attention.py), heads are
+lane-sliced in an unrolled in-kernel loop; lse/delta ride as (1, H, block).
 
 Math (q' = q / sqrt(d) is pre-scaled; the forward kernel works in base-2
 for exp2 throughput, so its saved residual is log2-sum-exp2 — the prologue
@@ -35,8 +39,8 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _mask_bias2d(q_start, k_start, block_q, block_k, window, qseg, kseg, seq_len, need_bound, acc_t):
-    """(block_q, block_k) additive bias folding window/segment/bound masks."""
+def _mask_bias2d(q_start, k_start, block_q, block_k, window, qseg, kseg, seq_len, need_bound):
+    """(block_q, block_k) additive fp32 bias folding window/segment/bound masks."""
     mask2d = None
     if window is not None:
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -51,18 +55,33 @@ def _mask_bias2d(q_start, k_start, block_q, block_k, window, qseg, kseg, seq_len
         mask2d = bound if mask2d is None else jnp.logical_and(mask2d, bound)
     if mask2d is None:
         return None
-    return jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t)
+    return jnp.where(mask2d, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _head_bwd_terms(qs_h, k_h, v_h, do_h, lse_h, delta_h, bias2d, acc_t):
+    """Shared per-head backward math: returns (p, ds) as acc_t (bq, bk)."""
+    s = jax.lax.dot_general(
+        qs_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if bias2d is not None:
+        s = s + bias2d
+    p = jnp.exp(s - lse_h[:, None])  # fp32 (bq, bk)
+    dp = jax.lax.dot_general(
+        do_h, v_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta_h[:, None])).astype(acc_t)
+    return p.astype(acc_t), ds
 
 
 def _dkv_kernel(
     start_ref, count_ref,
     qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, window, block_q, block_k, num_qb, nq_grid, seq_len, groups_per_batch,
+    *, window, block_q, block_k, seq_len, heads, head_dim,
 ):
+    bi = pl.program_id(0)
     ki = pl.program_id(1)
     qj = pl.program_id(2)
-    bi = pl.program_id(0) // groups_per_batch
     cnt = count_ref[bi, ki]
     qb = start_ref[bi, ki] + jnp.minimum(qj, jnp.maximum(cnt - 1, 0))
 
@@ -73,37 +92,30 @@ def _dkv_kernel(
 
     @pl.when(qj < cnt)
     def _accumulate():
-        qs = qs_ref[0]  # (hg, bq, D) pre-scaled
+        qs = qs_ref[0]  # (bq, H*D) pre-scaled
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0]
-        lse = lse_ref[0]  # (hg, bq) fp32
+        lse = lse_ref[0]  # (H, bq) fp32, natural units
         delta = delta_ref[0]
         acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
-        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
         bias2d = _mask_bias2d(
             qb * block_q, ki * block_k, block_q, block_k, window,
             qseg_ref[0, 0] if qseg_ref is not None else None,
             kseg_ref[0, 0] if kseg_ref is not None else None,
-            seq_len, kseg_ref is None, jnp.float32,
+            seq_len, kseg_ref is None,
         )
-        if bias2d is not None:
-            s_b = s + bias2d[None, :, :]
-        else:
-            s_b = s
-        p = jnp.exp(s_b - lse[:, :, None]).astype(acc_t)  # (hg, bq, bk)
-
-        # dv += pᵀ · do : contract over bq
-        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        # dp = do · vᵀ : (hg, bq, bk)
-        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-        ds = (p.astype(jnp.float32) * (dp - delta[:, :, None])).astype(acc_t)
-        # dk += dsᵀ · q' : contract over bq
-        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-            ds, qs, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            p, ds = _head_bwd_terms(qs[:, sl], k[:, sl], v[:, sl], do[:, sl], lse[h], delta[h], bias2d, acc_t)
+            # dv += pᵀ · do : contract over bq
+            dv_scr[:, sl] = dv_scr[:, sl] + jax.lax.dot_general(
+                p, do[:, sl], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # dk += dsᵀ · q' : contract over bq
+            dk_scr[:, sl] = dk_scr[:, sl] + jax.lax.dot_general(
+                ds, qs[:, sl], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
     @pl.when(qj == jnp.maximum(cnt, 1) - 1)
     def _finalize():
@@ -115,11 +127,11 @@ def _dq_kernel(
     start_ref, count_ref,
     qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
     dq_ref, dq_scr,
-    *, window, block_q, block_k, num_kb, nk_grid, seq_len, groups_per_batch,
+    *, window, block_q, block_k, seq_len, heads, head_dim,
 ):
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     kj = pl.program_id(2)
-    bi = pl.program_id(0) // groups_per_batch
     cnt = count_ref[bi, qi]
     kb = start_ref[bi, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
 
@@ -136,40 +148,168 @@ def _dq_kernel(
         lse = lse_ref[0]
         delta = delta_ref[0]
         acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
-        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
         bias2d = _mask_bias2d(
             qi * block_q, kb * block_k, block_q, block_k, window,
             qseg_ref[0, 0] if qseg_ref is not None else None,
             kseg_ref[0, 0] if kseg_ref is not None else None,
-            seq_len, kseg_ref is None, jnp.float32,
+            seq_len, kseg_ref is None,
         )
-        if bias2d is not None:
-            s_b = s + bias2d[None, :, :]
-        else:
-            s_b = s
-        p = jnp.exp(s_b - lse[:, :, None])
-        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta[:, :, None])).astype(acc_t)
-        # dq += ds · k : contract over bk (ds dim 2, k dim 1)
-        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
-            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            _, ds = _head_bwd_terms(qs[:, sl], k[:, sl], v[:, sl], do[:, sl], lse[h], delta[h], bias2d, acc_t)
+            # dq += ds · k : contract over bk
+            dq_scr[:, sl] = dq_scr[:, sl] + jax.lax.dot_general(
+                ds, k[:, sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
     @pl.when(kj == jnp.maximum(cnt, 1) - 1)
     def _finalize():
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
+UNROLL = 4  # inner blocks per grid step in the unrolled global kernels
+
+
+def _dq_unrolled_kernel(
+    start_ref, count_ref,
+    qs_ref, *rest,
+    block_q: int, block_k: int, seq_len: int, heads: int, head_dim: int, unroll: int,
+):
+    """dQ for global/packed layers, ``unroll`` key blocks per grid step.
+
+    Same rationale as the forward's _seg_unrolled_kernel: per-block steps pay
+    ~3 dozen tiny per-head VPU ops; unrolling divides steps and the per-head
+    scratch read-modify-writes by U. Blocks past ``count`` are clamped
+    duplicates, excluded via the (t*U + j < count) mask term.
+    Ref layout: qs, k*U, v*U, do, lse, delta, qseg, kseg*U, dq, dq_scr.
+    """
+    k_refs = rest[:unroll]
+    v_refs = rest[unroll:2 * unroll]
+    do_ref, lse_ref, delta_ref, qseg_ref = rest[2 * unroll:2 * unroll + 4]
+    kseg_refs = rest[2 * unroll + 4:3 * unroll + 4]
+    dq_ref = rest[3 * unroll + 4]
+    dq_scr = rest[3 * unroll + 5]
+
+    bi = pl.program_id(0)
+    qi = pl.program_id(1)
+    t = pl.program_id(2)
+    cnt = count_ref[bi, qi]
+    outer = (cnt + unroll - 1) // unroll
+
+    @pl.when(t == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(t < outer)
+    def _accumulate():
+        qs = qs_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+        qseg = qseg_ref[0, 0]
+        biases = []
+        for j in range(unroll):
+            kseg = kseg_refs[j][0, 0]
+            seg_ok = jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            valid = t * unroll + j < cnt
+            biases.append(jnp.where(jnp.logical_and(seg_ok, valid), 0.0, NEG_INF).astype(jnp.float32))
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            dq = None
+            for j in range(unroll):
+                _, ds = _head_bwd_terms(
+                    qs[:, sl], k_refs[j][0][:, sl], v_refs[j][0][:, sl], do[:, sl],
+                    lse[h], delta[h], biases[j], acc_t,
+                )
+                contrib = jax.lax.dot_general(
+                    ds, k_refs[j][0][:, sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                dq = contrib if dq is None else dq + contrib
+            dq_scr[:, sl] = dq_scr[:, sl] + dq
+
+    @pl.when(t == jnp.maximum(outer, 1) - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_unrolled_kernel(
+    start_ref, count_ref,
+    k_ref, v_ref, *rest,
+    block_q: int, block_k: int, seq_len: int, heads: int, head_dim: int, unroll: int,
+):
+    """dK/dV for global/packed layers, ``unroll`` query blocks per grid step.
+
+    Ref layout: k, v, qs*U, do*U, lse*U, delta*U, qseg*U, kseg, dk, dv,
+    dk_scr, dv_scr.
+    """
+    qs_refs = rest[:unroll]
+    do_refs = rest[unroll:2 * unroll]
+    lse_refs = rest[2 * unroll:3 * unroll]
+    delta_refs = rest[3 * unroll:4 * unroll]
+    qseg_refs = rest[4 * unroll:5 * unroll]
+    kseg_ref = rest[5 * unroll]
+    dk_ref, dv_ref = rest[5 * unroll + 1:5 * unroll + 3]
+    dk_scr, dv_scr = rest[5 * unroll + 3:5 * unroll + 5]
+
+    bi = pl.program_id(0)
+    ki = pl.program_id(1)
+    t = pl.program_id(2)
+    cnt = count_ref[bi, ki]
+    outer = (cnt + unroll - 1) // unroll
+
+    @pl.when(t == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(t < outer)
+    def _accumulate():
+        k = k_ref[0]
+        v = v_ref[0]
+        acc_t = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
+        kseg = kseg_ref[0, 0]
+        biases = []
+        for j in range(unroll):
+            qseg = qseg_refs[j][0, 0]
+            seg_ok = jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            valid = t * unroll + j < cnt
+            biases.append(jnp.where(jnp.logical_and(seg_ok, valid), 0.0, NEG_INF).astype(jnp.float32))
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            dk = None
+            dv = None
+            for j in range(unroll):
+                qs_h = qs_refs[j][0][:, sl]
+                do_h = do_refs[j][0][:, sl]
+                p, ds = _head_bwd_terms(
+                    qs_h, k[:, sl], v[:, sl], do_h,
+                    lse_refs[j][0][h], delta_refs[j][0][h], biases[j], acc_t,
+                )
+                dvj = jax.lax.dot_general(
+                    p, do_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                dkj = jax.lax.dot_general(
+                    ds, qs_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                dk = dkj if dk is None else dk + dkj
+                dv = dvj if dv is None else dv + dvj
+            dk_scr[:, sl] = dk_scr[:, sl] + dk
+            dv_scr[:, sl] = dv_scr[:, sl] + dv
+
+    @pl.when(t == jnp.maximum(outer, 1) - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
 def _dq_fused_kernel(
     qs_ref, *rest,
     window: int, block_q: int, block_k: int, num_kb: int, nblocks: int,
-    seq_len: int, has_seg: bool,
+    seq_len: int, has_seg: bool, heads: int, head_dim: int,
 ):
     """Single-pass dQ for windowed layers: all key blocks in one grid step.
 
-    Same rationale as the forward's _window_fused_kernel — at w=64 only 3
-    key blocks are visited per query block, so unrolling removes 2/3 of the
-    grid steps and the scratch accumulate/read chain.
     Ref layout: qs, k*n, v*n, do, lse, delta[, qseg, kseg*n], dq.
     """
     k_refs = rest[:nblocks]
@@ -191,33 +331,34 @@ def _dq_fused_kernel(
     delta = delta_ref[0]
     acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
 
-    dq = None
-    for j in range(nblocks):
-        k = k_refs[j][0]
-        v = v_refs[j][0]
-        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-        bias2d = _mask_bias2d(
+    biases = [
+        _mask_bias2d(
             qi * block_q, (start_kb + j) * block_k, block_q, block_k, window,
             qseg_ref[0, 0] if has_seg else None,
             kseg_refs[j][0, 0] if has_seg else None,
-            seq_len, not has_seg, jnp.float32,
+            seq_len, not has_seg,
         )
-        if bias2d is not None:
-            s = s + bias2d[None, :, :]
-        p = jnp.exp(s - lse[:, :, None])
-        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta[:, :, None])).astype(acc_t)
-        contrib = jax.lax.dot_general(
-            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        dq = contrib if dq is None else dq + contrib
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+        for j in range(nblocks)
+    ]
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        dq = None
+        for j in range(nblocks):
+            _, ds = _head_bwd_terms(
+                qs[:, sl], k_refs[j][0][:, sl], v_refs[j][0][:, sl], do[:, sl],
+                lse[h], delta[h], biases[j], acc_t,
+            )
+            contrib = jax.lax.dot_general(
+                ds, k_refs[j][0][:, sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dq = contrib if dq is None else dq + contrib
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_fused_kernel(
     k_ref, v_ref, *rest,
     window: int, block_q: int, block_k: int, num_qb: int, nblocks: int,
-    seq_len: int, has_seg: bool,
+    seq_len: int, has_seg: bool, heads: int, head_dim: int,
 ):
     """Single-pass dK/dV for windowed layers (q blocks unrolled).
 
@@ -239,54 +380,49 @@ def _dkv_fused_kernel(
     start_qb = jnp.clip((ki * block_k - window) // block_q, 0, num_qb - nblocks)
     k = k_ref[0]
     v = v_ref[0]
+    acc_t = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
 
-    dk = None
-    dv = None
-    for j in range(nblocks):
-        qs = qs_refs[j][0]
-        do = do_refs[j][0]
-        lse = lse_refs[j][0]
-        delta = delta_refs[j][0]
-        acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
-        s = jax.lax.dot_general(qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-        bias2d = _mask_bias2d(
+    biases = [
+        _mask_bias2d(
             (start_qb + j) * block_q, ki * block_k, block_q, block_k, window,
             qseg_refs[j][0, 0] if has_seg else None,
             kseg_ref[0, 0] if has_seg else None,
-            seq_len, not has_seg, jnp.float32,
+            seq_len, not has_seg,
         )
-        if bias2d is not None:
-            s = s + bias2d[None, :, :]
-        p = jnp.exp(s - lse[:, :, None]).astype(acc_t)
-        dvj = jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-        ds = (p.astype(jnp.float32) * (dp - delta[:, :, None])).astype(acc_t)
-        dkj = jax.lax.dot_general(
-            ds, qs, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        dk = dkj if dk is None else dk + dkj
-        dv = dvj if dv is None else dv + dvj
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        for j in range(nblocks)
+    ]
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        dk = None
+        dv = None
+        for j in range(nblocks):
+            qs_h = qs_refs[j][0][:, sl]
+            do_h = do_refs[j][0][:, sl]
+            p, ds = _head_bwd_terms(
+                qs_h, k[:, sl], v[:, sl], do_h, lse_refs[j][0][h], delta_refs[j][0][h],
+                biases[j], acc_t,
+            )
+            dvj = jax.lax.dot_general(
+                p, do_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dkj = jax.lax.dot_general(
+                ds, qs_h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dk = dkj if dk is None else dk + dkj
+            dv = dvj if dv is None else dv + dvj
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k, hg, l, l_pad):
-    """Single-pass windowed backward dispatcher (both passes, grid (bg, n))."""
-    b, h = qs.shape[0], qs.shape[1]
-    d = qs.shape[3]
-    g = h // hg
-    bg = b * g
+def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k,
+                      heads, head_dim, l, l_pad):
+    """Single-pass windowed backward dispatcher (both passes, grid (b, n)).
 
-    def r4(x):
-        return x.reshape(bg, hg, l_pad, d)
-
-    def r3(x):
-        return x.reshape(bg, hg, l_pad)
-
-    qsf, kf, vf, dof = r4(qs), r4(k), r4(v), r4(dout)
-    lsef, deltaf = r3(lse), r3(delta)
+    lse/delta arrive (B, h_pad, l_pad) with h_pad 8-aligned; segments arrive
+    (B, 1, l_pad) so every block keeps TPU-legal (8, 128) tiling."""
+    b = qs.shape[0]
+    hd = qs.shape[2]
+    h_pad = lse.shape[1]
     nq = l_pad // block_q
     nk = l_pad // block_k
     nkb = min(nk, _cdiv(block_q + 2 * window, block_k) + 1)
@@ -294,106 +430,248 @@ def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, b
     has_seg = qseg is not None
 
     def kix(j):
-        return lambda bgi, qi, _j=j: (
-            bgi, 0, jnp.clip((qi * block_q - window) // block_k, 0, nk - nkb) + _j, 0
+        return lambda bi, qi, _j=j: (
+            bi, jnp.clip((qi * block_q - window) // block_k, 0, nk - nkb) + _j, 0
         )
 
-    def kix3(j, _g=g):
-        return lambda bgi, qi, _j=j: (
-            bgi // _g, 0, jnp.clip((qi * block_q - window) // block_k, 0, nk - nkb) + _j
+    def kix2(j):
+        return lambda bi, qi, _j=j: (
+            bi, 0, jnp.clip((qi * block_q - window) // block_k, 0, nk - nkb) + _j
         )
 
     def qix_dkv(j):
-        return lambda bgi, ki, _j=j: (
-            bgi, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j, 0
+        return lambda bi, ki, _j=j: (
+            bi, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j, 0
         )
 
-    def qix3_dkv(j, _g=g):
-        return lambda bgi, ki, _j=j: (
-            bgi, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j
+    def qix3_dkv(j):
+        return lambda bi, ki, _j=j: (
+            bi, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j
         )
 
-    # ---- dQ pass: grid (bg, nq)
-    specs = [pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM)]
-    args = [qsf]
+    def qix2_dkv(j):
+        return lambda bi, ki, _j=j: (
+            bi, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j
+        )
+
+    # ---- dQ pass: grid (b, nq)
+    specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    args = [qs]
     for j in range(nkb):
-        specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
-        args.append(kf)
+        specs.append(pl.BlockSpec((1, block_k, hd), kix(j), memory_space=pltpu.VMEM))
+        args.append(k)
     for j in range(nkb):
-        specs.append(pl.BlockSpec((1, hg, block_k, d), kix(j), memory_space=pltpu.VMEM))
-        args.append(vf)
+        specs.append(pl.BlockSpec((1, block_k, hd), kix(j), memory_space=pltpu.VMEM))
+        args.append(v)
     specs += [
-        pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q), lambda bgi, qi: (bgi, 0, qi), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q), lambda bgi, qi: (bgi, 0, qi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM),
     ]
-    args += [dof, lsef, deltaf]
+    args += [dout, lse, delta]
     if has_seg:
-        specs.append(pl.BlockSpec((1, 1, block_q), lambda bgi, qi, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM))
-        args.append(qseg.astype(jnp.int32)[:, None, :])
-        ksegf = kseg.astype(jnp.int32)[:, None, :]
+        specs.append(pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM))
+        args.append(qseg)
         for j in range(nkb):
-            specs.append(pl.BlockSpec((1, 1, block_k), kix3(j), memory_space=pltpu.VMEM))
-            args.append(ksegf)
+            specs.append(pl.BlockSpec((1, 1, block_k), kix2(j), memory_space=pltpu.VMEM))
+            args.append(kseg)
     dq = pl.pallas_call(
         functools.partial(
             _dq_fused_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_kb=nk, nblocks=nkb, seq_len=l, has_seg=has_seg,
+            num_kb=nk, nblocks=nkb, seq_len=l, has_seg=has_seg, heads=heads, head_dim=head_dim,
         ),
-        grid=(bg, nq),
+        grid=(b, nq),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, hg, block_q, d), lambda bgi, qi: (bgi, 0, qi, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), qs.dtype),
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, hd), qs.dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
     )(*args)
 
-    # ---- dKV pass: grid (bg, nk)
+    # ---- dKV pass: grid (b, nk)
     specs = [
-        pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
     ]
-    args = [kf, vf]
+    args = [k, v]
     for j in range(nqb):
-        specs.append(pl.BlockSpec((1, hg, block_q, d), qix_dkv(j), memory_space=pltpu.VMEM))
-        args.append(qsf)
+        specs.append(pl.BlockSpec((1, block_q, hd), qix_dkv(j), memory_space=pltpu.VMEM))
+        args.append(qs)
     for j in range(nqb):
-        specs.append(pl.BlockSpec((1, hg, block_q, d), qix_dkv(j), memory_space=pltpu.VMEM))
-        args.append(dof)
+        specs.append(pl.BlockSpec((1, block_q, hd), qix_dkv(j), memory_space=pltpu.VMEM))
+        args.append(dout)
     for j in range(nqb):
-        specs.append(pl.BlockSpec((1, hg, block_q), qix3_dkv(j), memory_space=pltpu.VMEM))
-        args.append(lsef)
+        specs.append(pl.BlockSpec((1, h_pad, block_q), qix3_dkv(j), memory_space=pltpu.VMEM))
+        args.append(lse)
     for j in range(nqb):
-        specs.append(pl.BlockSpec((1, hg, block_q), qix3_dkv(j), memory_space=pltpu.VMEM))
-        args.append(deltaf)
+        specs.append(pl.BlockSpec((1, h_pad, block_q), qix3_dkv(j), memory_space=pltpu.VMEM))
+        args.append(delta)
     if has_seg:
-        qsegf = qseg.astype(jnp.int32)[:, None, :]
         for j in range(nqb):
-            specs.append(pl.BlockSpec(
-                (1, 1, block_q),
-                lambda bgi, ki, _j=j, _g=g: (
-                    bgi // _g, 0, jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j,
-                ),
-                memory_space=pltpu.VMEM))
-            args.append(qsegf)
-        specs.append(pl.BlockSpec((1, 1, block_k), lambda bgi, ki, _g=g: (bgi // _g, 0, ki), memory_space=pltpu.VMEM))
-        args.append(kseg.astype(jnp.int32)[:, None, :])
+            specs.append(pl.BlockSpec((1, 1, block_q), qix2_dkv(j), memory_space=pltpu.VMEM))
+            args.append(qseg)
+        specs.append(pl.BlockSpec((1, 1, block_k), lambda bi, ki: (bi, 0, ki), memory_space=pltpu.VMEM))
+        args.append(kseg)
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_fused_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_qb=nq, nblocks=nqb, seq_len=l, has_seg=has_seg,
+            num_qb=nq, nblocks=nqb, seq_len=l, has_seg=has_seg, heads=heads, head_dim=head_dim,
         ),
-        grid=(bg, nk),
+        grid=(b, nk),
         in_specs=specs,
         out_specs=(
-            pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hg, block_k, d), lambda bgi, ki: (bgi, 0, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bg, hg, l_pad, d), qs.dtype),
-            jax.ShapeDtypeStruct((bg, hg, l_pad, d), qs.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, hd), qs.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, hd), qs.dtype),
         ),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
     )(*args)
+    return dq, dk, dv
+
+
+def _global_unrolled_bwd(qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_k,
+                         heads, head_dim, l, l_pad):
+    """Both backward passes for global/packed layers with U-unrolled steps.
+
+    qs/k/v/dout: (B, l_pad, H·D); lse/delta (B, h_pad, l_pad) natural units;
+    qseg/kseg (B, 1, l_pad) int32."""
+    from .flash_attention import _block_ranges
+
+    b = qs.shape[0]
+    hd = qs.shape[2]
+    h_pad = lse.shape[1]
+    unroll = UNROLL
+    nq = l_pad // block_q
+    nk = l_pad // block_k
+    qseg2d = qseg[:, 0, :]
+    kseg2d = kseg[:, 0, :]
+
+    # ---- dQ pass: grid (b, nq, cdiv(nk, U))
+    q_start, q_count = _block_ranges(b, nq, nk, nk, block_q, block_k, None, qseg2d, kseg2d)
+
+    def kb_index(j):
+        def index(bi, qi, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, qi]
+            kb = start_ref[bi, qi] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+            return (bi, kb, 0)
+
+        return index
+
+    def kseg_index(j):
+        def index(bi, qi, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, qi]
+            kb = start_ref[bi, qi] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+            return (bi, 0, kb)
+
+        return index
+
+    specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    args = [qs]
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, block_k, hd), kb_index(j), memory_space=pltpu.VMEM))
+        args.append(k)
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, block_k, hd), kb_index(j), memory_space=pltpu.VMEM))
+        args.append(v)
+    specs += [
+        pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM),
+    ]
+    args += [dout, lse, delta, qseg]
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, 1, block_k), kseg_index(j), memory_space=pltpu.VMEM))
+        args.append(kseg)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_unrolled_kernel, block_q=block_q, block_k=block_k,
+            seq_len=l, heads=heads, head_dim=head_dim, unroll=unroll,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nq, _cdiv(nk, unroll)),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block_q, hd), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, hd), qs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q_start, q_count, *args)
+
+    # ---- dKV pass: grid (b, nk, cdiv(nq, U)); roles swapped
+    kv_start, kv_count = _block_ranges(b, nk, nq, nq, block_k, block_q, None, kseg2d, qseg2d)
+
+    def qb_index(j):
+        def index(bi, ki, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, ki]
+            qb = start_ref[bi, ki] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+            return (bi, qb, 0)
+
+        return index
+
+    def qb3_index(j):
+        def index(bi, ki, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, ki]
+            qb = start_ref[bi, ki] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+            return (bi, 0, qb)
+
+        return index
+
+    specs = [
+        pl.BlockSpec((1, block_k, hd), lambda bi, ki, t, *_: (bi, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), lambda bi, ki, t, *_: (bi, ki, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [k, v]
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, block_q, hd), qb_index(j), memory_space=pltpu.VMEM))
+        args.append(qs)
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, block_q, hd), qb_index(j), memory_space=pltpu.VMEM))
+        args.append(dout)
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, h_pad, block_q), qb3_index(j), memory_space=pltpu.VMEM))
+        args.append(lse)
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, h_pad, block_q), qb3_index(j), memory_space=pltpu.VMEM))
+        args.append(delta)
+    for j in range(unroll):
+        specs.append(pl.BlockSpec((1, 1, block_q), qb3_index(j), memory_space=pltpu.VMEM))
+        args.append(qseg)
+    specs.append(pl.BlockSpec((1, 1, block_k), lambda bi, ki, t, *_: (bi, 0, ki), memory_space=pltpu.VMEM))
+    args.append(kseg)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_unrolled_kernel, block_q=block_q, block_k=block_k,
+            seq_len=l, heads=heads, head_dim=head_dim, unroll=unroll,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nk, _cdiv(nq, unroll)),
+            in_specs=specs,
+            out_specs=(
+                pl.BlockSpec((1, block_k, hd), lambda bi, ki, t, *_: (bi, ki, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, hd), lambda bi, ki, t, *_: (bi, ki, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, hd), jnp.float32),
+                pltpu.VMEM((block_k, hd), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l_pad, hd), qs.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, hd), qs.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_start, kv_count, *args)
     return dq, dk, dv
 
 
@@ -409,10 +687,13 @@ def flash_attention_bwd(
     window: Optional[int],
     block_q: int,
     block_k: int,
-    head_group: int,
+    heads: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Compute (dq, dk, dv) with the two-kernel flash backward."""
-    b, h, l, d = q.shape
+    """Compute (dq, dk, dv) with the two-kernel flash backward.
+
+    q/k/v/out/dout: (B, L, H*D) head-minor; lse: (B, H, L) base-2."""
+    b, l, hd = q.shape
+    d = hd // heads
     scale = 1.0 / math.sqrt(d)
     qs = q * jnp.asarray(scale, q.dtype)
     lse = lse * math.log(2.0)  # forward residual is base-2; convert once
@@ -423,46 +704,58 @@ def flash_attention_bwd(
         # semantically identical and take the (stable) segmented codepath
         qseg = kseg = jnp.ones((b, l), jnp.int32)
 
-    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b, h, l)
+    # delta = rowsum(do ∘ out) per head: (B, H, L), head dim padded to an
+    # 8-aligned sublane count so lse/delta blocks keep TPU-legal tiling
+    h_pad = _cdiv(heads, 8) * 8
+    delta = jnp.swapaxes(
+        jnp.sum((dout.astype(jnp.float32) * out.astype(jnp.float32)).reshape(b, l, heads, d), axis=-1),
+        1, 2,
+    )
+    if h_pad != heads:
+        delta = jnp.pad(delta, [(0, 0), (0, h_pad - heads), (0, 0)])
+        lse = jnp.pad(lse, [(0, 0), (0, h_pad - heads), (0, 0)])
 
     block = max(block_q, block_k)
     l_pad = _cdiv(l, block) * block
     if l_pad != l:
-        pad4 = [(0, 0), (0, 0), (0, l_pad - l), (0, 0)]
-        pad3 = [(0, 0), (0, 0), (0, l_pad - l)]
-        qs = jnp.pad(qs, pad4)
-        k = jnp.pad(k, pad4)
-        v = jnp.pad(v, pad4)
-        dout = jnp.pad(dout, pad4)
-        lse = jnp.pad(lse, pad3)
-        delta = jnp.pad(delta, pad3)
+        pad3 = [(0, 0), (0, l_pad - l), (0, 0)]
+        padr = [(0, 0), (0, 0), (0, l_pad - l)]
+        qs = jnp.pad(qs, pad3)
+        k = jnp.pad(k, pad3)
+        v = jnp.pad(v, pad3)
+        dout = jnp.pad(dout, pad3)
+        lse = jnp.pad(lse, padr)
+        delta = jnp.pad(delta, padr)
         if qseg is not None:
             qseg = jnp.pad(qseg, [(0, 0), (0, l_pad - l)])
             kseg = jnp.pad(kseg, [(0, 0), (0, l_pad - l)])
-
-    hg = head_group
-    g = h // hg
-    bg = b * g
+    if qseg is not None:
+        # (B, 1, L) layout keeps the TPU block tiling legal: block (1, 1, Bk)
+        qseg = qseg.astype(jnp.int32)[:, None, :]
+        kseg = kseg.astype(jnp.int32)[:, None, :]
 
     if window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4 \
             and _cdiv(block_k + 2 * window, block_q) + 1 <= 4:
         dq, dk, dv = _window_fused_bwd(
-            qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k, hg, l, l_pad
+            qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k, heads, d, l, l_pad
+        )
+        return (
+            dq[:, :l, :] * jnp.asarray(scale, q.dtype),
+            dk[:, :l, :],
+            dv[:, :l, :],
         )
 
-        def unpack_f(x):
-            return x.reshape(b, h, l_pad, d)[:, :, :l, :]
-
-        return unpack_f(dq) * jnp.asarray(scale, q.dtype), unpack_f(dk), unpack_f(dv)
-
-    def r4(x):
-        return x.reshape(bg, hg, l_pad, d)
-
-    def r3(x):
-        return x.reshape(bg, hg, l_pad)
-
-    qsf, kf, vf, dof = r4(qs), r4(k), r4(v), r4(dout)
-    lsef, deltaf = r3(lse), r3(delta)
+    if window is None:
+        # global/packed path (qseg is always non-None here: the prologue
+        # synthesizes all-ones segments): U-unrolled kernels
+        dq, dk, dv = _global_unrolled_bwd(
+            qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_k, heads, d, l, l_pad
+        )
+        return (
+            dq[:, :l, :] * jnp.asarray(scale, q.dtype),
+            dk[:, :l, :],
+            dv[:, :l, :],
+        )
 
     nq = l_pad // block_q
     nk = l_pad // block_k
@@ -473,135 +766,126 @@ def flash_attention_bwd(
         nk_grid = nk
         nq_grid = nq
 
-    # ---- dKV pass: grid (bg, nk, nq_grid); per-k-block q ranges (roles
+    # ---- dKV pass: grid (b, nk, nq_grid); per-k-block q ranges (roles
     # swapped: interval intersection is symmetric)
     from .flash_attention import _block_ranges
 
     kv_start, kv_count = _block_ranges(b, nk, nq, nq_grid, block_k, block_q, window, kseg, qseg)
 
-    def q_index_dkv(bgi, ki, qj, start_ref, count_ref):
-        cnt = count_ref[bgi // g, ki]
-        qb = start_ref[bgi // g, ki] + jnp.minimum(qj, jnp.maximum(cnt - 1, 0))
-        return (bgi, 0, qb, 0)
+    def q_index_dkv(bi, ki, qj, start_ref, count_ref):
+        cnt = count_ref[bi, ki]
+        qb = start_ref[bi, ki] + jnp.minimum(qj, jnp.maximum(cnt - 1, 0))
+        return (bi, qb, 0)
 
-    def q_index3_dkv(bgi, ki, qj, *s):
-        idx = q_index_dkv(bgi, ki, qj, *s)
-        return (idx[0], 0, idx[2])
+    def q_index3_dkv(bi, ki, qj, *s):
+        idx = q_index_dkv(bi, ki, qj, *s)
+        return (idx[0], 0, idx[1])
 
-    def k_index_dkv(bgi, ki, qj, *_):
-        return (bgi, 0, ki, 0)
+    def k_index_dkv(bi, ki, qj, *_):
+        return (bi, ki, 0)
 
     dkv_specs = [
-        pl.BlockSpec((1, hg, block_q, d), q_index_dkv, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q, d), q_index_dkv, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q), q_index3_dkv, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q), q_index3_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, hd), q_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), k_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), k_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, hd), q_index_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), q_index3_dkv, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), q_index3_dkv, memory_space=pltpu.VMEM),
     ]
-    dkv_args = [qsf, kf, vf, dof, lsef, deltaf]
+    dkv_args = [qs, k, v, dout, lse, delta]
+    base = functools.partial(
+        _dkv_kernel, window=window, block_q=block_q, block_k=block_k,
+        seq_len=l, heads=heads, head_dim=d,
+    )
     if qseg is not None:
         dkv_specs.append(
-            pl.BlockSpec((1, 1, block_q), lambda bgi, ki, qj, *s, _g=g: (bgi // _g, 0, q_index_dkv(bgi, ki, qj, *s)[2]), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_q), lambda bi, ki, qj, *s: (bi, 0, q_index_dkv(bi, ki, qj, *s)[1]), memory_space=pltpu.VMEM)
         )
         dkv_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda bgi, ki, qj, *_s, _g=g: (bgi // _g, 0, ki), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_k), lambda bi, ki, qj, *_s: (bi, 0, ki), memory_space=pltpu.VMEM)
         )
-        dkv_args += [qseg.astype(jnp.int32)[:, None, :], kseg.astype(jnp.int32)[:, None, :]]
-        dkv_kernel = functools.partial(
-            _dkv_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_qb=nq, nq_grid=nq_grid, seq_len=l, groups_per_batch=g,
-        )
+        dkv_args += [qseg, kseg]
+        dkv_kernel = base
     else:
-        base = functools.partial(
-            _dkv_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_qb=nq, nq_grid=nq_grid, seq_len=l, groups_per_batch=g,
-        )
         dkv_kernel = lambda s0, c0, a, b_, c, d_, e, f, *rest: base(s0, c0, a, b_, c, d_, e, f, None, None, *rest)
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bg, nk, nq_grid),
+            grid=(b, nk, nq_grid),
             in_specs=dkv_specs,
             out_specs=(
-                pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hg, block_k, d), k_index_dkv, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, hd), k_index_dkv, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, hd), k_index_dkv, memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((hg, block_k, d), jnp.float32),
-                pltpu.VMEM((hg, block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, hd), jnp.float32),
+                pltpu.VMEM((block_k, hd), jnp.float32),
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, hd), q.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(kv_start, kv_count, *dkv_args)
 
-    # ---- dQ pass: grid (bg, nq, nk_grid)
+    # ---- dQ pass: grid (b, nq, nk_grid)
     q_start, q_count = _block_ranges(b, nq, nk, nk_grid, block_q, block_k, window, qseg, kseg)
 
-    def k_index_dq(bgi, qi, kj, start_ref, count_ref):
-        cnt = count_ref[bgi // g, qi]
-        kb = start_ref[bgi // g, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
-        return (bgi, 0, kb, 0)
+    def k_index_dq(bi, qi, kj, start_ref, count_ref):
+        cnt = count_ref[bi, qi]
+        kb = start_ref[bi, qi] + jnp.minimum(kj, jnp.maximum(cnt - 1, 0))
+        return (bi, kb, 0)
 
-    def q_index_dq(bgi, qi, kj, *_):
-        return (bgi, 0, qi, 0)
+    def q_index_dq(bi, qi, kj, *_):
+        return (bi, qi, 0)
 
-    def q_index3_dq(bgi, qi, kj, *_):
-        return (bgi, 0, qi)
+    def q_index3_dq(bi, qi, kj, *_):
+        return (bi, 0, qi)
 
     dq_specs = [
-        pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_k, d), k_index_dq, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_k, d), k_index_dq, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q), q_index3_dq, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, block_q), q_index3_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, hd), q_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), k_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, hd), k_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, hd), q_index_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), q_index3_dq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_pad, block_q), q_index3_dq, memory_space=pltpu.VMEM),
     ]
-    dq_args = [qsf, kf, vf, dof, lsef, deltaf]
+    dq_args = [qs, k, v, dout, lse, delta]
+    base_q = functools.partial(
+        _dq_kernel, window=window, block_q=block_q, block_k=block_k,
+        seq_len=l, heads=heads, head_dim=d,
+    )
     if qseg is not None:
         dq_specs.append(
-            pl.BlockSpec((1, 1, block_q), lambda bgi, qi, kj, *_s, _g=g: (bgi // _g, 0, qi), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_q), lambda bi, qi, kj, *_s: (bi, 0, qi), memory_space=pltpu.VMEM)
         )
         dq_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda bgi, qi, kj, *s, _g=g: (bgi // _g, 0, k_index_dq(bgi, qi, kj, *s)[2]), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_k), lambda bi, qi, kj, *s: (bi, 0, k_index_dq(bi, qi, kj, *s)[1]), memory_space=pltpu.VMEM)
         )
-        dq_args += [qseg.astype(jnp.int32)[:, None, :], kseg.astype(jnp.int32)[:, None, :]]
-        dq_kernel = functools.partial(
-            _dq_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_kb=nk, nk_grid=nk_grid, seq_len=l, groups_per_batch=g,
-        )
+        dq_args += [qseg, kseg]
+        dq_kernel = base_q
     else:
-        base_q = functools.partial(
-            _dq_kernel, window=window, block_q=block_q, block_k=block_k,
-            num_kb=nk, nk_grid=nk_grid, seq_len=l, groups_per_batch=g,
-        )
         dq_kernel = lambda s0, c0, a, b_, c, d_, e, f, *rest: base_q(s0, c0, a, b_, c, d_, e, f, None, None, *rest)
 
     dq = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bg, nq, nk_grid),
+            grid=(b, nq, nk_grid),
             in_specs=dq_specs,
-            out_specs=pl.BlockSpec((1, hg, block_q, d), q_index_dq, memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((hg, block_q, d), jnp.float32)],
+            out_specs=pl.BlockSpec((1, block_q, hd), q_index_dq, memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block_q, hd), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((bg, hg, l_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(q_start, q_count, *dq_args)
 
-    def unpack(x):
-        return x.reshape(b, h, l_pad, d)[:, :, :l, :]
-
-    dq = unpack(dq) * jnp.asarray(scale, q.dtype)  # undo the q pre-scaling chain rule
-    return dq, unpack(dk), unpack(dv)
+    dq = dq[:, :l, :] * jnp.asarray(scale, q.dtype)  # undo the q pre-scaling chain rule
+    return dq, dk[:, :l, :], dv[:, :l, :]

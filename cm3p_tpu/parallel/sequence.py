@@ -32,11 +32,11 @@ def _local_allgather_kv_attention(
     seq_axis: str,
     window: Optional[int],
 ):
-    """Runs inside shard_map: q local (B,H,Lloc,D), k/v gathered to full L."""
+    """Runs inside shard_map: q local (B,Lloc,H,D), k/v gathered to full L."""
     from ..ops.flash_attention import flash_attention
 
-    k_full = jax.lax.all_gather(k, seq_axis, axis=2, tiled=True)
-    v_full = jax.lax.all_gather(v, seq_axis, axis=2, tiled=True)
+    k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
+    v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
     mask_full = (
         jax.lax.all_gather(key_mask, seq_axis, axis=1, tiled=True) if key_mask is not None else None
     )
@@ -48,12 +48,12 @@ def _local_allgather_kv_attention(
     # kernel's |row - col| <= window test is global, then slice back out
     idx = jax.lax.axis_index(seq_axis)
     n = jax.lax.axis_size(seq_axis)
-    l_loc = q.shape[2]
+    l_loc = q.shape[1]
     l_full = l_loc * n
-    q_full = jnp.zeros((q.shape[0], q.shape[1], l_full, q.shape[3]), q.dtype)
-    q_full = jax.lax.dynamic_update_slice_in_dim(q_full, q, idx * l_loc, axis=2)
+    q_full = jnp.zeros((q.shape[0], l_full) + q.shape[2:], q.dtype)
+    q_full = jax.lax.dynamic_update_slice_in_dim(q_full, q, idx * l_loc, axis=1)
     out_full = flash_attention(q_full, k_full, v_full, key_mask=mask_full, window=window)
-    return jax.lax.dynamic_slice_in_dim(out_full, idx * l_loc, l_loc, axis=2)
+    return jax.lax.dynamic_slice_in_dim(out_full, idx * l_loc, l_loc, axis=1)
 
 
 def sequence_sharded_attention(
@@ -65,10 +65,10 @@ def sequence_sharded_attention(
     seq_axis: str = "seq",
     window: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Attention over (B, H, L, D) with L sharded across ``seq_axis``."""
+    """Attention over head-minor (B, L, H, D) with L sharded across ``seq_axis``."""
     from jax.experimental.shard_map import shard_map
 
-    qkv_spec = P(None, None, seq_axis, None)
+    qkv_spec = P(None, seq_axis, None, None)
     mask_spec = P(None, seq_axis)
     in_specs = (qkv_spec, qkv_spec, qkv_spec, mask_spec if key_mask is not None else P())
     fn = functools.partial(_local_allgather_kv_attention, seq_axis=seq_axis, window=window)

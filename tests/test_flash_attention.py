@@ -16,12 +16,23 @@ def interpret_mode(monkeypatch):
 
 
 def make_inputs(B=2, H=4, L=512, D=64, seed=0):
+    """Head-minor (B, L, H, D) inputs — the kernels' native layout."""
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
     mask = jnp.asarray((rng.integers(0, 2, (B, L)) | (np.arange(L) < L // 2)).astype(np.int32))
     return q, k, v, mask
+
+
+def ref(q, k, v, qseg, kseg, window):
+    """Dense reference over (B, L, H, D)."""
+    b, l, h, d = q.shape
+    out = fa._xla_reference(
+        q.reshape(b, l, h * d), k.reshape(b, k.shape[1], h * d), v.reshape(b, v.shape[1], h * d),
+        qseg, kseg, window, h,
+    )
+    return out.reshape(b, l, h, d)
 
 
 class TestForward:
@@ -30,20 +41,20 @@ class TestForward:
     def test_key_mask_parity(self, window, block):
         q, k, v, mask = make_inputs()
         out = fa.flash_attention(q, k, v, key_mask=mask, window=window, block_q=block, block_k=block)
-        ref = fa._xla_reference(q, k, v, jnp.ones_like(mask), mask, window)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        expected = ref(q, k, v, jnp.ones_like(mask), mask, window)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
 
     def test_no_mask(self):
         q, k, v, _ = make_inputs()
         out = fa.flash_attention(q, k, v)
-        ref = fa._xla_reference(q, k, v, None, None, None)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        expected = ref(q, k, v, None, None, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
 
     def test_unaligned_length_pads(self):
         q, k, v, mask = make_inputs(L=384, D=32)
         out = fa.flash_attention(q, k, v, key_mask=mask, window=64)
-        ref = fa._xla_reference(q, k, v, jnp.ones_like(mask), mask, 64)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        expected = ref(q, k, v, jnp.ones_like(mask), mask, 64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
 
     @pytest.mark.parametrize("window", [None, 64])
     def test_segments(self, window):
@@ -53,13 +64,13 @@ class TestForward:
         seg[:, 200:480] = 2
         segj = jnp.asarray(seg)
         out = fa.flash_attention(q, k, v, segment_ids=segj, window=window)
-        ref = fa._xla_reference(q, k, v, segj, segj, window)
-        valid = (seg > 0)[:, None, :, None]
-        err = np.max(np.abs(np.where(valid, np.asarray(out) - np.asarray(ref), 0.0)))
+        expected = ref(q, k, v, segj, segj, window)
+        valid = (seg > 0)[:, :, None, None]
+        err = np.max(np.abs(np.where(valid, np.asarray(out) - np.asarray(expected), 0.0)))
         assert err < 2e-5
         # fully-masked (padding) rows produce zeros, not NaN
         assert np.isfinite(np.asarray(out)).all()
-        assert (np.abs(np.asarray(out)[:, :, 480:, :]) < 1e-6).all()
+        assert (np.abs(np.asarray(out)[:, 480:, :, :]) < 1e-6).all()
 
     def test_bias_converts_to_key_mask(self):
         q, k, v, mask = make_inputs()
@@ -79,7 +90,7 @@ class TestBackward:
             return jnp.sum(fa.flash_attention(q, k, v, key_mask=mask, window=window) * g_out)
 
         def loss_ref(q, k, v):
-            return jnp.sum(fa._xla_reference(q, k, v, jnp.ones_like(mask), mask, window) * g_out)
+            return jnp.sum(ref(q, k, v, jnp.ones_like(mask), mask, window) * g_out)
 
         gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
@@ -95,14 +106,14 @@ class TestBackward:
         seg[:, 200:480] = 2
         segj = jnp.asarray(seg)
         # gradients only flow through valid rows (masked rows are don't-care)
-        valid = jnp.asarray((seg > 0)[:, None, :, None].astype(np.float32))
+        valid = jnp.asarray((seg > 0)[:, :, None, None].astype(np.float32))
         g_out = jnp.asarray(np.random.default_rng(1).standard_normal(q.shape), jnp.float32) * 0.1 * valid
 
         def loss_pallas(q, k, v):
             return jnp.sum(fa.flash_attention(q, k, v, segment_ids=segj, window=window) * g_out)
 
         def loss_ref(q, k, v):
-            return jnp.sum(fa._xla_reference(q, k, v, segj, segj, window) * g_out)
+            return jnp.sum(ref(q, k, v, segj, segj, window) * g_out)
 
         gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
@@ -148,9 +159,9 @@ class TestSegmentBlockSkipping:
     def test_global_packed_parity_multiblock(self):
         rng = np.random.default_rng(11)
         b, h, l, d = 2, 4, 1024, 64
-        q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
         seg = np.zeros((b, l), np.int32)
         for i, s in enumerate(range(0, 900, 300)):
             seg[0, s : s + 300] = i + 1
@@ -158,18 +169,18 @@ class TestSegmentBlockSkipping:
         seg[1, 512:800] = 2
         segj = jnp.asarray(seg)
         out = fa.flash_attention(q, k, v, segment_ids=segj)
-        ref = fa._xla_reference(q, k, v, segj, segj, None)
-        valid = (seg > 0)[:, None, :, None]
-        err = np.max(np.abs(np.where(valid, np.asarray(out) - np.asarray(ref), 0.0)))
+        expected = ref(q, k, v, segj, segj, None)
+        valid = (seg > 0)[:, :, None, None]
+        err = np.max(np.abs(np.where(valid, np.asarray(out) - np.asarray(expected), 0.0)))
         assert err < 2e-5
         assert np.isfinite(np.asarray(out)).all()
 
     def test_global_packed_grads_multiblock(self):
         rng = np.random.default_rng(12)
         b, h, l, d = 1, 2, 1024, 32
-        q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
         seg = np.zeros((b, l), np.int32)
         seg[0, :300] = 1
         seg[0, 300:640] = 2
@@ -177,14 +188,14 @@ class TestSegmentBlockSkipping:
         segj = jnp.asarray(seg)
         # masked rows are don't-care (kernel zeroes them, reference softmax
         # spreads uniformly) — gradients only compared through valid rows
-        valid = jnp.asarray((seg > 0)[:, None, :, None].astype(np.float32))
-        g_out = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32) * valid
+        valid = jnp.asarray((seg > 0)[:, :, None, None].astype(np.float32))
+        g_out = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32) * valid
 
         def f(q, k, v):
             return jnp.sum(fa.flash_attention(q, k, v, segment_ids=segj) * g_out)
 
         def fr(q, k, v):
-            return jnp.sum(fa._xla_reference(q, k, v, segj, segj, None) * g_out)
+            return jnp.sum(ref(q, k, v, segj, segj, None) * g_out)
 
         g1 = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
         g2 = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)

@@ -85,14 +85,14 @@ class TestEncoder:
         """RoPE attention scores depend only on relative positions."""
         from cm3p_tpu.models.modernbert import apply_rope, rope_cos_sin
 
-        q = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 6, 16))
-        k = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 6, 16))
+        q = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 2, 16))  # head-minor (B, L, H, D)
+        k = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 2, 16))
         cos1, sin1 = rope_cos_sin(jnp.arange(6), 16, 10000.0)
         cos2, sin2 = rope_cos_sin(jnp.arange(6) + 13, 16, 10000.0)
         q1, k1 = apply_rope(q, k, cos1, sin1)
         q2, k2 = apply_rope(q, k, cos2, sin2)
-        s1 = jnp.einsum("bhqd,bhkd->bhqk", q1, k1)
-        s2 = jnp.einsum("bhqd,bhkd->bhqk", q2, k2)
+        s1 = jnp.einsum("bqhd,bkhd->bhqk", q1, k1)
+        s2 = jnp.einsum("bqhd,bkhd->bhqk", q2, k2)
         # fp32 trig noise grows with the position offset; invariance is approximate
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0.05)
 

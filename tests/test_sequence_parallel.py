@@ -25,15 +25,19 @@ def test_seq_sharded_matches_dense(window):
 
     B, H, L, D = 1, 2, 1024, 64
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    # head-minor (B, L, H, D): the kernels' native layout
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
     mask = jnp.asarray((np.arange(L) < 900).astype(np.int32))[None].repeat(B, 0)
 
     with mesh:
         out_sharded = sequence_sharded_attention(q, k, v, mask, mesh, seq_axis="seq", window=window)
-    ref = fa._xla_reference(q, k, v, jnp.ones_like(mask), mask, window)
+    ref = fa._xla_reference(
+        q.reshape(B, L, H * D), k.reshape(B, L, H * D), v.reshape(B, L, H * D),
+        jnp.ones_like(mask), mask, window, H,
+    ).reshape(B, L, H, D)
     # compare only unpadded rows
     np.testing.assert_allclose(
-        np.asarray(out_sharded)[:, :, :900], np.asarray(ref)[:, :, :900], atol=3e-5
+        np.asarray(out_sharded)[:, :900], np.asarray(ref)[:, :900], atol=3e-5
     )

@@ -56,15 +56,15 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.3, jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.3, jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.3, jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, L, H * D)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, L, H * D)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, H * D)) * 0.3, jnp.bfloat16)
     seg = jnp.asarray(packed_segments(B, L))
 
     def make_fn(window, bq, bk, with_seg, bwd):
         def one(q, k, v):
             s = seg if with_seg else jnp.ones((B, L), jnp.int32)
-            return _flash_attention(q, k, v, s, s, window, bq, bk)
+            return _flash_attention(q, k, v, s, s, window, bq, bk, H)
 
         if bwd:
             def loss(q, k, v):

@@ -41,25 +41,25 @@ def packed_segments(b, l, seg_len=300):
 
 def main():
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.3, jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.3, jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, H, L, D)) * 0.3, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, L, H * D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H * D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H * D)) * 0.3, jnp.float32)
     seg = jnp.asarray(packed_segments(B, L))
 
     for window, combos in [
         (None, [(256, 256), (256, 512), (512, 512), (512, 256), (256, 1024)]),
         (64, [(256, 256), (256, 128), (512, 128), (128, 128), (512, 256)]),
     ]:
-        ref = fa._xla_reference(q, k, v, seg, seg, window)
+        ref = fa._xla_reference(q, k, v, seg, seg, window, H)
         dref = jax.grad(
-            lambda q_, k_, v_: jnp.sum(fa._xla_reference(q_, k_, v_, seg, seg, window) * 1e-2),
+            lambda q_, k_, v_: jnp.sum(fa._xla_reference(q_, k_, v_, seg, seg, window, H) * 1e-2),
             argnums=(0, 1, 2),
         )(q, k, v)
         for bq, bk in combos:
-            out = fa._flash_attention(q, k, v, seg, seg, window, bq, bk)
+            out = fa._flash_attention(q, k, v, seg, seg, window, bq, bk, H)
             err = float(jnp.max(jnp.abs(out - ref)))
             d = jax.grad(
-                lambda q_, k_, v_: jnp.sum(fa._flash_attention(q_, k_, v_, seg, seg, window, bq, bk) * 1e-2),
+                lambda q_, k_, v_: jnp.sum(fa._flash_attention(q_, k_, v_, seg, seg, window, bq, bk, H) * 1e-2),
                 argnums=(0, 1, 2),
             )(q, k, v)
             derr = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(d, dref))
