@@ -29,6 +29,7 @@ local/global attention"). Replaces the reference's flash-attn-2 varlen path
 from __future__ import annotations
 
 import functools
+import os
 import math
 from typing import Optional
 
@@ -295,7 +296,9 @@ def _block_ranges(b, nq, num_kb, nk_grid, block_q, block_k, window, qseg, kseg):
     return start.astype(jnp.int32), count.astype(jnp.int32)
 
 
-UNROLL = 4  # key blocks per grid step in the unrolled global kernel
+# key blocks per grid step in the unrolled global kernel (env-overridable
+# for experiments; 4 = measured default)
+UNROLL = int(os.environ.get("CM3P_FA_UNROLL", "4"))
 
 
 def _seg_unrolled_kernel(

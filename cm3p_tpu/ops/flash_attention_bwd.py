@@ -24,6 +24,7 @@ in natural space, sidestepping a Mosaic codegen crash exp2 triggers here):
 from __future__ import annotations
 
 import functools
+import os
 import math
 from typing import Optional
 
@@ -167,7 +168,8 @@ def _dq_kernel(
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-UNROLL = 4  # inner blocks per grid step in the unrolled global kernels
+# inner blocks per grid step in the unrolled global kernels
+UNROLL = int(os.environ.get("CM3P_FA_UNROLL", "4"))
 
 
 def _dq_unrolled_kernel(

@@ -24,7 +24,8 @@ enable_compilation_cache()
 
 from cm3p_tpu.ops.flash_attention import _flash_attention  # noqa: E402
 
-B, H, L, D = 16, 12, 4096, 64
+import os
+B, H, L, D = int(os.environ.get("BENCH_B", "16")), 12, 4096, 64
 CHAIN = 8
 
 
