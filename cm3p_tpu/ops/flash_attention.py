@@ -40,6 +40,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Fixed-shift softmax for the single-pass kernels (window-fused and
+# seg-unrolled): instead of tracking the running row max, shift scores by a
+# constant power of two — exp2(s - SHIFT) = exp2(s) * 2^-SHIFT exactly, the
+# scale cancels in acc / l, and lse = log2(l) + SHIFT is the same value, so
+# this is mathematically identical to the max-stabilized form while deleting
+# the per-head max/alpha/rescale chain (~30% of the kernels' tiny-op count).
+# Safety: scores are clamped at SOFTMAX_CLAMP (log2 units; exp2(100) within
+# bf16/fp32 range with the fp32 l/pv accumulators) — reachable only beyond
+# natural logits of ~80, far outside trained-LN activations; a clamped row
+# degrades to equal weights instead of overflowing. The backward never uses
+# the max (it recomputes p from lse), so only forward internals change.
+# CM3P_FA_ONLINE_MAX=1 restores the running-max form.
+SOFTMAX_SHIFT = 16.0
+SOFTMAX_CLAMP = 116.0
+ONLINE_MAX = os.environ.get("CM3P_FA_ONLINE_MAX") == "1"
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -343,17 +359,22 @@ def _seg_unrolled_kernel(
         q = q_ref[0]
         acc_t = _acc_t(q)
         qseg = qseg_ref[0, 0]
+        # fixed-shift mode folds -SOFTMAX_SHIFT into the mask bias, so the
+        # exp2 needs no per-row subtraction at all
+        ok_bias = 0.0 if ONLINE_MAX else -SOFTMAX_SHIFT
         biases = []
         for j in range(unroll):
             kseg = kseg_refs[j][0, 0]
             seg_ok = jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
             valid = t * unroll + j < cnt  # scalar; kills clamped duplicate blocks
-            biases.append(jnp.where(jnp.logical_and(seg_ok, valid), 0.0, NEG_INF).astype(acc_t))
+            biases.append(jnp.where(jnp.logical_and(seg_ok, valid), ok_bias, NEG_INF).astype(acc_t))
 
+        clamp = jnp.asarray(SOFTMAX_CLAMP - SOFTMAX_SHIFT, acc_t)
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             qh = q[:, sl]
-            ss, ms = [], []
+            ss = []
+            ms = []
             for j in range(unroll):
                 s = jax.lax.dot_general(
                     qh, k_refs[j][0][:, sl], (((1,), (1,)), ((), ())),
@@ -361,19 +382,24 @@ def _seg_unrolled_kernel(
                 ).astype(acc_t)
                 s = s + biases[j]
                 ss.append(s)
-                ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
-            m_blk = ms[0]
-            for j in range(1, unroll):
-                m_blk = jnp.maximum(m_blk, ms[j])
-            m_prev = m_scr[h]
-            m_new = jnp.maximum(m_prev, m_blk)
-            m_safe = jnp.where(m_new < NEG_INF * 0.5, 0.0, m_new)
-            alpha = jnp.where(m_prev < NEG_INF * 0.5, 0.0, jnp.exp2(m_prev - m_safe))
+                if ONLINE_MAX:
+                    ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
+            if ONLINE_MAX:
+                m_blk = ms[0]
+                for j in range(1, unroll):
+                    m_blk = jnp.maximum(m_blk, ms[j])
+                m_prev = m_scr[h]
+                m_new = jnp.maximum(m_prev, m_blk)
+                m_safe = jnp.where(m_new < NEG_INF * 0.5, 0.0, m_new)
+                alpha = jnp.where(m_prev < NEG_INF * 0.5, 0.0, jnp.exp2(m_prev - m_safe))
 
             l_sum = None
             pv = None
             for j in range(unroll):
-                p = jnp.exp2(ss[j] - m_safe[:, None].astype(acc_t))
+                if ONLINE_MAX:
+                    p = jnp.exp2(ss[j] - m_safe[:, None].astype(acc_t))
+                else:
+                    p = jnp.exp2(jnp.minimum(ss[j], clamp))
                 lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
                 pvj = jax.lax.dot_general(
                     p.astype(v_refs[j].dtype), v_refs[j][0][:, sl], (((1,), (0,)), ((), ())),
@@ -381,9 +407,13 @@ def _seg_unrolled_kernel(
                 )
                 l_sum = lj if l_sum is None else l_sum + lj
                 pv = pvj if pv is None else pv + pvj
-            l_scr[h] = l_scr[h] * alpha + l_sum
-            acc_scr[:, sl] = acc_scr[:, sl] * alpha[:, None] + pv
-            m_scr[h] = m_new
+            if ONLINE_MAX:
+                l_scr[h] = l_scr[h] * alpha + l_sum
+                acc_scr[:, sl] = acc_scr[:, sl] * alpha[:, None] + pv
+                m_scr[h] = m_new
+            else:
+                l_scr[h] = l_scr[h] + l_sum
+                acc_scr[:, sl] = acc_scr[:, sl] + pv
 
     @pl.when(t == jnp.maximum(outer, 1) - 1)
     def _finalize():
@@ -391,8 +421,11 @@ def _seg_unrolled_kernel(
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             out_ref[0, :, sl] = (acc_scr[:, sl] / denom[h][:, None]).astype(out_ref.dtype)
-        m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
-        lse2 = m_safe + jnp.log2(denom)
+        if ONLINE_MAX:
+            m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
+            lse2 = m_safe + jnp.log2(denom)
+        else:
+            lse2 = jnp.log2(denom) + SOFTMAX_SHIFT
         for h in range(heads):
             lse_ref[0, h] = lse2[h]
 
