@@ -7,9 +7,11 @@ import pytest
 from cm3p_tpu.configs import AudioConfig, BeatmapConfig, MetadataConfig, tiny_cm3p_config
 from cm3p_tpu.models import (
     AudioEncoder,
+    BeatmapModelWithProjection,
     ClassifierModule,
     CM3PModule,
     MaskedLMModule,
+    MetadataModelWithProjection,
     ModernBertEncoder,
     cm3p_loss,
     contrastive_loss,
@@ -307,3 +309,41 @@ class TestTiedMaskedLM:
         bumped["params"]["beatmap_model"]["encoder"]["tok_embeddings"]["embedding"] = table + 0.1
         out2 = model.apply(bumped, ids)
         assert not np.allclose(np.asarray(out.logits), np.asarray(out2.logits))
+
+
+class TestProjectionVariants:
+    """Single-tower export variants (modeling_cm3p.py:1016-1128): their
+    parameter trees transplant directly from the dual-tower model and they
+    reproduce get_*_features exactly."""
+
+    def test_beatmap_variant_matches_dual_tower(self, tiny_model_and_params):
+        cfg, model, params, batch = tiny_model_and_params
+        cfg.beatmap_config.projection_dim = cfg.projection_dim
+        variant = BeatmapModelWithProjection(cfg.beatmap_config)
+        vparams = {"params": {
+            "beatmap_model": params["params"]["beatmap_model"],
+            "beatmap_projection": params["params"]["beatmap_projection"],
+        }}
+        got = variant.apply(vparams, batch["input_ids"], attention_mask=batch["attention_mask"], normalize=True)
+        want = model.apply(
+            params, method=CM3PModule.get_beatmap_features,
+            input_ids=batch["input_ids"], attention_mask=batch["attention_mask"], normalize=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_metadata_variant_matches_dual_tower(self, tiny_model_and_params):
+        cfg, model, params, batch = tiny_model_and_params
+        cfg.metadata_config.projection_dim = cfg.projection_dim
+        variant = MetadataModelWithProjection(cfg.metadata_config)
+        vparams = {"params": {
+            "metadata_model": params["params"]["metadata_model"],
+            "metadata_projection": params["params"]["metadata_projection"],
+        }}
+        ids = batch["metadata_ids"][:, 0]
+        mask = batch["metadata_attention_mask"][:, 0]
+        got = variant.apply(vparams, ids, attention_mask=mask, normalize=True)
+        want = model.apply(
+            params, method=CM3PModule.get_metadata_features,
+            metadata_ids=ids, metadata_attention_mask=mask, normalize=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
