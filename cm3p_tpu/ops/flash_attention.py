@@ -193,6 +193,7 @@ def _window_fused_kernel(
     q_ref, *rest,
     window: int, block_q: int, block_k: int, num_kb: int,
     nblocks: int, seq_len: int, has_seg: bool, heads: int, head_dim: int,
+    with_lse: bool = True,
 ):
     """Single-pass windowed attention: all key blocks in one grid step.
 
@@ -207,10 +208,17 @@ def _window_fused_kernel(
     if has_seg:
         qseg_ref = rest[2 * nblocks]
         kseg_refs = rest[2 * nblocks + 1:3 * nblocks + 1]
-        out_ref, lse_ref = rest[3 * nblocks + 1:3 * nblocks + 3]
+        pos = 3 * nblocks + 1
     else:
         qseg_ref, kseg_refs = None, [None] * nblocks
-        out_ref, lse_ref = rest[2 * nblocks:2 * nblocks + 2]
+        pos = 2 * nblocks
+    # the lse residual (12 per-row stores + a log2 pass per step) costs
+    # ~6.5 ms/layer at B64 — measured via tools/bench_headstack_kernel.py —
+    # and is only needed when a backward will run; the no-grad path drops it
+    if with_lse:
+        out_ref, lse_ref = rest[pos:pos + 2]
+    else:
+        out_ref, lse_ref = rest[pos], None
 
     qi = pl.program_id(1)
     start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
@@ -219,7 +227,9 @@ def _window_fused_kernel(
     rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
-    # per-key-block masks, shared across heads
+    # per-key-block masks, shared across heads; fixed-shift mode folds
+    # -SOFTMAX_SHIFT into the bias (see module constants)
+    ok_bias = 0.0 if ONLINE_MAX else -SOFTMAX_SHIFT
     biases = []
     for j in range(nblocks):
         cols = (start_kb + j) * block_k + col0
@@ -232,8 +242,9 @@ def _window_fused_kernel(
             )
         elif seq_len % block_k != 0:
             mask2d = jnp.logical_and(mask2d, cols < seq_len)
-        biases.append(jnp.where(mask2d, 0.0, NEG_INF).astype(acc_t))
+        biases.append(jnp.where(mask2d, ok_bias, NEG_INF).astype(acc_t))
 
+    clamp = jnp.asarray(SOFTMAX_CLAMP - SOFTMAX_SHIFT, acc_t)
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh = q[:, sl]
@@ -245,17 +256,22 @@ def _window_fused_kernel(
             ).astype(acc_t)
             s = s + biases[j]
             ss.append(s)
-            ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
+            if ONLINE_MAX:
+                ms.append(jnp.max(s, axis=-1).astype(jnp.float32))
 
-        m = ms[0]
-        for j in range(1, nblocks):
-            m = jnp.maximum(m, ms[j])
-        m_safe = jnp.where(m < NEG_INF * 0.5, 0.0, m)
+        if ONLINE_MAX:
+            m = ms[0]
+            for j in range(1, nblocks):
+                m = jnp.maximum(m, ms[j])
+            m_safe = jnp.where(m < NEG_INF * 0.5, 0.0, m)
 
         l_sum = None
         acc = None
         for j in range(nblocks):
-            p = jnp.exp2(ss[j] - m_safe[:, None].astype(acc_t))
+            if ONLINE_MAX:
+                p = jnp.exp2(ss[j] - m_safe[:, None].astype(acc_t))
+            else:
+                p = jnp.exp2(jnp.minimum(ss[j], clamp))
             lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
             pv = jax.lax.dot_general(
                 p.astype(v_refs[j].dtype), v_refs[j][0][:, sl], (((1,), (0,)), ((), ())),
@@ -265,7 +281,11 @@ def _window_fused_kernel(
             acc = pv if acc is None else acc + pv
         l_sum = jnp.maximum(l_sum, 1e-30)
         out_ref[0, :, sl] = (acc / l_sum[:, None]).astype(out_ref.dtype)
-        lse_ref[0, h] = m_safe + jnp.log2(l_sum)
+        if with_lse:
+            if ONLINE_MAX:
+                lse_ref[0, h] = m_safe + jnp.log2(l_sum)
+            else:
+                lse_ref[0, h] = jnp.log2(l_sum) + SOFTMAX_SHIFT
 
 
 def _block_ranges(b, nq, num_kb, nk_grid, block_q, block_k, window, qseg, kseg):
@@ -321,6 +341,7 @@ def _seg_unrolled_kernel(
     start_ref, count_ref,
     q_ref, *rest,
     block_q: int, block_k: int, heads: int, head_dim: int, unroll: int,
+    with_lse: bool = True,
 ):
     """Global/packed attention, ``unroll`` key blocks per grid step.
 
@@ -339,8 +360,12 @@ def _seg_unrolled_kernel(
     v_refs = rest[unroll:2 * unroll]
     qseg_ref = rest[2 * unroll]
     kseg_refs = rest[2 * unroll + 1:3 * unroll + 1]
-    out_ref, lse_ref = rest[3 * unroll + 1:3 * unroll + 3]
-    m_scr, l_scr, acc_scr = rest[3 * unroll + 3:3 * unroll + 6]
+    if with_lse:
+        out_ref, lse_ref = rest[3 * unroll + 1:3 * unroll + 3]
+        m_scr, l_scr, acc_scr = rest[3 * unroll + 3:3 * unroll + 6]
+    else:
+        out_ref, lse_ref = rest[3 * unroll + 1], None
+        m_scr, l_scr, acc_scr = rest[3 * unroll + 2:3 * unroll + 5]
 
     bi = pl.program_id(0)
     qi = pl.program_id(1)
@@ -421,13 +446,14 @@ def _seg_unrolled_kernel(
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             out_ref[0, :, sl] = (acc_scr[:, sl] / denom[h][:, None]).astype(out_ref.dtype)
-        if ONLINE_MAX:
-            m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
-            lse2 = m_safe + jnp.log2(denom)
-        else:
-            lse2 = jnp.log2(denom) + SOFTMAX_SHIFT
-        for h in range(heads):
-            lse_ref[0, h] = lse2[h]
+        if with_lse:
+            if ONLINE_MAX:
+                m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
+                lse2 = m_safe + jnp.log2(denom)
+            else:
+                lse2 = jnp.log2(denom) + SOFTMAX_SHIFT
+            for h in range(heads):
+                lse_ref[0, h] = lse2[h]
 
 
 def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
@@ -494,29 +520,29 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
         args.append(ksegi)
 
     h_pad = _cdiv(heads, 8) * 8
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype)]
+    scratch = [
+        pltpu.VMEM((heads, block_q), jnp.float32),  # m (unused in fixed-shift; 12 KB)
+        pltpu.VMEM((heads, block_q), jnp.float32),  # l
+        pltpu.VMEM((block_q, hd), jnp.float32),     # acc
+    ]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h_pad, lq_pad), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(
             _seg_unrolled_kernel, block_q=block_q, block_k=block_k,
-            heads=heads, head_dim=d, unroll=unroll,
+            heads=heads, head_dim=d, unroll=unroll, with_lse=return_lse,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nq, nt),
             in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((heads, block_q), jnp.float32),
-                pltpu.VMEM((heads, block_q), jnp.float32),
-                pltpu.VMEM((block_q, hd), jnp.float32),
-            ],
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, h_pad, lq_pad), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -527,10 +553,10 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
         ),
     )(start_arr, count_arr, *args)
 
-    out = out[:, :lq, :]
     if return_lse:
-        return out, lse[:, :heads, :lq]
-    return out
+        out, lse = res
+        return out[:, :lq, :], lse[:, :heads, :lq]
+    return res[0][:, :lq, :]
 
 
 def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse):
@@ -585,20 +611,20 @@ def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, retu
     kernel = functools.partial(
         _window_fused_kernel, window=window, block_q=block_q, block_k=block_k,
         num_kb=num_kb, nblocks=nblocks, seq_len=l, has_seg=has_seg, heads=heads, head_dim=d,
+        with_lse=return_lse,
     )
     h_pad = _cdiv(heads, 8) * 8  # lse sublane dim must be 8-aligned for TPU blocks
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, l_pad, hd), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((1, h_pad, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h_pad, l_pad), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(b, nq),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_pad, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, l_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, h_pad, l_pad), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -608,10 +634,10 @@ def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, retu
             transcendentals=b * heads * l_pad * nblocks * block_k,
         ),
     )(*args)
-    out = out[:, :l, :]
     if return_lse:
-        return out, lse[:, :heads, :l]
-    return out
+        out, lse = res
+        return out[:, :l, :], lse[:, :heads, :l]
+    return res[0][:, :l, :]
 
 
 def _flash_attention_fwd_impl(
