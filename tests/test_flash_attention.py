@@ -201,3 +201,47 @@ class TestSegmentBlockSkipping:
         g2 = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
         for a, bb in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-4)
+
+
+class TestPathCoverage:
+    def test_streaming_windowed_path(self):
+        """window=160 at 128-blocks needs 5 key blocks: falls back from the
+        fused single-pass kernel to the streaming online-softmax kernel."""
+        q, k, v, mask = make_inputs()
+        out = fa.flash_attention(q, k, v, key_mask=mask, window=160, block_q=128, block_k=128)
+        expected = ref(q, k, v, jnp.ones_like(mask), mask, 160)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    def test_streaming_windowed_grads(self):
+        q, k, v, mask = make_inputs(L=256)
+        mask = mask[:, :256]
+        g_out = jnp.asarray(np.random.default_rng(3).standard_normal(q.shape), jnp.float32) * 0.1
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(
+                fa.flash_attention(q, k, v, key_mask=mask, window=96, block_q=64, block_k=64) * g_out
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(ref(q, k, v, jnp.ones_like(mask), mask, 96) * g_out)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip(("dq", "dk", "dv"), gp, gr):
+            rel = float(jnp.max(jnp.abs(a - b))) / (float(jnp.max(jnp.abs(b))) + 1e-9)
+            assert rel < 5e-4, (name, rel)
+
+    @pytest.mark.parametrize("window", [None, 64])
+    def test_nograd_forward_matches_grad_forward(self, window):
+        """The no-grad path drops the lse output (with_lse=False); the primal
+        of the differentiated path must produce the identical output."""
+        q, k, v, _ = make_inputs(L=256)
+        seg = np.zeros((2, 256), np.int32)
+        seg[:, :100] = 1
+        seg[:, 100:240] = 2
+        segj = jnp.asarray(seg)
+        out_nograd = fa.flash_attention(q, k, v, segment_ids=segj, window=window)
+        out_grad, _ = jax.vjp(
+            lambda q_: fa.flash_attention(q_, k, v, segment_ids=segj, window=window), q
+        )
+        np.testing.assert_allclose(np.asarray(out_nograd), np.asarray(out_grad), atol=1e-6)
