@@ -97,7 +97,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny config on CPU for smoke testing")
     parser.add_argument("--batch-size", type=int, default=0, help="0 = auto-scan")
-    parser.add_argument("--packed-rows", type=int, default=64, help="rows for the packed headline")
+    # 128 rows amortize dispatch/pooling best with the head-minor kernels:
+    # 64 -> 174.4 emb/s, 96 -> 178.2, 128 -> 180.4 (measured 2026-08)
+    parser.add_argument("--packed-rows", type=int, default=128, help="rows for the packed headline")
     parser.add_argument("--seq-len", type=int, default=4096)
     parser.add_argument("--mel-frames", type=int, default=1600)  # 16 s windows
     parser.add_argument("--iters", type=int, default=20)
