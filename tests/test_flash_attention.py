@@ -245,3 +245,20 @@ class TestPathCoverage:
             lambda q_: fa.flash_attention(q_, k, v, segment_ids=segj, window=window), q
         )
         np.testing.assert_allclose(np.asarray(out_nograd), np.asarray(out_grad), atol=1e-6)
+
+
+class TestOnlineMaxOptOut:
+    """CM3P_FA_ONLINE_MAX=1 restores the running-max softmax; keep both
+    forms producing identical results so the debug switch doesn't rot."""
+
+    @pytest.mark.parametrize("window", [None, 64])
+    def test_online_max_matches_fixed_shift(self, monkeypatch, window):
+        q, k, v, _ = make_inputs(L=256)
+        seg = np.zeros((2, 256), np.int32)
+        seg[:, :150] = 1
+        seg[:, 150:230] = 2
+        segj = jnp.asarray(seg)
+        out_fixed = fa.flash_attention(q, k, v, segment_ids=segj, window=window)
+        monkeypatch.setattr(fa, "ONLINE_MAX", True)
+        out_online = fa.flash_attention(q, k, v, segment_ids=segj, window=window)
+        np.testing.assert_allclose(np.asarray(out_fixed), np.asarray(out_online), atol=2e-6)
