@@ -181,12 +181,11 @@ def _fa_kernel(
             out_ref[0, :, sl] = (acc_scr[:, sl] / denom[h][:, None]).astype(out_ref.dtype)
         # log2-sum-exp2 residual for the Pallas backward; fully-masked rows
         # get a moderately negative value so exp2(s - lse) underflows to 0.
-        # lse block is (1, h_pad, bq) with h_pad 8-aligned >= heads: write
-        # real head rows only, the padding rows are sliced away outside
+        # lse block is (1, h_pad, bq) with h_pad 8-aligned >= heads: one
+        # sublane-range store of the real head rows, padding rows are
+        # sliced away outside
         m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
-        lse2 = m_safe + jnp.log2(denom)
-        for h in range(heads):
-            lse_ref[0, h] = lse2[h]
+        lse_ref[0, 0:heads] = m_safe + jnp.log2(denom)
 
 
 def _window_fused_kernel(
@@ -452,8 +451,9 @@ def _seg_unrolled_kernel(
                 lse2 = m_safe + jnp.log2(denom)
             else:
                 lse2 = jnp.log2(denom) + SOFTMAX_SHIFT
-            for h in range(heads):
-                lse_ref[0, h] = lse2[h]
+            # one sublane-range store instead of 12 per-row stores (the
+            # block is (1, h_pad, bq) with h_pad >= heads)
+            lse_ref[0, 0:heads] = lse2
 
 
 def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
