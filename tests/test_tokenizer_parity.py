@@ -7,24 +7,16 @@ inputs — the hardest guarantee that converted checkpoints see the same
 token streams.
 """
 import sys
-import types
 
 import numpy as np
 import pytest
 
 pytest.importorskip("transformers")
 
-# stub `slider` before the reference package imports it
-if "slider" not in sys.modules:
-    slider_stub = types.ModuleType("slider")
-    for name in ("Beatmap", "Circle", "Slider", "Spinner", "HoldNote", "TimingPoint"):
-        setattr(slider_stub, name, type(name, (), {}))
-    curve_stub = types.ModuleType("slider.curve")
-    for name in ("Linear", "Catmull", "Perfect", "MultiBezier"):
-        setattr(curve_stub, name, type(name, (), {}))
-    slider_stub.curve = curve_stub
-    sys.modules["slider"] = slider_stub
-    sys.modules["slider.curve"] = curve_stub
+# install the functional slider shim before the reference package imports it
+from tests import slider_shim
+
+slider_shim.install()
 
 sys.path.insert(0, "/root/reference")
 

@@ -7,7 +7,11 @@ attribute reroutes everything.
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +28,7 @@ from cm3p_tpu.processing.packing import pack_windows  # noqa: E402
 
 import bench  # noqa: E402  (repo-root bench.py: real_window_sequences)
 
-ROWS = 64
+ROWS = int(os.environ.get("CM3P_DECOMPOSE_ROWS", "64"))
 SEQ = 4096
 REAL_FA = fa_mod.flash_attention
 
