@@ -1,0 +1,210 @@
+"""Export cm3p_tpu checkpoints as reference-loadable HF bundles.
+
+The reverse of ``tools/convert_reference_checkpoint.py``: our flax param
+pytree becomes an HF-layout ``model.safetensors`` + ``config.json`` that the
+*reference* PyTorch stack loads directly —
+``cm3p.modeling_cm3p.CM3PModel.from_pretrained(out_dir)`` — so models trained
+here can re-enter the ecosystem the reference's users live in
+(``/root/reference/push_to_hub.py:77-98`` publishes exactly this layout).
+
+``config.json`` carries the reference's nested composition
+(``configuration_cm3p.py:289-335``: metadata_config / beatmap_config /
+audio_config) plus ``auto_map`` entries so a hub copy of the reference's
+dynamic modules resolves via ``trust_remote_code=True``
+(``processing_cm3p.py:659-762`` semantics). No reference code is copied —
+the bundle references the classes by module name.
+
+Weight-name mapping (flax -> torch), inverse of
+convert_reference_checkpoint.py:
+    <tower>/tok_embeddings/embedding        -> *.embeddings.tok_embeddings.weight
+    <tower>/embeddings_norm/LayerNorm_0     -> *.embeddings.norm.{weight,bias}
+    <tower>/layers_N/{attn,mlp}/...kernel   -> *.layers.N....weight (transposed)
+    audio conv kernels (k, in, out)         -> (out, in, k)
+    projections / logit_scale / heads       -> top-level names
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+__all__ = ["flax_to_hf_state_dict", "hf_config_dict", "export_hf_checkpoint"]
+
+
+def _get(tree: dict, path: list[str]):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _export_encoder(tree: dict, tower_path: list[str], prefix: str, out: dict) -> None:
+    """One ModernBertEncoder subtree -> HF ``prefix``-named tensors."""
+    tower = _get(tree, tower_path)
+    if tower is None:
+        return
+    if "tok_embeddings" in tower:
+        out[prefix + "embeddings.tok_embeddings.weight"] = _np(tower["tok_embeddings"]["embedding"])
+    else:
+        # the audio encoder consumes inputs_embeds only, so our flax init
+        # never materializes its (vocab=1, hidden) embedding table; the
+        # reference model still instantiates it — synthesize zeros
+        hidden = int(np.asarray(tower["final_norm"]["LayerNorm_0"]["scale"]).shape[0])
+        out[prefix + "embeddings.tok_embeddings.weight"] = np.zeros((1, hidden), np.float32)
+    emb_norm = tower["embeddings_norm"]["LayerNorm_0"]
+    out[prefix + "embeddings.norm.weight"] = _np(emb_norm["scale"])
+    if "bias" in emb_norm:
+        out[prefix + "embeddings.norm.bias"] = _np(emb_norm["bias"])
+
+    layer = 0
+    while f"layers_{layer}" in tower:
+        lp = tower[f"layers_{layer}"]
+        hf = f"{prefix}layers.{layer}."
+        if layer != 0 and "attn_norm" in lp:
+            out[hf + "attn_norm.weight"] = _np(lp["attn_norm"]["LayerNorm_0"]["scale"])
+            if "bias" in lp["attn_norm"]["LayerNorm_0"]:
+                out[hf + "attn_norm.bias"] = _np(lp["attn_norm"]["LayerNorm_0"]["bias"])
+        for ours, theirs in [("Wqkv", "attn.Wqkv"), ("Wo", "attn.Wo")]:
+            out[hf + theirs + ".weight"] = _np(lp["attn"][ours]["kernel"]).T
+            if "bias" in lp["attn"][ours]:
+                out[hf + theirs + ".bias"] = _np(lp["attn"][ours]["bias"])
+        out[hf + "mlp_norm.weight"] = _np(lp["mlp_norm"]["LayerNorm_0"]["scale"])
+        if "bias" in lp["mlp_norm"]["LayerNorm_0"]:
+            out[hf + "mlp_norm.bias"] = _np(lp["mlp_norm"]["LayerNorm_0"]["bias"])
+        for ours, theirs in [("Wi", "mlp.Wi"), ("Wo", "mlp.Wo")]:
+            out[hf + theirs + ".weight"] = _np(lp["mlp"][ours]["kernel"]).T
+            if "bias" in lp["mlp"][ours]:
+                out[hf + theirs + ".bias"] = _np(lp["mlp"][ours]["bias"])
+        layer += 1
+
+    out[prefix + "final_norm.weight"] = _np(tower["final_norm"]["LayerNorm_0"]["scale"])
+    if "bias" in tower["final_norm"]["LayerNorm_0"]:
+        out[prefix + "final_norm.bias"] = _np(tower["final_norm"]["LayerNorm_0"]["bias"])
+
+
+def flax_to_hf_state_dict(params: dict, tie_word_embeddings: bool = False) -> dict:
+    """Our ``{'params': ...}`` pytree -> reference CM3PModel state dict (numpy)."""
+    tree = params.get("params", params)
+    out: dict = {}
+
+    _export_encoder(tree, ["metadata_model"], "metadata_model.encoder.", out)
+    _export_encoder(tree, ["beatmap_model", "encoder"], "beatmap_model.encoder.", out)
+
+    ae = _get(tree, ["beatmap_model", "audio_encoder"])
+    if ae is not None:
+        out["beatmap_model.audio_encoder.conv1.weight"] = _np(ae["conv1"]["kernel"]).transpose(2, 1, 0)
+        out["beatmap_model.audio_encoder.conv1.bias"] = _np(ae["conv1"]["bias"])
+        out["beatmap_model.audio_encoder.conv2.weight"] = _np(ae["conv2"]["kernel"]).transpose(2, 1, 0)
+        out["beatmap_model.audio_encoder.conv2.bias"] = _np(ae["conv2"]["bias"])
+        _export_encoder(tree, ["beatmap_model", "audio_encoder", "encoder"], "beatmap_model.audio_encoder.encoder.", out)
+        mmp = ae["multi_modal_projector"]
+        out["beatmap_model.audio_encoder.multi_modal_projector.linear_1.weight"] = _np(mmp["linear_1"]["kernel"]).T
+        out["beatmap_model.audio_encoder.multi_modal_projector.linear_2.weight"] = _np(mmp["linear_2"]["kernel"]).T
+
+    if "beatmap_projection" in tree:
+        out["beatmap_projection.weight"] = _np(tree["beatmap_projection"]["kernel"]).T
+    if "metadata_projection" in tree:
+        out["metadata_projection.weight"] = _np(tree["metadata_projection"]["kernel"]).T
+    if "logit_scale" in tree:
+        out["logit_scale"] = _np(tree["logit_scale"]).reshape(())
+
+    # decoder / MLM head (has_decoder_head or ForMaskedLM exports)
+    if "head" in tree:
+        out["head.dense.weight"] = _np(tree["head"]["dense"]["kernel"]).T
+        if "bias" in tree["head"]["dense"]:
+            out["head.dense.bias"] = _np(tree["head"]["dense"]["bias"])
+        out["head.norm.weight"] = _np(tree["head"]["norm"]["LayerNorm_0"]["scale"])
+        if "bias" in tree["head"]["norm"]["LayerNorm_0"]:
+            out["head.norm.bias"] = _np(tree["head"]["norm"]["LayerNorm_0"]["bias"])
+    if "decoder" in tree:
+        out["decoder.weight"] = _np(tree["decoder"]["kernel"]).T
+        if "bias" in tree["decoder"]:
+            out["decoder.bias"] = _np(tree["decoder"]["bias"])
+    elif "decoder_bias" in tree:
+        # tied decoder: weight IS the beatmap token embedding
+        emb = out.get("beatmap_model.encoder.embeddings.tok_embeddings.weight")
+        if emb is not None and tie_word_embeddings:
+            out["decoder.weight"] = emb
+        out["decoder.bias"] = _np(tree["decoder_bias"])
+    if "classifier" in tree:
+        out["classifier.weight"] = _np(tree["classifier"]["kernel"]).T
+        if "bias" in tree["classifier"]:
+            out["classifier.bias"] = _np(tree["classifier"]["bias"])
+    return out
+
+
+_DROP_KEYS = {"tie_word_embeddings"}  # handled at the top level by HF
+
+
+def _encoder_dict(cfg, extra_drop=()) -> dict:
+    d = {k: v for k, v in dataclasses.asdict(cfg).items() if k not in _DROP_KEYS and k not in extra_drop}
+    return d
+
+
+def hf_config_dict(cfg, architecture: str = "CM3PModel", include_auto_map: bool = True) -> dict:
+    """Reference-compatible ``config.json`` payload for our CM3PConfig."""
+    beatmap = _encoder_dict(cfg.beatmap_config, extra_drop=("audio_config",))
+    beatmap["audio_config"] = _encoder_dict(cfg.beatmap_config.audio_config)
+    beatmap["model_type"] = "CM3PBeatmap"
+    beatmap["audio_config"]["model_type"] = "CM3PAudio"
+    metadata = _encoder_dict(cfg.metadata_config)
+    metadata["model_type"] = "CM3PMetadata"
+    out = {
+        "model_type": "CM3P",
+        "architectures": [architecture],
+        "projection_dim": cfg.projection_dim,
+        "logit_scale_init_value": cfg.logit_scale_init_value,
+        "initializer_factor": cfg.initializer_factor,
+        "initializer_range": cfg.initializer_range,
+        "has_decoder_head": cfg.has_decoder_head,
+        "metadata_config": metadata,
+        "beatmap_config": beatmap,
+        "torch_dtype": "float32",
+    }
+    if include_auto_map:
+        out["auto_map"] = {
+            "AutoConfig": "configuration_cm3p.CM3PConfig",
+            "AutoModel": "modeling_cm3p." + architecture,
+        }
+    return out
+
+
+def export_hf_checkpoint(
+    params: dict,
+    cfg,
+    out_dir: Union[str, Path],
+    architecture: str = "CM3PModel",
+    tie_word_embeddings: Optional[bool] = None,
+) -> Path:
+    """Write ``config.json`` + ``model.safetensors`` loadable by the reference.
+
+    Round-trip contract (tests/test_hf_export.py): embeddings from the
+    reference model loaded off this bundle match ours with cosine > 0.9999.
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if tie_word_embeddings is None:
+        tie_word_embeddings = bool(getattr(cfg.beatmap_config, "tie_word_embeddings", False))
+    state = flax_to_hf_state_dict(params, tie_word_embeddings=tie_word_embeddings)
+
+    from safetensors.numpy import save_file
+
+    # safetensors serializes the raw buffer: transposed VIEWS would be
+    # written untransposed — force C-contiguous copies
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
+    save_file(state, str(out_dir / "model.safetensors"), metadata={"format": "pt"})
+
+    cfg_dict = hf_config_dict(cfg, architecture=architecture)
+    cfg_dict["tie_word_embeddings"] = tie_word_embeddings
+    with open(out_dir / "config.json", "w") as f:
+        json.dump(cfg_dict, f, indent=2, sort_keys=True)
+    return out_dir

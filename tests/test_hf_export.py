@@ -1,0 +1,167 @@
+"""Round-trip: our flax checkpoint -> HF bundle -> the reference torch model.
+
+VERDICT.md round-1 gap #1 (HF-ecosystem export direction): a model trained
+here must be loadable by the reference stack (``push_to_hub.py:77-98``
+layout). Contract tested end to end: init + a few real optimizer steps ->
+``export_hf_checkpoint`` -> ``cm3p.modeling_cm3p.CM3PModel.from_pretrained``
+on the bundle -> embeddings match ours with cosine > 0.9999, with zero
+missing/unexpected keys.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("safetensors")
+sys.path.insert(0, "/root/reference")
+
+try:
+    from cm3p.modeling_cm3p import CM3PModel as RefModel
+except Exception as e:  # pragma: no cover
+    pytest.skip(f"reference model unavailable: {e}", allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from cm3p_tpu.configs import tiny_cm3p_config
+from cm3p_tpu.interop import export_hf_checkpoint, flax_to_hf_state_dict
+from cm3p_tpu.models import CM3PModule
+
+
+def cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+@pytest.fixture(scope="module")
+def trained_bundle(tmp_path_factory):
+    """Init a tiny model, take 3 real contrastive train steps, export."""
+    import optax
+
+    cfg = tiny_cm3p_config()
+    # default audio ids (3164+) exceed the tiny vocab of 512: keep in range
+    cfg.beatmap_config.audio_sos_token_id = 498
+    cfg.beatmap_config.audio_eos_token_id = 499
+    cfg.beatmap_config.audio_token_id = 500
+    model = CM3PModule(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(5, 500, (4, 64)), jnp.int32),
+        "attention_mask": jnp.asarray(np.ones((4, 64)), jnp.int32),
+        "metadata_ids": jnp.asarray(rng.integers(0, 250, (4, 12)), jnp.int32),
+        "metadata_attention_mask": jnp.asarray(np.ones((4, 12)), jnp.int32),
+    }
+    # init WITH audio features so the lazily-created audio encoder params
+    # exist in the tree (the reference model always instantiates them)
+    init_ids = np.asarray(batch["input_ids"]).copy()
+    init_ids[:, 0] = cfg.beatmap_config.audio_sos_token_id
+    init_ids[:, 1] = cfg.beatmap_config.audio_token_id
+    init_ids[:, 2] = cfg.beatmap_config.audio_token_id
+    init_ids[:, 3] = cfg.beatmap_config.audio_eos_token_id
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(init_ids, jnp.int32),
+        attention_mask=batch["attention_mask"],
+        metadata_ids=batch["metadata_ids"],
+        metadata_attention_mask=batch["metadata_attention_mask"],
+        input_features=jnp.asarray(rng.standard_normal((4, 80, 16)), jnp.float32),
+        return_loss=True,
+    )
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return model.apply(p, **batch, return_loss=True).loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+
+    out_dir = tmp_path_factory.mktemp("hf_bundle")
+    export_hf_checkpoint(params, cfg, out_dir)
+    return cfg, model, params, out_dir, batch
+
+
+class TestHFExport:
+    def test_reference_loads_with_exact_keys(self, trained_bundle):
+        cfg, model, params, out_dir, batch = trained_bundle
+        ref, loading_info = RefModel.from_pretrained(
+            out_dir, attn_implementation="sdpa", output_loading_info=True
+        )
+        assert loading_info["missing_keys"] == []
+        assert loading_info["unexpected_keys"] == []
+        assert loading_info["mismatched_keys"] == []
+        n_ref = sum(p.numel() for p in ref.parameters())
+        n_ours = sum(v.size for v in jax.tree.leaves(params))
+        # the reference instantiates a dead (1, hidden) audio embedding table
+        # that our flax tree never materializes (synthesized on export)
+        assert n_ref == n_ours + cfg.beatmap_config.audio_config.hidden_size
+
+    def test_embeddings_round_trip(self, trained_bundle):
+        cfg, model, params, out_dir, batch = trained_bundle
+        ref = RefModel.from_pretrained(out_dir, attn_implementation="sdpa").eval()
+        with torch.no_grad():
+            out_ref = ref(
+                input_ids=torch.tensor(np.asarray(batch["input_ids"])),
+                attention_mask=torch.tensor(np.asarray(batch["attention_mask"], np.int64)),
+                metadata_ids=torch.tensor(np.asarray(batch["metadata_ids"])),
+                metadata_attention_mask=torch.tensor(np.asarray(batch["metadata_attention_mask"], np.int64)),
+                return_loss=False,
+            )
+        out_ours = model.apply(params, **batch, return_loss=False)
+        assert cosine(out_ref.beatmap_embeds.numpy(), np.asarray(out_ours.beatmap_embeds)) > 0.9999
+        assert cosine(out_ref.metadata_embeds.numpy(), np.asarray(out_ours.metadata_embeds)) > 0.9999
+        np.testing.assert_allclose(
+            np.asarray(out_ours.beatmap_embeds), out_ref.beatmap_embeds.numpy(), atol=3e-4
+        )
+
+    def test_audio_fused_round_trip(self, trained_bundle):
+        cfg, model, params, out_dir, batch = trained_bundle
+        ref = RefModel.from_pretrained(out_dir, attn_implementation="sdpa").eval()
+        rng = np.random.default_rng(5)
+        feats = rng.standard_normal((2, 80, 16)).astype(np.float32)
+        ids = np.asarray(batch["input_ids"][:2]).copy()
+        ids[:, 0] = cfg.beatmap_config.audio_sos_token_id
+        ids[:, 1] = cfg.beatmap_config.audio_token_id
+        ids[:, 2] = cfg.beatmap_config.audio_token_id
+        ids[:, 3] = cfg.beatmap_config.audio_eos_token_id
+        mask = np.ones_like(ids)
+        with torch.no_grad():
+            out_ref = ref(
+                input_ids=torch.tensor(ids),
+                input_features=torch.tensor(feats),
+                attention_mask=torch.tensor(mask.astype(np.int64)),
+                return_loss=False,
+            ).beatmap_embeds.numpy()
+        out_ours = np.asarray(
+            model.apply(
+                params,
+                input_ids=jnp.asarray(ids, jnp.int32),
+                input_features=jnp.asarray(feats),
+                attention_mask=jnp.asarray(mask, jnp.int32),
+                return_loss=False,
+            ).beatmap_embeds
+        )
+        assert cosine(out_ref, out_ours) > 0.9999
+
+    def test_convert_then_export_is_identity(self, trained_bundle):
+        """export(convert(state)) == state for every reference tensor."""
+        cfg, model, params, out_dir, batch = trained_bundle
+        sys.path.insert(0, "/root/repo")
+        from tools.convert_reference_checkpoint import convert_cm3p_state_dict
+
+        state = flax_to_hf_state_dict(params)
+        back = convert_cm3p_state_dict(dict(state))
+        again = flax_to_hf_state_dict(back)
+        assert set(state) == set(again)
+        for k in state:
+            np.testing.assert_array_equal(state[k], again[k], err_msg=k)
