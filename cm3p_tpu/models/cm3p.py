@@ -214,10 +214,15 @@ class BeatmapTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: Any = False  # False | True (full) | "dots"
+    sp_mesh: Any = None  # Mesh with a "seq" axis -> sequence-parallel attention
+    sp_axis: str = "seq"
 
     def setup(self):
+        # the audio tower's sequences (<=1.5k frames) never need SP
         self.audio_encoder = AudioEncoder(self.config.audio_config, self.dtype, self.attn_impl, self.remat)
-        self.encoder = ModernBertEncoder(self.config, self.dtype, self.attn_impl, self.remat)
+        self.encoder = ModernBertEncoder(
+            self.config, self.dtype, self.attn_impl, self.remat, self.sp_mesh, self.sp_axis
+        )
 
     def __call__(
         self,
@@ -297,6 +302,8 @@ class CM3PModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: Any = False  # False | True (full) | "dots"
+    sp_mesh: Any = None  # Mesh with a "seq" axis -> sequence-parallel beatmap tower
+    sp_axis: str = "seq"
 
     def setup(self):
         cfg = self.config
@@ -308,7 +315,9 @@ class CM3PModule(nn.Module):
         self.metadata_model = ModernBertEncoder(
             cfg.metadata_config, self.dtype, self.attn_impl, bool(self.remat)
         )
-        self.beatmap_model = BeatmapTransformer(cfg.beatmap_config, self.dtype, self.attn_impl, self.remat)
+        self.beatmap_model = BeatmapTransformer(
+            cfg.beatmap_config, self.dtype, self.attn_impl, self.remat, self.sp_mesh, self.sp_axis
+        )
         self.beatmap_projection = nn.Dense(
             cfg.projection_dim,
             use_bias=False,

@@ -126,12 +126,21 @@ def xla_attention(q, k, v, bias, dropout_rate=0.0, deterministic=True, dropout_r
 
 
 class SelfAttention(nn.Module):
-    """Fused-QKV rotary self-attention block."""
+    """Fused-QKV rotary self-attention block.
+
+    ``sp_mesh``: optional Mesh with a ``sp_axis`` axis — activates
+    sequence-parallel allgather-KV attention (parallel/sequence.py) for
+    windows beyond one chip's memory; queries stay sharded, k/v ride one
+    tiled all-gather over ICI per layer. Packed segments are incompatible
+    with SP (packing already bounds the window) and raise.
+    """
 
     config: EncoderConfig
     layer_id: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True):
@@ -158,7 +167,20 @@ class SelfAttention(nn.Module):
 
         q, k = apply_rope(q, k, cos, sin)
 
-        if flash_window is not None:
+        if self.sp_mesh is not None and flash_window is not None:
+            # sequence-parallel path: L sharded over sp_axis, allgather-KV
+            if segment_ids is not None:
+                raise ValueError("sequence parallelism does not support packed segment_ids")
+            from ..parallel.sequence import sequence_sharded_attention
+
+            key_mask = None
+            if bias is not None:
+                key_mask = (bias.reshape(bias.shape[0], bias.shape[-1]) >= -0.5).astype(jnp.int32)
+            window = None if flash_window < 0 else flash_window
+            out = sequence_sharded_attention(
+                q, k, v, key_mask, self.sp_mesh, seq_axis=self.sp_axis, window=window
+            )
+        elif flash_window is not None:
             # Pallas flash kernel. flash_window > 0 → windowed local layer
             # (4-5x faster than XLA's dense-masked path at 4k on v5e);
             # flash_window == -1 → global layer, streamed to avoid the
@@ -243,6 +265,8 @@ class EncoderLayer(nn.Module):
     layer_id: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True):
@@ -252,9 +276,9 @@ class EncoderLayer(nn.Module):
             attn_in = x
         else:
             attn_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="attn_norm")(x)
-        x = x + SelfAttention(cfg, self.layer_id, self.dtype, self.attn_impl, name="attn")(
-            attn_in, bias, cos, sin, flash_window, segment_ids, deterministic
-        )
+        x = x + SelfAttention(
+            cfg, self.layer_id, self.dtype, self.attn_impl, self.sp_mesh, self.sp_axis, name="attn"
+        )(attn_in, bias, cos, sin, flash_window, segment_ids, deterministic)
         mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
         x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)
         return x
@@ -271,6 +295,8 @@ class ModernBertEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: Any = False  # False | True (full) | "dots"
+    sp_mesh: Any = None  # Mesh with an `sp_axis` axis -> sequence parallelism
+    sp_axis: str = "seq"
 
     def setup(self):
         cfg = self.config
@@ -297,7 +323,7 @@ class ModernBertEncoder(nn.Module):
         else:
             layer_cls = EncoderLayer
         self.layers = [
-            layer_cls(cfg, i, self.dtype, self.attn_impl, name=f"layers_{i}")
+            layer_cls(cfg, i, self.dtype, self.attn_impl, self.sp_mesh, self.sp_axis, name=f"layers_{i}")
             for i in range(cfg.num_hidden_layers)
         ]
         self.final_norm = LayerNormF32(cfg.norm_eps, cfg.norm_bias)
