@@ -143,7 +143,9 @@ class SelfAttention(nn.Module):
     sp_axis: str = "seq"
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True):
+    def __call__(
+        self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True, fuse_rope=False
+    ):
         cfg = self.config
         hidden = cfg.hidden_size
         heads = cfg.num_attention_heads
@@ -165,7 +167,16 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, l, 3, heads, head_dim)
         q, k, v = (qkv[:, :, i] for i in range(3))  # (B, L, H, D)
 
-        q, k = apply_rope(q, k, cos, sin)
+        # in-kernel rope (fuse_rope): the flash kernel rotates q/k on its
+        # VMEM-resident blocks, deleting this standalone pass and one q/k
+        # HBM round trip (ops/flash_attention.py fused-rope block comment)
+        rope_theta = None
+        if fuse_rope and flash_window is not None and self.sp_mesh is None:
+            rope_theta = (
+                cfg.global_rope_theta if flash_window < 0 else cfg.local_rope_theta
+            )
+        else:
+            q, k = apply_rope(q, k, cos, sin)
 
         if self.sp_mesh is not None and flash_window is not None:
             # sequence-parallel path: L sharded over sp_axis, allgather-KV
@@ -188,7 +199,9 @@ class SelfAttention(nn.Module):
             from ..ops.flash_attention import flash_attention
 
             window = None if flash_window < 0 else flash_window
-            out = flash_attention(q, k, v, bias=bias, window=window, segment_ids=segment_ids)
+            out = flash_attention(
+                q, k, v, bias=bias, window=window, segment_ids=segment_ids, rope_theta=rope_theta
+            )
         else:
             out = xla_attention(
                 q,
@@ -269,7 +282,9 @@ class EncoderLayer(nn.Module):
     sp_axis: str = "seq"
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True):
+    def __call__(
+        self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True, fuse_rope=False
+    ):
         cfg = self.config
         # layer 0 has an identity attention pre-norm (ModernBERT quirk)
         if self.layer_id == 0:
@@ -278,7 +293,7 @@ class EncoderLayer(nn.Module):
             attn_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="attn_norm")(x)
         x = x + SelfAttention(
             cfg, self.layer_id, self.dtype, self.attn_impl, self.sp_mesh, self.sp_axis, name="attn"
-        )(attn_in, bias, cos, sin, flash_window, segment_ids, deterministic)
+        )(attn_in, bias, cos, sin, flash_window, segment_ids, deterministic, fuse_rope)
         mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
         x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)
         return x
@@ -315,11 +330,11 @@ class ModernBertEncoder(nn.Module):
         if self.remat == "dots":
             layer_cls = nn.remat(
                 EncoderLayer,
-                static_argnums=(5, 7),
+                static_argnums=(5, 7, 8),
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
         elif self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(5, 7))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(5, 7, 8))
         else:
             layer_cls = EncoderLayer
         self.layers = [
@@ -372,6 +387,9 @@ class ModernBertEncoder(nn.Module):
         use_flash = self.attn_impl == "pallas" and l >= 512
         local_flash = cfg.local_attention // 2 if (use_flash and need_local) else None
         global_flash = -1 if use_flash else None
+        # in-kernel rope needs default arange positions (per-batch
+        # position_ids would need per-row tables) and no SP sharding
+        fuse_rope = use_flash and position_ids is None and self.sp_mesh is None
 
         pad_bias = padding_bias(attention_mask) if attention_mask is not None else None
         if segment_ids is not None and not use_flash:
@@ -394,6 +412,7 @@ class ModernBertEncoder(nn.Module):
                 global_flash if is_global else local_flash,
                 segment_ids,
                 deterministic,
+                fuse_rope,
             )
 
         return self.final_norm(x)

@@ -52,6 +52,21 @@ NEG_INF = -1e30
 # degrades to equal weights instead of overflowing. The backward never uses
 # the max (it recomputes p from lse), so only forward internals change.
 # CM3P_FA_ONLINE_MAX=1 restores the running-max form.
+#
+# Tail bounds of the fixed-shift form vs online-max (ADVICE r1 #2/#3):
+# * UNDERFLOW: p = exp2(s - 16) flushes to zero below the smallest bf16
+#   subnormal 2^-133, i.e. for log2-scores s < -117 (natural logits < -81).
+#   A row whose EVERY unmasked score is that negative outputs zeros where
+#   online-max would renormalize exactly — the same +-81-logit band as the
+#   overflow clamp, unreachable for LayerNormed activations (|q·k|/sqrt(d)
+#   stays under ~40 even at init). Rows with at least one ordinary score
+#   are unaffected (the tiny terms are below bf16 resolution of the sum).
+# * CLAMP/GRADIENT CONSISTENCY: the backward recomputes p = exp2(s - lse)
+#   WITHOUT the forward's clamp, so for rows in the clamped regime
+#   (log2-scores > 116) gradients follow the unclamped softmax rather than
+#   the clamped primal. This is an accepted mismatch confined to the same
+#   unreachable band — documented rather than paid for with an extra
+#   min() pass per backward step.
 SOFTMAX_SHIFT = 16.0
 SOFTMAX_CLAMP = 116.0
 ONLINE_MAX = os.environ.get("CM3P_FA_ONLINE_MAX") == "1"
@@ -63,6 +78,78 @@ def _cdiv(a: int, b: int) -> int:
 
 def _acc_t(x):
     return jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+
+
+# ---------------------------------------------------------------- fused rope
+# Rotary embedding fused into the kernels: q/k arrive RAW and are rotated on
+# the VMEM-resident blocks — two muls + an add + one (128,128) block-diagonal
+# rotate-half matmul per two-head lane group (full MXU depth). This deletes
+# the standalone XLA rope pass and its q/k HBM round trip: measured net
+# -3.3 ms/layer (local) / -4.3 ms/layer (global) at B64·L4096·H12 on v5e
+# (tools/bench_r2_attn.py E5, 2026-08). Valid only for head_dim 64 (two
+# 64-lane heads tile one 128-lane group) and default arange positions; other
+# cases fall back to an XLA rope pass in the dispatcher.
+
+
+def _rope_tables(l: int, d: int, theta: float, dtype, scale: float = 1.0):
+    """[cos|cos], [sin|sin] tables tiled to the 2-head (2d) lane group."""
+    import numpy as np
+
+    inv_freq = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    freqs = np.arange(l)[:, None] * inv_freq[None, :]
+    emb = np.concatenate([freqs, freqs], axis=1)  # (L, d)
+    cos = np.tile(np.cos(emb) * scale, (1, 2))  # (L, 2d)
+    sin = np.tile(np.sin(emb) * scale, (1, 2))
+    return jnp.asarray(cos, dtype), jnp.asarray(sin, dtype)
+
+
+def _rot_matrix(d: int):
+    """(d, d) rotate-half permutation R with x @ R == rotate_half(x)."""
+    import numpy as np
+
+    half = d // 2
+    r = np.zeros((d, d), np.float32)
+    r[np.arange(half) + half, np.arange(half)] = -1.0
+    r[np.arange(half), np.arange(half) + half] = 1.0
+    return r
+
+
+def _r2_matrix(d: int, dtype):
+    """(2d, 2d) block-diagonal rotate-half for the two-head lane group."""
+    import numpy as np
+
+    r = _rot_matrix(d)
+    r2 = np.zeros((2 * d, 2 * d), np.float32)
+    r2[:d, :d] = r
+    r2[d:, d:] = r
+    return jnp.asarray(r2, dtype)
+
+
+def _rope_rotate_groups(x, ct, st, r2_ref, ngroups: int, d: int):
+    """In-kernel: rotate all heads of an (rows, H*D) tile, 2 heads per group."""
+    out = []
+    for g in range(ngroups):
+        sl = slice(g * 2 * d, (g + 1) * 2 * d)
+        xg = x[:, sl]
+        xr = jax.lax.dot_general(
+            xg, r2_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out.append(xg * ct + xr * st)
+    return out
+
+
+def _apply_rope_xla(x, theta: float, d: int, scale: float = 1.0):
+    """XLA fallback: rope over head-minor (B, L, H*D) with arange positions."""
+    b, l, hd = x.shape
+    h = hd // d
+    cos2, sin2 = _rope_tables(l, d, theta, x.dtype, scale)
+    cos = cos2[:, :d][None, :, None, :]
+    sin = sin2[:, :d][None, :, None, :]
+    r = jnp.asarray(_rot_matrix(d), x.dtype)
+    x4 = x.reshape(b, l, h, d)
+    dn = (((3,), (0,)), ((), ()))
+    x4 = x4 * cos + jax.lax.dot_general(x4, r, dn, preferred_element_type=x.dtype) * sin
+    return x4.reshape(b, l, hd)
 
 
 def _fa_kernel(
@@ -86,6 +173,7 @@ def _fa_kernel(
     seq_len: int,
     heads: int,
     head_dim: int,
+    with_lse: bool = True,
 ):
     """Streaming online-softmax attention, one (q-block, k-block) per step.
 
@@ -183,9 +271,11 @@ def _fa_kernel(
         # get a moderately negative value so exp2(s - lse) underflows to 0.
         # lse block is (1, h_pad, bq) with h_pad 8-aligned >= heads: one
         # sublane-range store of the real head rows, padding rows are
-        # sliced away outside
-        m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
-        lse_ref[0, 0:heads] = m_safe + jnp.log2(denom)
+        # sliced away outside. Skipped on no-grad forwards (with_lse=False),
+        # like the fused paths (ADVICE r1 #4).
+        if with_lse:
+            m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
+            lse_ref[0, 0:heads] = m_safe + jnp.log2(denom)
 
 
 def _window_fused_kernel(
@@ -193,6 +283,7 @@ def _window_fused_kernel(
     window: int, block_q: int, block_k: int, num_kb: int,
     nblocks: int, seq_len: int, has_seg: bool, heads: int, head_dim: int,
     with_lse: bool = True,
+    fuse_rope: bool = False,
 ):
     """Single-pass windowed attention: all key blocks in one grid step.
 
@@ -200,7 +291,10 @@ def _window_fused_kernel(
     block, so unrolling them into one step removes the online-softmax
     rescale chain AND 2/3 of the grid steps — per-step overhead was ~40 %
     of the streaming kernel's runtime at w=64 on v5e.
-    Ref layout: q, k*nblocks, v*nblocks[, qseg, kseg*nblocks], out, lse.
+    Ref layout: q, k*nblocks, v*nblocks[, qseg, kseg*nblocks]
+    [, qcos, qsin, kcos*nblocks, ksin*nblocks, r2], out, lse.
+    With ``fuse_rope`` q/k arrive RAW (softmax scale folded into the q
+    tables) and are rotated in-kernel — see the fused-rope block comment.
     """
     k_refs = rest[:nblocks]
     v_refs = rest[nblocks:2 * nblocks]
@@ -211,6 +305,12 @@ def _window_fused_kernel(
     else:
         qseg_ref, kseg_refs = None, [None] * nblocks
         pos = 2 * nblocks
+    if fuse_rope:
+        qct_ref, qst_ref = rest[pos:pos + 2]
+        kct_refs = rest[pos + 2:pos + 2 + nblocks]
+        kst_refs = rest[pos + 2 + nblocks:pos + 2 + 2 * nblocks]
+        r2_ref = rest[pos + 2 + 2 * nblocks]
+        pos += 3 + 2 * nblocks
     # the lse residual (12 per-row stores + a log2 pass per step) costs
     # ~6.5 ms/layer at B64 — measured via tools/bench_headstack_kernel.py —
     # and is only needed when a backward will run; the no-grad path drops it
@@ -221,7 +321,7 @@ def _window_fused_kernel(
 
     qi = pl.program_id(1)
     start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
-    q = q_ref[0]  # (bq, H*D) pre-scaled
+    q = q_ref[0]  # (bq, H*D); pre-scaled unless fuse_rope (scale in q table)
     acc_t = _acc_t(q)
     rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -243,14 +343,36 @@ def _window_fused_kernel(
             mask2d = jnp.logical_and(mask2d, cols < seq_len)
         biases.append(jnp.where(mask2d, ok_bias, NEG_INF).astype(acc_t))
 
+    if fuse_rope:
+        ngroups = heads // 2
+        qrots = _rope_rotate_groups(q, qct_ref[...], qst_ref[...], r2_ref, ngroups, head_dim)
+        krots = [
+            _rope_rotate_groups(k_refs[j][0], kct_refs[j][...], kst_refs[j][...], r2_ref, ngroups, head_dim)
+            for j in range(nblocks)
+        ]
+
+        def _qh(h):
+            g, half = divmod(h, 2)
+            return qrots[g][:, half * head_dim:(half + 1) * head_dim]
+
+        def _kh(j, h):
+            g, half = divmod(h, 2)
+            return krots[j][g][:, half * head_dim:(half + 1) * head_dim]
+    else:
+        def _qh(h):
+            return q[:, h * head_dim:(h + 1) * head_dim]
+
+        def _kh(j, h):
+            return k_refs[j][0][:, h * head_dim:(h + 1) * head_dim]
+
     clamp = jnp.asarray(SOFTMAX_CLAMP - SOFTMAX_SHIFT, acc_t)
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q[:, sl]
+        qh = _qh(h)
         ss, ms = [], []
         for j in range(nblocks):
             s = jax.lax.dot_general(
-                qh, k_refs[j][0][:, sl], (((1,), (1,)), ((), ())),
+                qh, _kh(j, h), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(acc_t)
             s = s + biases[j]
@@ -341,6 +463,7 @@ def _seg_unrolled_kernel(
     q_ref, *rest,
     block_q: int, block_k: int, heads: int, head_dim: int, unroll: int,
     with_lse: bool = True,
+    fuse_rope: bool = False,
 ):
     """Global/packed attention, ``unroll`` key blocks per grid step.
 
@@ -353,18 +476,27 @@ def _seg_unrolled_kernel(
     block; an explicit (t*U + j < count) term in the mask excludes them
     (the segment mask alone would double-count the clamped duplicates).
 
-    Ref layout: q, k*U, v*U, qseg, kseg*U, out, lse, scratch m/l/acc.
+    Ref layout: q, k*U, v*U, qseg, kseg*U
+    [, qcos, qsin, kcos*U, ksin*U, r2], out, lse, scratch m/l/acc.
+    With ``fuse_rope`` q/k arrive RAW and are rotated in-kernel.
     """
     k_refs = rest[:unroll]
     v_refs = rest[unroll:2 * unroll]
     qseg_ref = rest[2 * unroll]
     kseg_refs = rest[2 * unroll + 1:3 * unroll + 1]
+    pos = 3 * unroll + 1
+    if fuse_rope:
+        qct_ref, qst_ref = rest[pos:pos + 2]
+        kct_refs = rest[pos + 2:pos + 2 + unroll]
+        kst_refs = rest[pos + 2 + unroll:pos + 2 + 2 * unroll]
+        r2_ref = rest[pos + 2 + 2 * unroll]
+        pos += 3 + 2 * unroll
     if with_lse:
-        out_ref, lse_ref = rest[3 * unroll + 1:3 * unroll + 3]
-        m_scr, l_scr, acc_scr = rest[3 * unroll + 3:3 * unroll + 6]
+        out_ref, lse_ref = rest[pos:pos + 2]
+        m_scr, l_scr, acc_scr = rest[pos + 2:pos + 5]
     else:
-        out_ref, lse_ref = rest[3 * unroll + 1], None
-        m_scr, l_scr, acc_scr = rest[3 * unroll + 2:3 * unroll + 5]
+        out_ref, lse_ref = rest[pos], None
+        m_scr, l_scr, acc_scr = rest[pos + 1:pos + 4]
 
     bi = pl.program_id(0)
     qi = pl.program_id(1)
@@ -393,15 +525,37 @@ def _seg_unrolled_kernel(
             valid = t * unroll + j < cnt  # scalar; kills clamped duplicate blocks
             biases.append(jnp.where(jnp.logical_and(seg_ok, valid), ok_bias, NEG_INF).astype(acc_t))
 
+        if fuse_rope:
+            ngroups = heads // 2
+            qrots = _rope_rotate_groups(q, qct_ref[...], qst_ref[...], r2_ref, ngroups, head_dim)
+            krots = [
+                _rope_rotate_groups(k_refs[j][0], kct_refs[j][...], kst_refs[j][...], r2_ref, ngroups, head_dim)
+                for j in range(unroll)
+            ]
+
+            def _qh(h):
+                g, half = divmod(h, 2)
+                return qrots[g][:, half * head_dim:(half + 1) * head_dim]
+
+            def _kh(j, h):
+                g, half = divmod(h, 2)
+                return krots[j][g][:, half * head_dim:(half + 1) * head_dim]
+        else:
+            def _qh(h):
+                return q[:, h * head_dim:(h + 1) * head_dim]
+
+            def _kh(j, h):
+                return k_refs[j][0][:, h * head_dim:(h + 1) * head_dim]
+
         clamp = jnp.asarray(SOFTMAX_CLAMP - SOFTMAX_SHIFT, acc_t)
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            qh = q[:, sl]
+            qh = _qh(h)
             ss = []
             ms = []
             for j in range(unroll):
                 s = jax.lax.dot_general(
-                    qh, k_refs[j][0][:, sl], (((1,), (1,)), ((), ())),
+                    qh, _kh(j, h), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ).astype(acc_t)
                 s = s + biases[j]
@@ -456,15 +610,18 @@ def _seg_unrolled_kernel(
             lse_ref[0, 0:heads] = lse2
 
 
-def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
+def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, rope_theta=None):
     """Dispatcher for the unrolled global/packed kernel (window=None, segments).
 
-    q/k/v: (B, L, H*D) head-minor; handles rectangular lq != lk."""
+    q/k/v: (B, L, H*D) head-minor; handles rectangular lq != lk. RAW
+    (un-roped, unscaled) q/k when ``rope_theta`` is set (requires lq == lk
+    arange positions — guaranteed by the caller)."""
     b, lq, hd = q.shape
     lk = k.shape[1]
     d = hd // heads
     unroll = UNROLL
-    q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
+    if rope_theta is None:
+        q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
 
     lq_pad = _cdiv(lq, block_q) * block_q
     lk_pad = _cdiv(lk, block_k) * block_k
@@ -519,6 +676,31 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
         in_specs.append(pl.BlockSpec((1, 1, block_k), kseg_index(j), memory_space=pltpu.VMEM))
         args.append(ksegi)
 
+    if rope_theta is not None:
+        scale = math.log2(math.e) / math.sqrt(d)
+        qcos, qsin = _rope_tables(lq_pad, d, rope_theta, q.dtype, scale)
+        kcos, ksin = _rope_tables(lk_pad, d, rope_theta, q.dtype, 1.0)
+        r2 = _r2_matrix(d, q.dtype)
+
+        def ktab_index(j):
+            def index(bi, qi, t, start_ref, count_ref, _j=j):
+                cnt = count_ref[bi, qi]
+                kb = start_ref[bi, qi] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+                return (kb, 0)
+
+            return index
+
+        in_specs.append(pl.BlockSpec((block_q, 2 * d), lambda bi, qi, t, *_: (qi, 0), memory_space=pltpu.VMEM))
+        args.append(qcos)
+        in_specs.append(pl.BlockSpec((block_q, 2 * d), lambda bi, qi, t, *_: (qi, 0), memory_space=pltpu.VMEM))
+        args.append(qsin)
+        for tab in (kcos, ksin):
+            for j in range(unroll):
+                in_specs.append(pl.BlockSpec((block_k, 2 * d), ktab_index(j), memory_space=pltpu.VMEM))
+                args.append(tab)
+        in_specs.append(pl.BlockSpec((2 * d, 2 * d), lambda bi, qi, t, *_: (0, 0), memory_space=pltpu.VMEM))
+        args.append(r2)
+
     h_pad = _cdiv(heads, 8) * 8
     out_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype)]
@@ -534,6 +716,7 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
         functools.partial(
             _seg_unrolled_kernel, block_q=block_q, block_k=block_k,
             heads=heads, head_dim=d, unroll=unroll, with_lse=return_lse,
+            fuse_rope=rope_theta is not None,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -559,13 +742,15 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse):
     return res[0][:, :lq, :]
 
 
-def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse):
+def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse, rope_theta=None):
     """Dispatcher for the single-pass windowed kernel (lq == lk).
 
-    q/k/v: (B, L, H*D) head-minor."""
+    q/k/v: (B, L, H*D) head-minor; RAW (un-roped, unscaled) when
+    ``rope_theta`` is set."""
     b, l, hd = q.shape
     d = hd // heads
-    q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
+    if rope_theta is None:
+        q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
     l_pad = _cdiv(l, block_q) * block_q
     if l_pad % block_k:
         l_pad = _cdiv(l_pad, block_k) * block_k
@@ -608,10 +793,32 @@ def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, retu
                 memory_space=pltpu.VMEM))
             args.append(ksegi)
 
+    if rope_theta is not None:
+        scale = math.log2(math.e) / math.sqrt(d)
+        qcos, qsin = _rope_tables(l_pad, d, rope_theta, q.dtype, scale)
+        kcos, ksin = _rope_tables(l_pad, d, rope_theta, q.dtype, 1.0)
+        r2 = _r2_matrix(d, q.dtype)
+
+        def kix2(j):
+            return lambda bi, qi, _j=j: (
+                jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j, 0
+            )
+
+        in_specs.append(pl.BlockSpec((block_q, 2 * d), lambda bi, qi: (qi, 0), memory_space=pltpu.VMEM))
+        args.append(qcos)
+        in_specs.append(pl.BlockSpec((block_q, 2 * d), lambda bi, qi: (qi, 0), memory_space=pltpu.VMEM))
+        args.append(qsin)
+        for tab in (kcos, ksin):
+            for j in range(nblocks):
+                in_specs.append(pl.BlockSpec((block_k, 2 * d), kix2(j), memory_space=pltpu.VMEM))
+                args.append(tab)
+        in_specs.append(pl.BlockSpec((2 * d, 2 * d), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM))
+        args.append(r2)
+
     kernel = functools.partial(
         _window_fused_kernel, window=window, block_q=block_q, block_k=block_k,
         num_kb=num_kb, nblocks=nblocks, seq_len=l, has_seg=has_seg, heads=heads, head_dim=d,
-        with_lse=return_lse,
+        with_lse=return_lse, fuse_rope=rope_theta is not None,
     )
     h_pad = _cdiv(heads, 8) * 8  # lse sublane dim must be 8-aligned for TPU blocks
     out_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]
@@ -651,17 +858,33 @@ def _flash_attention_fwd_impl(
     block_k: int,
     heads: int,
     return_lse: bool = False,
+    rope_theta: Optional[float] = None,
 ):
-    """q/k/v: (B, L, H*D) head-minor flattened."""
+    """q/k/v: (B, L, H*D) head-minor flattened.
+
+    ``rope_theta``: fuse rotary embedding (arange positions) into the
+    kernel — q/k must be RAW. Falls back to an XLA rope pass for head
+    dims != 64, odd head counts, and the streaming kernel path."""
     b, lq, hd = q.shape
     lk = k.shape[1]
     d = hd // heads
     if window is not None and lq != lk:
         raise ValueError("windowed attention requires equal q/k lengths")
+    can_fuse = rope_theta is not None and d == 64 and heads % 2 == 0
+    routes_fused = (window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4) or (
+        window is None and qseg is not None
+    )
+    if rope_theta is not None and not (can_fuse and routes_fused):
+        # XLA fallback keeps the API uniform for unsupported variants
+        q = _apply_rope_xla(q, rope_theta, d)
+        k = _apply_rope_xla(k, rope_theta, d)
+        rope_theta = None
     if window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4:
-        return _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse)
+        return _window_fused_fwd(
+            q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse, rope_theta
+        )
     if window is None and qseg is not None:
-        return _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse)
+        return _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, rope_theta)
     # fold both the softmax scale and log2(e) into q: scores land in log2
     # space so the kernel's transcendental is exp2, not exp
     q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
@@ -697,6 +920,7 @@ def _flash_attention_fwd_impl(
         seq_len=lk,
         heads=heads,
         head_dim=d,
+        with_lse=return_lse,
     )
 
     start_arr, count_arr = _block_ranges(
@@ -728,35 +952,51 @@ def _flash_attention_fwd_impl(
         )
         args.append(qseg.astype(jnp.int32)[:, None, :])
         args.append(kseg.astype(jnp.int32)[:, None, :])
-        wrapped = kernel
+        has_seg_refs = True
     else:
-        wrapped = lambda s_ref, c_ref, q_ref, k_ref, v_ref, *rest: kernel(
-            s_ref, c_ref, q_ref, k_ref, v_ref, None, None, *rest
-        )
+        has_seg_refs = False
+
+    # the lse output (and its per-step stores) only exists when a backward
+    # will need the residual — same skip the fused paths use (ADVICE r1 #4)
+    def wrapped(s_ref, c_ref, q_ref, k_ref, v_ref, *rest):
+        pos = 0
+        if has_seg_refs:
+            qseg_ref, kseg_ref = rest[0], rest[1]
+            pos = 2
+        else:
+            qseg_ref = kseg_ref = None
+        if return_lse:
+            out_ref, lse_ref = rest[pos], rest[pos + 1]
+            scratch = rest[pos + 2:]
+        else:
+            out_ref, lse_ref = rest[pos], None
+            scratch = rest[pos + 1:]
+        kernel(s_ref, c_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, out_ref, lse_ref, *scratch)
 
     h_pad = _cdiv(heads, 8) * 8  # lse sublane dim must be 8-aligned for TPU blocks
-    out, lse = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, block_q, hd), lambda bi, qi, kj, *_: (bi, qi, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype)]
+    if return_lse:
+        out_specs.append(
+            pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, kj, *_: (bi, 0, qi), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, h_pad, lq_pad), jnp.float32))
+    res = pl.pallas_call(
         wrapped,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nq, nk_grid),
             in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec(
-                    (1, block_q, hd), lambda bi, qi, kj, *_: (bi, qi, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, kj, *_: (bi, 0, qi), memory_space=pltpu.VMEM),
-            ),
+            out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((heads, block_q), jnp.float32),
                 pltpu.VMEM((heads, block_q), jnp.float32),
                 pltpu.VMEM((block_q, hd), jnp.float32),
             ],
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, h_pad, lq_pad), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -767,9 +1007,9 @@ def _flash_attention_fwd_impl(
         ),
     )(start_arr, count_arr, *args)
 
-    out = out[:, :lq, :]
+    out = res[0][:, :lq, :]
     if return_lse:
-        return out, lse[:, :heads, :lq]
+        return out, res[1][:, :heads, :lq]
     return out
 
 
@@ -798,14 +1038,16 @@ def _xla_reference(q, k, v, qseg, kseg, window, heads):
     return o.reshape(b, lq, hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k, heads):
-    return _flash_attention_fwd_impl(q, k, v, qseg, kseg, window, block_q, block_k, heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta):
+    return _flash_attention_fwd_impl(
+        q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta=rope_theta
+    )
 
 
-def _fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads):
+def _fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta):
     out, lse = _flash_attention_fwd_impl(
-        q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True
+        q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True, rope_theta=rope_theta
     )
     return out, (q, k, v, qseg, kseg, out, lse)
 
@@ -813,20 +1055,45 @@ def _fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads):
 BACKWARD_MODE = "pallas"  # "pallas" (fused kernels) or "xla" (dense recompute)
 
 
-def _bwd(window, block_q, block_k, heads, res, g):
+def _counter_rotate(g, theta, d):
+    """Pull a cotangent back through in-kernel rope: dq = g*cos - (g@R)*sin
+    (R^T == -R for the rotate-half permutation)."""
+    b, l, hd = g.shape
+    h = hd // d
+    cos2, sin2 = _rope_tables(l, d, theta, g.dtype, 1.0)
+    cos = cos2[:, :d][None, :, None, :]
+    sin = sin2[:, :d][None, :, None, :]
+    r = jnp.asarray(_rot_matrix(d), g.dtype)
+    g4 = g.reshape(b, l, h, d)
+    dn = (((3,), (0,)), ((), ()))
+    g4 = g4 * cos - jax.lax.dot_general(g4, r, dn, preferred_element_type=g.dtype) * sin
+    return g4.reshape(b, l, hd)
+
+
+def _bwd(window, block_q, block_k, heads, rope_theta, res, g):
     q, k, v, qseg, kseg, out, lse = res
+    d = q.shape[-1] // heads
+    if rope_theta is not None:
+        # the forward rotated q/k in-kernel; the backward kernels take the
+        # ROTATED tensors (they re-derive p from them), so rotate here and
+        # pull the resulting gradients back through the rotation after
+        q = _apply_rope_xla(q, rope_theta, d)
+        k = _apply_rope_xla(k, rope_theta, d)
     if BACKWARD_MODE == "pallas":
         from .flash_attention_bwd import flash_attention_bwd
 
         dq, dk, dv = flash_attention_bwd(
             q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads
         )
-        return dq, dk, dv, None, None
-    # dense recompute fallback (materializes O(L²) scores)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window, heads), q, k, v
-    )
-    dq, dk, dv = vjp(g)
+    else:
+        # dense recompute fallback (materializes O(L²) scores)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window, heads), q, k, v
+        )
+        dq, dk, dv = vjp(g)
+    if rope_theta is not None:
+        dq = _counter_rotate(dq, rope_theta, d)
+        dk = _counter_rotate(dk, rope_theta, d)
     return dq, dk, dv, None, None
 
 
@@ -843,6 +1110,7 @@ def flash_attention(
     segment_ids: Optional[jnp.ndarray] = None,
     block_q: int = 0,
     block_k: int = 0,
+    rope_theta: Optional[float] = None,
 ) -> jnp.ndarray:
     """Flash attention over head-minor (B, L, H, D) tensors.
 
@@ -864,6 +1132,11 @@ def flash_attention(
             segment — the TPU-native replacement for FA2 varlen unpadding.
         block_q/block_k: 0 = auto (128 for windowed layers — measured best
             at w=64 — and 256 for global/streaming).
+        rope_theta: fuse rotary position embedding into the kernel. q/k
+            must then be RAW (un-roped; the softmax scale is also folded
+            in-kernel). Requires default arange positions; net
+            -3.3/-4.3 ms/layer (local/global) vs a standalone rope pass
+            at B64·L4096·H12 on v5e (tools/bench_r2_attn.py E5).
     """
     b, lq, heads, d = q.shape
     lk = k.shape[1]
@@ -902,5 +1175,5 @@ def flash_attention(
     qf = q.reshape(b, lq, heads * d)
     kf = k.reshape(b, lk, heads * d)
     vf = v.reshape(b, lk, heads * d)
-    out = _flash_attention(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads)
+    out = _flash_attention(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads, rope_theta)
     return out.reshape(b, lq, heads, d)

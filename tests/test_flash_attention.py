@@ -262,3 +262,71 @@ class TestOnlineMaxOptOut:
         monkeypatch.setattr(fa, "ONLINE_MAX", True)
         out_online = fa.flash_attention(q, k, v, segment_ids=segj, window=window)
         np.testing.assert_allclose(np.asarray(out_fixed), np.asarray(out_online), atol=2e-6)
+
+
+def rope_ref(q, k, theta):
+    """Reference rope application (production apply_rope, arange positions)."""
+    from cm3p_tpu.models.modernbert import apply_rope, rope_cos_sin
+
+    cos, sin = rope_cos_sin(jnp.arange(q.shape[1]), q.shape[-1], theta)
+    return apply_rope(q, k, cos, sin)
+
+
+class TestFusedRope:
+    """In-kernel rotary embedding (rope_theta): fwd + grads == rope-then-attend."""
+
+    @pytest.mark.parametrize("window", [None, 64])
+    @pytest.mark.parametrize("theta", [10000.0, 160000.0])
+    def test_forward_parity(self, window, theta):
+        q, k, v, mask = make_inputs()
+        qr, kr = rope_ref(q, k, theta)
+        expected = fa.flash_attention(qr, kr, v, key_mask=mask, window=window)
+        out = fa.flash_attention(q, k, v, key_mask=mask, window=window, rope_theta=theta)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    @pytest.mark.parametrize("window", [None, 64])
+    def test_segments_forward_parity(self, window):
+        q, k, v, _ = make_inputs()
+        seg = jnp.asarray(
+            np.concatenate([np.full(180, 1), np.full(200, 2), np.zeros(132)]).astype(np.int32)
+        )[None].repeat(2, 0)
+        qr, kr = rope_ref(q, k, 10000.0)
+        expected = fa.flash_attention(qr, kr, v, segment_ids=seg, window=window)
+        out = fa.flash_attention(q, k, v, segment_ids=seg, window=window, rope_theta=10000.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    @pytest.mark.parametrize("window", [None, 64])
+    def test_grads_match(self, window):
+        q, k, v, mask = make_inputs(L=256)
+
+        def loss_fused(q, k, v):
+            out = fa.flash_attention(q, k, v, key_mask=mask, window=window, rope_theta=10000.0)
+            return jnp.sum(out * out)
+
+        def loss_ref(q, k, v):
+            qr, kr = rope_ref(q, k, 10000.0)
+            out = fa.flash_attention(qr, kr, v, key_mask=mask, window=window)
+            return jnp.sum(out * out)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+    def test_fallback_small_head_dim(self):
+        """d != 64 falls back to an XLA rope pass, same numbers."""
+        q, k, v, mask = make_inputs(D=32)
+        qr, kr = rope_ref(q, k, 10000.0)
+        expected = fa.flash_attention(qr, kr, v, key_mask=mask, window=64)
+        out = fa.flash_attention(q, k, v, key_mask=mask, window=64, rope_theta=10000.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    def test_fallback_streaming_window(self):
+        """A window too wide for the fused kernel streams with XLA rope."""
+        q, k, v, mask = make_inputs(L=1024)
+        qr, kr = rope_ref(q, k, 10000.0)
+        expected = fa.flash_attention(qr, kr, v, key_mask=mask, window=300, block_q=128, block_k=128)
+        out = fa.flash_attention(
+            q, k, v, key_mask=mask, window=300, block_q=128, block_k=128, rope_theta=10000.0
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)

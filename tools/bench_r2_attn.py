@@ -39,6 +39,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402  (backend not initialized until first device op)
+import jax.numpy as jnp  # noqa: E402
+
 NEG_INF = -1e30
 SOFTMAX_SHIFT = 16.0
 SOFTMAX_CLAMP = 116.0
@@ -323,6 +326,365 @@ def window_fused_fwd_v(q, k, v, qseg, kseg, window, block_q, block_k, heads,
     )(*args)
 
 
+# ------------------------------------------------------- rope-fused kernels
+def _rope_tables(l, d, theta, heads, dtype, scale=1.0):
+    """[cos|cos] and [sin|sin] tables tiled to 128 lanes (two heads/group)."""
+    import jax.numpy as jnp
+    import numpy as np_
+
+    inv_freq = 1.0 / (theta ** (np_.arange(0, d, 2, dtype=np_.float64) / d))
+    freqs = np_.arange(l)[:, None] * inv_freq[None, :]
+    emb = np_.concatenate([freqs, freqs], axis=1)  # (L, 64)
+    cos = np_.tile(np_.cos(emb) * scale, (1, 2))  # (L, 128)
+    sin = np_.tile(np_.sin(emb) * scale, (1, 2))
+    return jnp.asarray(cos, dtype), jnp.asarray(sin, dtype)
+
+
+def _r2_matrix(d, dtype):
+    """(2d, 2d) block-diag rotate-half permutation (x @ R == rotate_half(x))."""
+    import jax.numpy as jnp
+    import numpy as np_
+
+    half = d // 2
+    r = np_.zeros((d, d), np_.float32)
+    r[np_.arange(half) + half, np_.arange(half)] = -1
+    r[np_.arange(half), np_.arange(half) + half] = 1
+    r2 = np_.zeros((2 * d, 2 * d), np_.float32)
+    r2[:d, :d] = r
+    r2[d:, d:] = r
+    return jnp.asarray(r2, dtype)
+
+
+def _rope_rotate_groups(x, ct, st, r2_ref, ngroups):
+    """Rotate all heads of a (rows, H*D) tile in 128-lane 2-head groups."""
+    import jax
+
+    out = []
+    for g in range(ngroups):
+        sl = slice(g * 128, (g + 1) * 128)
+        xg = x[:, sl]
+        xr = jax.lax.dot_general(xg, r2_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32).astype(x.dtype)
+        out.append(xg * ct + xr * st)
+    return out
+
+
+def window_fused_rope_kernel(
+    q_ref, *rest,
+    window, block_q, block_k, num_kb, nblocks, heads, head_dim,
+):
+    """Fused local kernel with IN-KERNEL rope: q/k arrive RAW; the rope pass
+    (2 mul + add + one (128,128) block-diag rotate matmul per 2-head group)
+    happens on the VMEM-resident blocks, deleting the standalone XLA rope
+    pass AND its q/k HBM round trip (measured ~200 ms of the rows=128
+    packed-extraction forward)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    k_refs = rest[:nblocks]
+    v_refs = rest[nblocks:2 * nblocks]
+    qseg_ref = rest[2 * nblocks]
+    kseg_refs = rest[2 * nblocks + 1:3 * nblocks + 1]
+    qct_ref, qst_ref = rest[3 * nblocks + 1:3 * nblocks + 3]
+    kct_refs = rest[3 * nblocks + 3:4 * nblocks + 3]
+    kst_refs = rest[4 * nblocks + 3:5 * nblocks + 3]
+    r2_ref = rest[5 * nblocks + 3]
+    out_ref = rest[5 * nblocks + 4]
+
+    qi = pl.program_id(1)
+    start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
+    acc_t = jnp.bfloat16
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    biases = []
+    for j in range(nblocks):
+        cols = (start_kb + j) * block_k + col0
+        mask2d = jnp.abs(rows - cols) <= window
+        kseg = kseg_refs[j][0, 0]
+        qseg = qseg_ref[0, 0]
+        mask2d = jnp.logical_and(
+            mask2d, jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+        )
+        biases.append(jnp.where(mask2d, -SOFTMAX_SHIFT, NEG_INF).astype(acc_t))
+
+    ngroups = heads // 2
+    qrots = _rope_rotate_groups(q_ref[0], qct_ref[0], qst_ref[0], r2_ref, ngroups)
+    krots = [
+        _rope_rotate_groups(k_refs[j][0], kct_refs[j][0], kst_refs[j][0], r2_ref, ngroups)
+        for j in range(nblocks)
+    ]
+
+    clamp = jnp.asarray(SOFTMAX_CLAMP - SOFTMAX_SHIFT, acc_t)
+    for h in range(heads):
+        g, half = divmod(h, 2)
+        hsl = slice(half * head_dim, (half + 1) * head_dim)
+        qh = qrots[g][:, hsl]
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        l_sum = None
+        acc = None
+        for j in range(nblocks):
+            s = jax.lax.dot_general(
+                qh, krots[j][g][:, hsl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(acc_t)
+            s = s + biases[j]
+            p = jnp.exp2(jnp.minimum(s, clamp))
+            lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
+            pv = jax.lax.dot_general(
+                p.astype(v_refs[j].dtype), v_refs[j][0][:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_sum = lj if l_sum is None else l_sum + lj
+            acc = pv if acc is None else acc + pv
+        l_sum = jnp.maximum(l_sum, 1e-30)
+        out_ref[0, :, sl] = (acc / l_sum[:, None]).astype(out_ref.dtype)
+
+
+def window_fused_rope_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads,
+                          theta=10000.0, interpret=False):
+    """q/k RAW (no rope, no scale); rope+scale fused in-kernel."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, hd = q.shape
+    d = hd // heads
+    scale = math.log2(math.e) / math.sqrt(d)
+    qcos, qsin = _rope_tables(l, d, theta, heads, q.dtype, scale)
+    kcos, ksin = _rope_tables(l, d, theta, heads, q.dtype, 1.0)
+    r2 = _r2_matrix(d, q.dtype)
+    num_kb = l // block_k
+    nq = l // block_q
+    nblocks = min(num_kb, _cdiv(block_q + 2 * window, block_k) + 1)
+
+    def kix3(j):
+        return lambda bi, qi, _j=j: (
+            bi, jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j, 0
+        )
+
+    def kix2(j):
+        return lambda bi, qi, _j=j: (
+            jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j, 0
+        )
+
+    in_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    args = [q]
+    for j in range(nblocks):
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kix3(j), memory_space=pltpu.VMEM))
+        args.append(k)
+    for j in range(nblocks):
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kix3(j), memory_space=pltpu.VMEM))
+        args.append(v)
+    in_specs.append(pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM))
+    args.append(qseg.astype(jnp.int32)[:, None, :])
+    ksegi = kseg.astype(jnp.int32)[:, None, :]
+    for j in range(nblocks):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_k),
+            lambda bi, qi, _j=j: (
+                bi, 0, jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks) + _j,
+            ),
+            memory_space=pltpu.VMEM))
+        args.append(ksegi)
+    # rope tables: q block + per-k-block
+    in_specs.append(pl.BlockSpec((block_q, 128), lambda bi, qi: (qi, 0), memory_space=pltpu.VMEM))
+    args.append(qcos)
+    in_specs.append(pl.BlockSpec((block_q, 128), lambda bi, qi: (qi, 0), memory_space=pltpu.VMEM))
+    args.append(qsin)
+    for j in range(nblocks):
+        in_specs.append(pl.BlockSpec((block_k, 128), kix2(j), memory_space=pltpu.VMEM))
+        args.append(kcos)
+    for j in range(nblocks):
+        in_specs.append(pl.BlockSpec((block_k, 128), kix2(j), memory_space=pltpu.VMEM))
+        args.append(ksin)
+    in_specs.append(pl.BlockSpec((2 * d, 2 * d), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM))
+    args.append(r2)
+
+    return pl.pallas_call(
+        functools.partial(
+            window_fused_rope_kernel, window=window, block_q=block_q, block_k=block_k,
+            num_kb=num_kb, nblocks=nblocks, heads=heads, head_dim=d,
+        ),
+        grid=(b, nq),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*args)
+
+
+def seg_unrolled_rope_kernel(
+    start_ref, count_ref, q_ref, *rest,
+    block_q, block_k, heads, head_dim, unroll,
+):
+    """Global/packed unrolled kernel with in-kernel rope (fixed-shift form)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    k_refs = rest[:unroll]
+    v_refs = rest[unroll:2 * unroll]
+    qseg_ref = rest[2 * unroll]
+    kseg_refs = rest[2 * unroll + 1:3 * unroll + 1]
+    qct_ref, qst_ref = rest[3 * unroll + 1:3 * unroll + 3]
+    kct_refs = rest[3 * unroll + 3:4 * unroll + 3]
+    kst_refs = rest[4 * unroll + 3:5 * unroll + 3]
+    r2_ref = rest[5 * unroll + 3]
+    out_ref = rest[5 * unroll + 4]
+    l_scr, acc_scr = rest[5 * unroll + 5:5 * unroll + 7]
+
+    bi = pl.program_id(0)
+    qi = pl.program_id(1)
+    t = pl.program_id(2)
+    cnt = count_ref[bi, qi]
+    outer = (cnt + unroll - 1) // unroll
+
+    @pl.when(t == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(t < outer)
+    def _accumulate():
+        acc_t = jnp.bfloat16
+        qseg = qseg_ref[0, 0]
+        biases = []
+        for j in range(unroll):
+            kseg = kseg_refs[j][0, 0]
+            seg_ok = jnp.logical_and(kseg[None, :] > 0, qseg[:, None] == kseg[None, :])
+            valid = t * unroll + j < cnt
+            biases.append(jnp.where(jnp.logical_and(seg_ok, valid), -SOFTMAX_SHIFT, NEG_INF).astype(acc_t))
+
+        ngroups = heads // 2
+        qrots = _rope_rotate_groups(q_ref[0], qct_ref[0], qst_ref[0], r2_ref, ngroups)
+        krots = [
+            _rope_rotate_groups(k_refs[j][0], kct_refs[j][0], kst_refs[j][0], r2_ref, ngroups)
+            for j in range(unroll)
+        ]
+
+        clamp = jnp.asarray(SOFTMAX_CLAMP - SOFTMAX_SHIFT, acc_t)
+        for h in range(heads):
+            g, half = divmod(h, 2)
+            hsl = slice(half * head_dim, (half + 1) * head_dim)
+            qh = qrots[g][:, hsl]
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            l_sum = None
+            pv = None
+            for j in range(unroll):
+                s = jax.lax.dot_general(
+                    qh, krots[j][g][:, hsl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(acc_t)
+                s = s + biases[j]
+                p = jnp.exp2(jnp.minimum(s, clamp))
+                lj = jnp.sum(p, axis=-1, dtype=jnp.float32)
+                pvj = jax.lax.dot_general(
+                    p.astype(v_refs[j].dtype), v_refs[j][0][:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                l_sum = lj if l_sum is None else l_sum + lj
+                pv = pvj if pv is None else pv + pvj
+            l_scr[h] = l_scr[h] + l_sum
+            acc_scr[:, sl] = acc_scr[:, sl] + pv
+
+    @pl.when(t == jnp.maximum(outer, 1) - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:], 1e-30)
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            out_ref[0, :, sl] = (acc_scr[:, sl] / denom[h][:, None]).astype(out_ref.dtype)
+
+
+def seg_unrolled_rope_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, unroll,
+                          theta=160000.0, interpret=False):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from cm3p_tpu.ops.flash_attention import _block_ranges
+
+    b, lq, hd = q.shape
+    d = hd // heads
+    scale = math.log2(math.e) / math.sqrt(d)
+    qcos, qsin = _rope_tables(lq, d, theta, heads, q.dtype, scale)
+    kcos, ksin = _rope_tables(lq, d, theta, heads, q.dtype, 1.0)
+    r2 = _r2_matrix(d, q.dtype)
+    nq = lq // block_q
+    num_kb = lq // block_k
+    nt = _cdiv(num_kb, unroll)
+    start_arr, count_arr = _block_ranges(b, nq, num_kb, num_kb, block_q, block_k, None, qseg, kseg)
+
+    def kb_index(j):
+        def index(bi, qi, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, qi]
+            kb = start_ref[bi, qi] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+            return (bi, kb, 0)
+        return index
+
+    def kseg_index(j):
+        def index(bi, qi, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, qi]
+            kb = start_ref[bi, qi] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+            return (bi, 0, kb)
+        return index
+
+    def ktab_index(j):
+        def index(bi, qi, t, start_ref, count_ref, _j=j):
+            cnt = count_ref[bi, qi]
+            kb = start_ref[bi, qi] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+            return (kb, 0)
+        return index
+
+    in_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    args = [q]
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kb_index(j), memory_space=pltpu.VMEM))
+        args.append(k)
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((1, block_k, hd), kb_index(j), memory_space=pltpu.VMEM))
+        args.append(v)
+    in_specs.append(pl.BlockSpec((1, 1, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM))
+    args.append(qseg.astype(jnp.int32)[:, None, :])
+    ksegi = kseg.astype(jnp.int32)[:, None, :]
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((1, 1, block_k), kseg_index(j), memory_space=pltpu.VMEM))
+        args.append(ksegi)
+    in_specs.append(pl.BlockSpec((block_q, 128), lambda bi, qi, t, *_: (qi, 0), memory_space=pltpu.VMEM))
+    args.append(qcos)
+    in_specs.append(pl.BlockSpec((block_q, 128), lambda bi, qi, t, *_: (qi, 0), memory_space=pltpu.VMEM))
+    args.append(qsin)
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((block_k, 128), ktab_index(j), memory_space=pltpu.VMEM))
+        args.append(kcos)
+    for j in range(unroll):
+        in_specs.append(pl.BlockSpec((block_k, 128), ktab_index(j), memory_space=pltpu.VMEM))
+        args.append(ksin)
+    in_specs.append(pl.BlockSpec((2 * d, 2 * d), lambda bi, qi, t, *_: (0, 0), memory_space=pltpu.VMEM))
+    args.append(r2)
+
+    return pl.pallas_call(
+        functools.partial(
+            seg_unrolled_rope_kernel, block_q=block_q, block_k=block_k,
+            heads=heads, head_dim=d, unroll=unroll,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nq, nt),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((heads, block_q), jnp.float32),
+                pltpu.VMEM((block_q, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(start_arr, count_arr, *args)
+
+
 # ---------------------------------------------------------------- rope variants
 def rope_variant(q, k, cos, sin, heads, variant):
     import jax
@@ -439,6 +801,32 @@ def run_checks():
         err = float(jnp.max(jnp.abs((out.astype(jnp.float32) - ref_l) * m)))
         print(f"{name:14s} parity max err: {err:.2e} {'OK' if err < 3e-2 else 'BAD'}")
 
+    # rope-FUSED kernels vs apply_rope + reference attention
+    from cm3p_tpu.models.modernbert import apply_rope as _ar, rope_cos_sin as _rcs
+
+    H2, D2 = 4, 64
+    q4 = q.reshape(B, L, H2, D2)
+    k4 = k.reshape(B, L, H2, D2)
+    for theta in [10000.0, 160000.0]:
+        cos, sin = _rcs(jnp.arange(L), D2, theta)
+        qr, kr = _ar(q4, k4, cos, sin)
+        qrf = qr.reshape(B, L, H2 * D2)
+        krf = kr.reshape(B, L, H2 * D2)
+        ref_lr = _xla_reference(qrf, krf, v, seg, seg, W, H2)
+        out = window_fused_rope_fwd(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            seg, seg, W, 128, 128, H2, theta=theta, interpret=True)
+        m = (np.asarray(seg) > 0)[:, :, None]
+        err = float(jnp.max(jnp.abs((out.astype(jnp.float32) - ref_lr) * m)))
+        print(f"l ROPE-fused th={theta:<8g} parity: {err:.2e} {'OK' if err < 3e-2 else 'BAD'}")
+
+        ref_gr = _xla_reference(qrf, krf, v, seg, seg, None, H2)
+        out = seg_unrolled_rope_fwd(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            seg, seg, 256, 256, H2, 4, theta=theta, interpret=True)
+        err = float(jnp.max(jnp.abs((out.astype(jnp.float32) - ref_gr) * m)))
+        print(f"g ROPE-fused th={theta:<8g} parity: {err:.2e} {'OK' if err < 3e-2 else 'BAD'}")
+
     # rope variants agree with production apply_rope
     from cm3p_tpu.models.modernbert import apply_rope, rope_cos_sin
     H2, D2 = 12, 64
@@ -536,6 +924,31 @@ def run_bench():
     timeit("l mxusum 128/128", chain_l(dict(mxu_sum=True), 128, 128, seg), q, k, v)
     timeit("l noclamp 128/128", chain_l(dict(clamp_on=False), 128, 128, seg), q, k, v)
     timeit("l noclamp+mxusum 256/128", chain_l(dict(mxu_sum=True, clamp_on=False), 256, 128, seg), q, k, v)
+
+    print("== E5: rope-FUSED kernels (raw q/k in, rope+scale in-kernel)", flush=True)
+
+    def chain_lr(bq, bk):
+        def fn(q, k, v):
+            x = q
+            for _ in range(CHAIN):
+                x = x + window_fused_rope_fwd(x, k, v, seg, seg, 64, bq, bk, H) * 1e-6
+            return x
+        return fn
+
+    def chain_gr(bq, bk, unroll):
+        def fn(q, k, v):
+            x = q
+            for _ in range(CHAIN):
+                x = x + seg_unrolled_rope_fwd(x, k, v, seg, seg, bq, bk, H, unroll) * 1e-6
+            return x
+        return fn
+
+    timeit("l ROPE-fused 128/128", chain_lr(128, 128), q, k, v)
+    timeit("l ROPE-fused 256/256", chain_lr(256, 256), q, k, v)
+    timeit("g ROPE-fused 256/256 U4", chain_gr(256, 256, 4), q, k, v)
+    # U6 probes: fewer outer steps (active counts ~5-8 fit one step)
+    timeit("g v0 256/256 U6", chain_g({}, 256, 256, 6, seg), q, k, v)
+    timeit("g ROPE-fused 256/256 U6", chain_gr(256, 256, 6), q, k, v)
 
     if os.environ.get("CM3P_R2_SKIP_ROPE") == "1":
         return

@@ -1,0 +1,132 @@
+"""Compile-and-run smoke of every production kernel variant on the real TPU.
+
+CLAUDE.md documents that interpret-mode tests CANNOT catch Mosaic crashes
+(mask-free variants, VMEM blowups, layout rules) — regressions used to
+surface only in the headline bench. This tool compiles and executes every
+(path x dtype x segments x rope x grad) combination the model can emit, in
+one relay-batched process, and fails loudly.
+
+Run BEFORE benching after any kernel change:
+    python tools/tpu_smoke.py            # real TPU via the relay
+    python tools/tpu_smoke.py --interpret  # CPU logic-only sanity
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def variants():
+    """(name, call_kwargs, grad, shape) for every production codepath."""
+    cases = []
+    for dtype in ("bf16", "fp32"):
+        for rope in (None, 10000.0):
+            tag = f"{dtype}{' rope' if rope else ''}"
+            # local fused, plain key mask
+            cases.append((f"local w64 mask {tag}", dict(window=64, mask=True), False, dtype, rope))
+            # local fused over packed segments
+            cases.append((f"local w64 seg  {tag}", dict(window=64, seg=True), False, dtype, rope))
+            # global over packed segments (seg-unrolled)
+            cases.append((f"global seg     {tag}", dict(window=None, seg=True), False, dtype, rope))
+            # global mask-free (synthesized all-ones segments guard)
+            cases.append((f"global nomask  {tag}", dict(window=None), False, dtype, rope))
+            # streaming windowed path (window too wide to fuse)
+            cases.append((f"stream w300    {tag}", dict(window=300, mask=True), False, dtype, rope))
+            # gradients through the fused backward kernels
+            cases.append((f"local w64 GRAD {tag}", dict(window=64, seg=True), True, dtype, rope))
+            cases.append((f"global seg GRAD {tag}", dict(window=None, seg=True), True, dtype, rope))
+        # rectangular allgather-KV shape (SP path; never roped)
+        cases.append((f"rect lq!=lk    {dtype}", dict(window=None, mask=True, rect=True), False, dtype, None))
+    return cases
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("-B", type=int, default=2)
+    ap.add_argument("-L", type=int, default=1024)
+    ns = ap.parse_args()
+
+    if ns.interpret:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import functools
+
+        import jax.experimental.pallas as pl
+
+        pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
+    import jax
+    import jax.numpy as jnp
+
+    from cm3p_tpu.ops.flash_attention import flash_attention
+    from cm3p_tpu.utils.cache import enable_compilation_cache
+
+    if not ns.interpret:
+        enable_compilation_cache()
+
+    B, L, H, D = ns.B, ns.L, 12, 64  # production head count/dim — Mosaic cares
+    rng = np.random.default_rng(0)
+    qkv32 = [rng.standard_normal((B, L, H, D)).astype(np.float32) * 0.3 for _ in range(3)]
+    mask_np = np.ones((B, L), np.int32)
+    mask_np[:, -100:] = 0
+    seg_np = np.zeros((B, L), np.int32)
+    pos = 0
+    s = 1
+    while pos < L - 50:
+        ln = int(rng.integers(150, 400))
+        seg_np[:, pos:pos + ln] = s
+        pos += ln
+        s += 1
+
+    failures = []
+    t_start = time.perf_counter()
+    for name, kw, grad, dtype, rope in variants():
+        jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        q, k, v = (jnp.asarray(x, jt) for x in qkv32)
+        call_kw = dict(window=kw.get("window"), rope_theta=rope)
+        if kw.get("seg"):
+            call_kw["segment_ids"] = jnp.asarray(seg_np)
+        if kw.get("mask"):
+            call_kw["key_mask"] = jnp.asarray(mask_np)
+        if kw.get("rect"):
+            k = k[:, : L // 2]
+            v = v[:, : L // 2]
+            call_kw["key_mask"] = jnp.asarray(mask_np[:, : L // 2])
+        t0 = time.perf_counter()
+        try:
+            if grad:
+                def loss(q, k, v):
+                    return jnp.sum(flash_attention(q, k, v, **call_kw).astype(jnp.float32) ** 2)
+
+                out = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+                vals = [float(np.asarray(jnp.sum(jnp.abs(o.astype(jnp.float32))))) for o in out]
+                ok = all(np.isfinite(v_) for v_ in vals)
+            else:
+                out = jax.jit(lambda q, k, v: flash_attention(q, k, v, **call_kw))(q, k, v)
+                val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+                ok = np.isfinite(val)
+            dt = time.perf_counter() - t0
+            status = "PASS" if ok else "NONFINITE"
+            if not ok:
+                failures.append(name)
+            print(f"{name:34s} {status}  ({dt:5.1f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+
+    print(f"\n{len(failures)} failures / total {time.perf_counter()-t_start:.0f}s", flush=True)
+    if failures:
+        for f in failures:
+            print("  FAILED:", f)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
