@@ -51,14 +51,26 @@ model = CM3PModule(config, dtype=jnp.bfloat16, attn_impl="pallas")
 params = load_model("{name}/model")
 ```
 
-## Contents
+{hf_section}## Contents
 
 - `model/` — Orbax checkpoint (`params/`) + `config.json`
 - `processor/` — parser / tokenizer / feature-extractor configs and vocabularies
-
+{hf_contents}
 ## Training details
 
 {training_details}
+"""
+
+HF_SECTION = """## Loading with the reference PyTorch stack
+
+The `hf/` subfolder is an HF-layout bundle (`model.safetensors` +
+`config.json`) loadable directly by the reference implementation:
+
+```python
+from cm3p.modeling_cm3p import CM3PModel  # the reference package
+model = CM3PModel.from_pretrained("{name}/hf")
+```
+
 """
 
 
@@ -81,6 +93,12 @@ def main(argv=None):
     parser.add_argument("--repo-id", default=None, help="push to this HF Hub repo if set")
     parser.add_argument("--revision", default=None)
     parser.add_argument("--create-pr", action="store_true")
+    parser.add_argument(
+        "--hf",
+        action="store_true",
+        help="also export an hf/ bundle (safetensors + config.json) loadable "
+        "by the reference PyTorch stack (cm3p_tpu.interop.export_hf_checkpoint)",
+    )
     ns = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
@@ -89,8 +107,26 @@ def main(argv=None):
     shutil.copytree(ns.model_dir, out / "model", dirs_exist_ok=True)
     shutil.copytree(ns.processor_dir, out / "processor", dirs_exist_ok=True)
 
+    hf_section = hf_contents = ""
+    if ns.hf:
+        from cm3p_tpu.configs import load_config
+        from cm3p_tpu.interop import export_hf_checkpoint
+        from cm3p_tpu.train.checkpoint import load_model
+
+        config = load_config(out / "model")
+        params = load_model(out / "model")
+        export_hf_checkpoint(params, config, out / "hf")
+        hf_section = "HF_SECTION_PLACEHOLDER"
+        hf_contents = "- `hf/` — reference-loadable HF bundle (safetensors + config.json)\n"
+        logger.info("Exported reference-loadable HF bundle to %s", out / "hf")
+
     name = ns.name or out.name
-    card = MODEL_CARD.format(name=name, training_details=ns.training_details)
+    card = MODEL_CARD.format(
+        name=name, training_details=ns.training_details,
+        hf_section=hf_section, hf_contents=hf_contents,
+    )
+    if hf_section:
+        card = card.replace("HF_SECTION_PLACEHOLDER", HF_SECTION.format(name=name))
     (out / "README.md").write_text(card)
     logger.info("Packaged %s (model class: %s)", out, infer_model_class(out / "model"))
 

@@ -165,3 +165,35 @@ class TestHFExport:
         assert set(state) == set(again)
         for k in state:
             np.testing.assert_array_equal(state[k], again[k], err_msg=k)
+
+
+class TestPublishModelHF:
+    def test_publish_bundle_loadable_by_reference(self, trained_bundle, tmp_path):
+        """publish_model --hf emits an hf/ bundle the reference stack loads
+        (upgrades the hub publisher to full interop parity, VERDICT r1 §2.3)."""
+        import publish_model
+        from cm3p_tpu.processing import CM3PProcessor
+        from cm3p_tpu.train.checkpoint import save_model
+
+        cfg, model, params, out_dir, batch = trained_bundle
+        save_model(str(tmp_path / "model"), params, config=cfg)
+        CM3PProcessor().save_pretrained(str(tmp_path / "processor"))
+        rc = publish_model.main([
+            "--model-dir", str(tmp_path / "model"),
+            "--processor-dir", str(tmp_path / "processor"),
+            "--output", str(tmp_path / "release"),
+            "--hf",
+        ])
+        assert rc == 0
+        assert (tmp_path / "release" / "hf" / "model.safetensors").exists()
+        ref = RefModel.from_pretrained(tmp_path / "release" / "hf", attn_implementation="sdpa").eval()
+        out_ours = model.apply(params, **batch, return_loss=False)
+        with torch.no_grad():
+            out_ref = ref(
+                input_ids=torch.tensor(np.asarray(batch["input_ids"])),
+                attention_mask=torch.tensor(np.asarray(batch["attention_mask"], np.int64)),
+                return_loss=False,
+            )
+        assert cosine(out_ref.beatmap_embeds.numpy(), np.asarray(out_ours.beatmap_embeds)) > 0.9999
+        card = (tmp_path / "release" / "README.md").read_text()
+        assert "from_pretrained" in card and "hf/" in card

@@ -185,6 +185,13 @@ def build_optimizer(args: dict):
             adamw_betas=(training.get("adam_beta1", 0.9), training.get("adam_beta2", 0.999)),
             adamw_eps=training.get("adam_epsilon", 1e-8),
             adamw_weight_decay=training.get("weight_decay", 0.0),
+            # True reproduces the reference's AdamW-lr quirk (muon_utils.py:
+            # 201-203: Muon lr applied to the AdamW update). REQUIRED when
+            # finetuning a converted reference checkpoint with reference
+            # hyperparameters, else optimizer dynamics diverge; fresh
+            # training wants the standard False default. See
+            # configs/train/finetune_reference.yaml.
+            compat_adamw_lr=bool(training.get("muon_compat_adamw_lr", False)),
         )
     else:
         tx = optax.adamw(
