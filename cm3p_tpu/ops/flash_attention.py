@@ -1046,8 +1046,17 @@ def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_
 
 
 def _fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta):
+    # Differentiated forward: rotate in XLA (NOT in-kernel) so the residuals
+    # hold the rotated q/k the backward kernels need — the backward then
+    # only pays the counter-rotation of dq/dk, exactly what autodiff through
+    # an outside rope pass cost. The no-grad primal path keeps the fused
+    # in-kernel rope (where the win is: extraction has no backward).
+    if rope_theta is not None:
+        d = q.shape[-1] // heads
+        q = _apply_rope_xla(q, rope_theta, d)
+        k = _apply_rope_xla(k, rope_theta, d)
     out, lse = _flash_attention_fwd_impl(
-        q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True, rope_theta=rope_theta
+        q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True, rope_theta=None
     )
     return out, (q, k, v, qseg, kseg, out, lse)
 
@@ -1071,14 +1080,10 @@ def _counter_rotate(g, theta, d):
 
 
 def _bwd(window, block_q, block_k, heads, rope_theta, res, g):
+    # residuals hold ROTATED q/k (see _fwd); only the cotangents need to be
+    # pulled back through the rotation
     q, k, v, qseg, kseg, out, lse = res
     d = q.shape[-1] // heads
-    if rope_theta is not None:
-        # the forward rotated q/k in-kernel; the backward kernels take the
-        # ROTATED tensors (they re-derive p from them), so rotate here and
-        # pull the resulting gradients back through the rotation after
-        q = _apply_rope_xla(q, rope_theta, d)
-        k = _apply_rope_xla(k, rope_theta, d)
     if BACKWARD_MODE == "pallas":
         from .flash_attention_bwd import flash_attention_bwd
 
