@@ -191,3 +191,52 @@ class TestReferenceParity:
             np.asarray(out_ours.logits_per_metadata), out_ref.logits_per_metadata.numpy(), atol=3e-4
         )
         assert abs(float(out_ours.loss) - float(out_ref.loss)) < 1e-4
+
+
+class TestPallasPathParity:
+    """The production Pallas path (fused kernels + in-kernel rope) vs the
+    torch reference at a flash-active length (the suite above runs short
+    sequences that route to XLA attention; this pins the kernel path)."""
+
+    def test_beatmap_tower_pallas_flash_parity(self, models):
+        import functools
+
+        import jax.experimental.pallas as pl
+
+        ref, _, params = models
+        from cm3p_tpu.configs import AudioConfig, BeatmapConfig, CM3PConfig, MetadataConfig
+
+        cfg = CM3PConfig(
+            metadata_config=MetadataConfig(**TINY["metadata_config"]),
+            beatmap_config=BeatmapConfig(
+                **{k: (AudioConfig(**v) if k == "audio_config" else v) for k, v in TINY["beatmap_config"].items()}
+            ),
+            projection_dim=TINY["projection_dim"],
+        )
+        ours_pallas = CM3PModule(cfg, attn_impl="pallas")
+
+        rng = np.random.default_rng(7)
+        L = 576  # >= 512 so the encoder routes through the flash kernels
+        ids = rng.integers(0, 490, (2, L))
+        mask = np.ones((2, L), np.int64)
+        mask[1, -64:] = 0
+        with torch.no_grad():
+            out_ref = ref(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask), return_loss=False
+            ).beatmap_embeds.numpy()
+
+        orig = pl.pallas_call
+        try:
+            pl.pallas_call = functools.partial(orig, interpret=True)
+            out_ours = np.asarray(
+                ours_pallas.apply(
+                    params,
+                    input_ids=jnp.asarray(ids, jnp.int32),
+                    attention_mask=jnp.asarray(mask, jnp.int32),
+                    return_loss=False,
+                ).beatmap_embeds
+            )
+        finally:
+            pl.pallas_call = orig
+        assert cosine(out_ref, out_ours) > 0.9999
+        np.testing.assert_allclose(out_ours, out_ref, atol=5e-4)
