@@ -20,7 +20,16 @@ from .processing.processor import CM3PProcessor
 
 
 def load_pretrained(model_dir: str, processor_dir: Optional[str] = None, dtype=None, attn_impl: str = "pallas"):
-    """Load (processor, model, params) from saved artifact directories."""
+    """Load (processor, model, params) from saved artifact directories.
+
+    Accepts either our native layout (Orbax ``params/`` + dataclass
+    ``config.json``) or an **HF-layout directory** (``model.safetensors`` +
+    nested HF ``config.json``) — i.e. a published reference checkpoint or a
+    bundle from :func:`cm3p_tpu.interop.export_hf_checkpoint` — which is
+    converted on the fly.
+    """
+    import os
+
     import jax.numpy as jnp
 
     from .configs import BeatmapConfig, CM3PConfig, load_config
@@ -28,6 +37,25 @@ def load_pretrained(model_dir: str, processor_dir: Optional[str] = None, dtype=N
     from .train.checkpoint import load_model
 
     processor = CM3PProcessor.from_pretrained(processor_dir) if processor_dir else CM3PProcessor()
+    if os.path.exists(os.path.join(model_dir, "model.safetensors")) or any(
+        f.startswith("pytorch_model") for f in os.listdir(model_dir)
+    ):
+        from .interop import load_hf_checkpoint
+
+        config, params = load_hf_checkpoint(model_dir)
+        dtype = dtype or jnp.bfloat16
+        model = CM3PModule(config, dtype=dtype, attn_impl=attn_impl)
+        # the real tokenizer's ids must be in range (OOB gathers NaN on TPU)
+        if config.beatmap_config.vocab_size < processor.beatmap_tokenizer.vocab_size:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint vocab {config.beatmap_config.vocab_size} < tokenizer vocab "
+                f"{processor.beatmap_tokenizer.vocab_size}: tokenized inputs can produce "
+                "out-of-range ids (silent NaN on TPU); pass a matching processor_dir",
+                stacklevel=2,
+            )
+        return processor, model, params
     config = load_config(model_dir)
     dtype = dtype or jnp.bfloat16
     if isinstance(config, CM3PConfig):

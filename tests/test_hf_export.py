@@ -197,3 +197,16 @@ class TestPublishModelHF:
         assert cosine(out_ref.beatmap_embeds.numpy(), np.asarray(out_ours.beatmap_embeds)) > 0.9999
         card = (tmp_path / "release" / "README.md").read_text()
         assert "from_pretrained" in card and "hf/" in card
+
+
+class TestLoadPretrainedHF:
+    def test_load_pretrained_detects_hf_layout(self, trained_bundle):
+        """inference.load_pretrained consumes an HF bundle directly (either a
+        published reference checkpoint or our exported one)."""
+        from cm3p_tpu.inference import load_pretrained
+
+        cfg, model, params, out_dir, batch = trained_bundle
+        _, model2, params2 = load_pretrained(str(out_dir), dtype=jnp.float32)
+        out_a = model.apply(params, **batch, return_loss=False).beatmap_embeds
+        out_b = model2.apply(params2, **batch, return_loss=False).beatmap_embeds
+        assert cosine(np.asarray(out_a), np.asarray(out_b)) > 0.9999

@@ -1,19 +1,7 @@
 """Convert reference PyTorch CM3P checkpoints to cm3p_tpu param pytrees.
 
-Maps the HF module names (reference ``cm3p/modeling_cm3p.py`` +
-``transformers.ModernBertModel``) onto our flax tree so converted weights
-reproduce reference embeddings (<1e-3 cosine drift target, BASELINE.md).
-
-Layout mapping (torch -> flax):
-    *.encoder.embeddings.tok_embeddings.weight -> <tower>/tok_embeddings/embedding
-    *.encoder.embeddings.norm.{weight,bias}    -> <tower>/embeddings_norm/{scale,bias}
-    *.encoder.layers.N.attn_norm               -> <tower>/layers_N/attn_norm
-    *.encoder.layers.N.attn.{Wqkv,Wo}.weight   -> transposed kernels
-    *.encoder.layers.N.mlp.{Wi,Wo}.weight      -> transposed kernels
-    *.encoder.final_norm                       -> <tower>/final_norm
-    beatmap_model.audio_encoder.conv{1,2}      -> (out,in,k) -> (k,in,out)
-    {beatmap,metadata}_projection.weight       -> transposed kernel
-    logit_scale                                -> logit_scale
+Thin CLI over :mod:`cm3p_tpu.interop.hf_import` (the mapping lives in the
+package so ``inference.load_pretrained`` can auto-detect HF-layout dirs).
 
 Usage:
     python tools/convert_reference_checkpoint.py --checkpoint <hf dir or .safetensors> --output out_dir
@@ -22,142 +10,19 @@ from __future__ import annotations
 
 import argparse
 import logging
-from pathlib import Path
+import os
+import sys
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cm3p_tpu.interop.hf_import import (  # noqa: E402,F401  (re-exported API)
+    convert_cm3p_state_dict,
+    hf_config_to_cm3p,
+    load_hf_checkpoint,
+    load_torch_state,
+)
 
 logger = logging.getLogger(__name__)
-
-
-def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
-    node = tree
-    for p in path[:-1]:
-        node = node.setdefault(p, {})
-    node[path[-1]] = value
-
-
-def _convert_encoder(state: dict, prefix: str, out: dict, tower_path: list[str]) -> None:
-    """Convert one ModernBertModel under ``prefix`` into ``tower_path``."""
-
-    def t(name):
-        return state.pop(prefix + name)
-
-    _set(out, tower_path + ["tok_embeddings", "embedding"], t("embeddings.tok_embeddings.weight"))
-    _set(out, tower_path + ["embeddings_norm", "LayerNorm_0", "scale"], t("embeddings.norm.weight"))
-    if prefix + "embeddings.norm.bias" in state:
-        _set(out, tower_path + ["embeddings_norm", "LayerNorm_0", "bias"], t("embeddings.norm.bias"))
-
-    layer = 0
-    while prefix + f"layers.{layer}.attn.Wqkv.weight" in state:
-        lp = tower_path + [f"layers_{layer}"]
-        if layer != 0:
-            _set(out, lp + ["attn_norm", "LayerNorm_0", "scale"], t(f"layers.{layer}.attn_norm.weight"))
-            if prefix + f"layers.{layer}.attn_norm.bias" in state:
-                _set(out, lp + ["attn_norm", "LayerNorm_0", "bias"], t(f"layers.{layer}.attn_norm.bias"))
-        _set(out, lp + ["attn", "Wqkv", "kernel"], t(f"layers.{layer}.attn.Wqkv.weight").T)
-        if prefix + f"layers.{layer}.attn.Wqkv.bias" in state:
-            _set(out, lp + ["attn", "Wqkv", "bias"], t(f"layers.{layer}.attn.Wqkv.bias"))
-        _set(out, lp + ["attn", "Wo", "kernel"], t(f"layers.{layer}.attn.Wo.weight").T)
-        if prefix + f"layers.{layer}.attn.Wo.bias" in state:
-            _set(out, lp + ["attn", "Wo", "bias"], t(f"layers.{layer}.attn.Wo.bias"))
-        _set(out, lp + ["mlp_norm", "LayerNorm_0", "scale"], t(f"layers.{layer}.mlp_norm.weight"))
-        if prefix + f"layers.{layer}.mlp_norm.bias" in state:
-            _set(out, lp + ["mlp_norm", "LayerNorm_0", "bias"], t(f"layers.{layer}.mlp_norm.bias"))
-        _set(out, lp + ["mlp", "Wi", "kernel"], t(f"layers.{layer}.mlp.Wi.weight").T)
-        if prefix + f"layers.{layer}.mlp.Wi.bias" in state:
-            _set(out, lp + ["mlp", "Wi", "bias"], t(f"layers.{layer}.mlp.Wi.bias"))
-        _set(out, lp + ["mlp", "Wo", "kernel"], t(f"layers.{layer}.mlp.Wo.weight").T)
-        if prefix + f"layers.{layer}.mlp.Wo.bias" in state:
-            _set(out, lp + ["mlp", "Wo", "bias"], t(f"layers.{layer}.mlp.Wo.bias"))
-        layer += 1
-
-    _set(out, tower_path + ["final_norm", "LayerNorm_0", "scale"], t("final_norm.weight"))
-    if prefix + "final_norm.bias" in state:
-        _set(out, tower_path + ["final_norm", "LayerNorm_0", "bias"], t("final_norm.bias"))
-
-
-def convert_cm3p_state_dict(state: dict, tie_word_embeddings: bool = False) -> dict:
-    """torch CM3PModel state_dict (numpy values) -> flax params dict."""
-    state = dict(state)
-    out: dict = {}
-
-    _convert_encoder(state, "metadata_model.encoder.", out, ["metadata_model"])
-    _convert_encoder(state, "beatmap_model.encoder.", out, ["beatmap_model", "encoder"])
-
-    if "beatmap_model.audio_encoder.conv1.weight" in state:
-        ae = ["beatmap_model", "audio_encoder"]
-        _set(out, ae + ["conv1", "kernel"], state.pop("beatmap_model.audio_encoder.conv1.weight").transpose(2, 1, 0))
-        _set(out, ae + ["conv1", "bias"], state.pop("beatmap_model.audio_encoder.conv1.bias"))
-        _set(out, ae + ["conv2", "kernel"], state.pop("beatmap_model.audio_encoder.conv2.weight").transpose(2, 1, 0))
-        _set(out, ae + ["conv2", "bias"], state.pop("beatmap_model.audio_encoder.conv2.bias"))
-        _convert_encoder(state, "beatmap_model.audio_encoder.encoder.", out, ae + ["encoder"])
-        _set(
-            out,
-            ae + ["multi_modal_projector", "linear_1", "kernel"],
-            state.pop("beatmap_model.audio_encoder.multi_modal_projector.linear_1.weight").T,
-        )
-        _set(
-            out,
-            ae + ["multi_modal_projector", "linear_2", "kernel"],
-            state.pop("beatmap_model.audio_encoder.multi_modal_projector.linear_2.weight").T,
-        )
-
-    if "beatmap_projection.weight" in state:
-        _set(out, ["beatmap_projection", "kernel"], state.pop("beatmap_projection.weight").T)
-    if "metadata_projection.weight" in state:
-        _set(out, ["metadata_projection", "kernel"], state.pop("metadata_projection.weight").T)
-    if "logit_scale" in state:
-        _set(out, ["logit_scale"], state.pop("logit_scale").reshape(()))
-
-    # MLM / decoder heads
-    if "head.dense.weight" in state:
-        _set(out, ["head", "dense", "kernel"], state.pop("head.dense.weight").T)
-        if "head.dense.bias" in state:
-            _set(out, ["head", "dense", "bias"], state.pop("head.dense.bias"))
-        _set(out, ["head", "norm", "LayerNorm_0", "scale"], state.pop("head.norm.weight"))
-        if "head.norm.bias" in state:
-            _set(out, ["head", "norm", "LayerNorm_0", "bias"], state.pop("head.norm.bias"))
-    if "decoder.weight" in state:
-        if tie_word_embeddings:
-            # reference ties decoder.weight to the token embedding
-            # (_tied_weights_keys); the table was already placed above
-            state.pop("decoder.weight")
-            if "decoder.bias" in state:
-                _set(out, ["decoder_bias"], state.pop("decoder.bias"))
-        else:
-            _set(out, ["decoder", "kernel"], state.pop("decoder.weight").T)
-            if "decoder.bias" in state:
-                _set(out, ["decoder", "bias"], state.pop("decoder.bias"))
-    if "classifier.weight" in state:
-        _set(out, ["classifier", "kernel"], state.pop("classifier.weight").T)
-        if "classifier.bias" in state:
-            _set(out, ["classifier", "bias"], state.pop("classifier.bias"))
-
-    leftover = [k for k in state if not k.endswith("position_ids")]
-    if leftover:
-        logger.warning("Unconverted reference weights: %s", leftover[:20])
-    return {"params": out}
-
-
-def load_torch_state(checkpoint: str) -> dict:
-    """Load a torch/safetensors checkpoint into numpy arrays."""
-    path = Path(checkpoint)
-    state: dict = {}
-    if path.is_dir():
-        files = sorted(path.glob("*.safetensors")) or sorted(path.glob("pytorch_model*.bin"))
-    else:
-        files = [path]
-    for f in files:
-        if f.suffix == ".safetensors":
-            from safetensors.numpy import load_file
-
-            state.update(load_file(str(f)))
-        else:
-            import torch
-
-            sd = torch.load(str(f), map_location="cpu", weights_only=True)
-            state.update({k: v.numpy() for k, v in sd.items()})
-    return state
 
 
 def main(argv=None):
