@@ -14,8 +14,25 @@
 // when present, pure-JS fallbacks otherwise. Parquet parsing uses hyparquet
 // from CDN when reachable; JSON/CSV always work offline.
 
+import { WorkerPool } from './worker_pool.js';
+
 let wasm = null;
 let pool = null;
+
+// datasets past this size shard normalize/kmeans across the compute-worker
+// pool (<=8 workers, transferable buffers, main-side reduce)
+const POOL_THRESHOLD = 20000;
+
+function initPool(n) {
+  if (pool || n < POOL_THRESHOLD || typeof Worker === 'undefined') return;
+  try {
+    pool = new WorkerPool();
+    postMessage({ type: 'LOG', message: `worker pool: ${pool.size} compute workers` });
+  } catch (e) {
+    pool = null;
+    postMessage({ type: 'LOG', message: 'worker pool unavailable: ' + e.message });
+  }
+}
 
 // dataset state
 let columns = {};        // name -> array
@@ -421,7 +438,10 @@ self.onmessage = async (e) => {
         columns = await parseFile(msg.buffer, msg.name);
         columnNames = Object.keys(columns);
         [embeddings, nSamples, nFeatures] = extractEmbeddings(columns);
-        normalized = normalizeVectors(embeddings, nSamples, nFeatures);
+        initPool(nSamples);
+        normalized = pool
+          ? await pool.normalize(embeddings, nSamples, nFeatures)
+          : normalizeVectors(embeddings, nSamples, nFeatures);
         currentK = msg.k || 8;
         await runPipeline(Uint32Array.from({ length: nSamples }, (_, i) => i), 'pca', currentK);
         break;
@@ -436,7 +456,9 @@ self.onmessage = async (e) => {
       case 'RECLUSTER': {
         currentK = msg.k;
         const sub = activeIndices.length === nSamples ? embeddings : gatherSubset(activeIndices);
-        labels = calculateKmeans(sub, activeIndices.length, nFeatures, currentK);
+        labels = pool
+          ? await pool.kmeans(sub, activeIndices.length, nFeatures, currentK)
+          : calculateKmeans(sub, activeIndices.length, nFeatures, currentK);
         postMessage({ type: 'CLUSTERS', labels });
         break;
       }
