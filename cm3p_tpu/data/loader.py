@@ -53,11 +53,13 @@ class SampleLoader:
         num_workers: int = 0,
         queue_size: int = 64,
         log_dir: Optional[str] = "dataloader",
+        idle_timeout: float = 600.0,
     ):
         self.dataset_factory = dataset_factory
         self.num_workers = num_workers
         self.queue_size = queue_size
         self.log_dir = log_dir
+        self.idle_timeout = idle_timeout
 
     def __iter__(self) -> Iterator[dict]:
         if self.num_workers <= 0:
@@ -78,6 +80,7 @@ class SampleLoader:
             p.start()
 
         done: set[int] = set()
+        idle = 0.0
         try:
             while len(done) < self.num_workers:
                 try:
@@ -98,7 +101,20 @@ class SampleLoader:
                                 i,
                                 p.exitcode,
                             )
+                    # liveness polling alone can spin forever on a wedged-but-
+                    # alive worker (deadlocked child, hung NFS read) — keep the
+                    # reference's overall bound as a second line of defense
+                    idle += 5.0
+                    if self.idle_timeout and idle >= self.idle_timeout:
+                        logger.warning(
+                            "Loader queue idle for %.0f s with %d worker(s) "
+                            "still alive; stopping the epoch early",
+                            idle,
+                            self.num_workers - len(done),
+                        )
+                        break
                     continue
+                idle = 0.0
                 if isinstance(item, tuple) and len(item) == 2 and isinstance(item[0], str) and item[0] == _STOP:
                     done.add(item[1])
                     continue

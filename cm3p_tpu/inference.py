@@ -44,13 +44,21 @@ def load_pretrained(model_dir: str, processor_dir: Optional[str] = None, dtype=N
 
         config, params = load_hf_checkpoint(model_dir)
         dtype = dtype or jnp.bfloat16
-        model = CM3PModule(config, dtype=dtype, attn_impl=attn_impl)
+        # same dispatch as the native branch below: nested config -> dual
+        # tower; flat BeatmapConfig -> classifier / MLM bundle
+        if isinstance(config, CM3PConfig):
+            model = CM3PModule(config, dtype=dtype, attn_impl=attn_impl)
+        elif config.num_labels > 0 and config.problem_type:
+            model = ClassifierModule(config, dtype=dtype, attn_impl=attn_impl)
+        else:
+            model = MaskedLMModule(config, dtype=dtype, attn_impl=attn_impl)
+        bc = getattr(config, "beatmap_config", config)
         # the real tokenizer's ids must be in range (OOB gathers NaN on TPU)
-        if config.beatmap_config.vocab_size < processor.beatmap_tokenizer.vocab_size:
+        if bc.vocab_size < processor.beatmap_tokenizer.vocab_size:
             import warnings
 
             warnings.warn(
-                f"checkpoint vocab {config.beatmap_config.vocab_size} < tokenizer vocab "
+                f"checkpoint vocab {bc.vocab_size} < tokenizer vocab "
                 f"{processor.beatmap_tokenizer.vocab_size}: tokenized inputs can produce "
                 "out-of-range ids (silent NaN on TPU); pass a matching processor_dir",
                 stacklevel=2,

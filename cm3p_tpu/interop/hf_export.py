@@ -31,7 +31,7 @@ from typing import Optional, Union
 
 import numpy as np
 
-__all__ = ["flax_to_hf_state_dict", "hf_config_dict", "export_hf_checkpoint"]
+__all__ = ["flax_to_hf_state_dict", "hf_config_dict", "export_hf_checkpoint", "default_architecture"]
 
 
 def _get(tree: dict, path: list[str]):
@@ -150,8 +150,48 @@ def _encoder_dict(cfg, extra_drop=()) -> dict:
     return d
 
 
+def default_architecture(cfg) -> str:
+    """The reference class that loads a checkpoint of this config type.
+
+    Mirrors ``inference.load_pretrained``'s native dispatch: nested
+    CM3PConfig -> CM3PModel; flat BeatmapConfig -> classifier when a label
+    head is configured, else MaskedLM (modeling_cm3p.py:1137/1241).
+    """
+    if hasattr(cfg, "beatmap_config"):
+        return "CM3PModel"
+    if getattr(cfg, "num_labels", 0) > 0 and getattr(cfg, "problem_type", None):
+        return "CM3PForBeatmapClassification"
+    return "CM3PForMaskedLM"
+
+
 def hf_config_dict(cfg, architecture: str = "CM3PModel", include_auto_map: bool = True) -> dict:
-    """Reference-compatible ``config.json`` payload for our CM3PConfig."""
+    """Reference-compatible ``config.json`` payload.
+
+    Accepts either our nested CM3PConfig (-> ``model_type: CM3P``) or a flat
+    BeatmapConfig from an MLM/classifier artifact (-> ``model_type:
+    CM3PBeatmap``, the reference's CM3PBeatmapConfig layout,
+    configuration_cm3p.py:178-179).
+    """
+    if not hasattr(cfg, "beatmap_config"):
+        flat = _encoder_dict(cfg, extra_drop=("audio_config",))
+        flat["audio_config"] = _encoder_dict(cfg.audio_config)
+        flat["audio_config"]["model_type"] = "CM3PAudio"
+        flat["model_type"] = "CM3PBeatmap"
+        flat["architectures"] = [architecture]
+        flat["torch_dtype"] = "float32"
+        # the tie flag is top-level HF convention; for a flat config the top
+        # level IS the beatmap config, so restore what _DROP_KEYS removed
+        flat["tie_word_embeddings"] = bool(getattr(cfg, "tie_word_embeddings", False))
+        if include_auto_map:
+            auto_model_key = {
+                "CM3PForMaskedLM": "AutoModelForMaskedLM",
+                "CM3PForBeatmapClassification": "AutoModelForSequenceClassification",
+            }.get(architecture, "AutoModel")
+            flat["auto_map"] = {
+                "AutoConfig": "configuration_cm3p.CM3PBeatmapConfig",
+                auto_model_key: "modeling_cm3p." + architecture,
+            }
+        return flat
     beatmap = _encoder_dict(cfg.beatmap_config, extra_drop=("audio_config",))
     beatmap["audio_config"] = _encoder_dict(cfg.beatmap_config.audio_config)
     beatmap["model_type"] = "CM3PBeatmap"
@@ -182,18 +222,24 @@ def export_hf_checkpoint(
     params: dict,
     cfg,
     out_dir: Union[str, Path],
-    architecture: str = "CM3PModel",
+    architecture: Optional[str] = None,
     tie_word_embeddings: Optional[bool] = None,
 ) -> Path:
     """Write ``config.json`` + ``model.safetensors`` loadable by the reference.
 
-    Round-trip contract (tests/test_hf_export.py): embeddings from the
-    reference model loaded off this bundle match ours with cosine > 0.9999.
+    ``cfg`` may be a nested CM3PConfig or a flat BeatmapConfig
+    (MLM/classifier artifact); ``architecture`` defaults per config type via
+    :func:`default_architecture`. Round-trip contract
+    (tests/test_hf_export.py): embeddings from the reference model loaded
+    off this bundle match ours with cosine > 0.9999.
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if architecture is None:
+        architecture = default_architecture(cfg)
     if tie_word_embeddings is None:
-        tie_word_embeddings = bool(getattr(cfg.beatmap_config, "tie_word_embeddings", False))
+        bc = getattr(cfg, "beatmap_config", cfg)
+        tie_word_embeddings = bool(getattr(bc, "tie_word_embeddings", False))
     state = flax_to_hf_state_dict(params, tie_word_embeddings=tie_word_embeddings)
 
     from safetensors.numpy import save_file

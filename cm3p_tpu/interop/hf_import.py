@@ -76,8 +76,13 @@ def convert_cm3p_state_dict(state: dict, tie_word_embeddings: bool = False) -> d
     state = dict(state)
     out: dict = {}
 
-    _convert_encoder(state, "metadata_model.encoder.", out, ["metadata_model"])
-    _convert_encoder(state, "beatmap_model.encoder.", out, ["beatmap_model", "encoder"])
+    # the dual-tower CM3PModel has both towers; flat MLM/classifier bundles
+    # (CM3PForMaskedLM / CM3PForBeatmapClassification, base_model_prefix
+    # "beatmap_model", modeling_cm3p.py:1139/1243) carry only the beatmap one
+    if "metadata_model.encoder.embeddings.tok_embeddings.weight" in state:
+        _convert_encoder(state, "metadata_model.encoder.", out, ["metadata_model"])
+    if "beatmap_model.encoder.embeddings.tok_embeddings.weight" in state:
+        _convert_encoder(state, "beatmap_model.encoder.", out, ["beatmap_model", "encoder"])
 
     if "beatmap_model.audio_encoder.conv1.weight" in state:
         ae = ["beatmap_model", "audio_encoder"]
@@ -112,17 +117,18 @@ def convert_cm3p_state_dict(state: dict, tie_word_embeddings: bool = False) -> d
         _set(out, ["head", "norm", "LayerNorm_0", "scale"], state.pop("head.norm.weight"))
         if "head.norm.bias" in state:
             _set(out, ["head", "norm", "LayerNorm_0", "bias"], state.pop("head.norm.bias"))
-    if "decoder.weight" in state:
-        if tie_word_embeddings:
-            # reference ties decoder.weight to the token embedding
-            # (_tied_weights_keys); the table was already placed above
-            state.pop("decoder.weight")
-            if "decoder.bias" in state:
-                _set(out, ["decoder_bias"], state.pop("decoder.bias"))
-        else:
-            _set(out, ["decoder", "kernel"], state.pop("decoder.weight").T)
-            if "decoder.bias" in state:
-                _set(out, ["decoder", "bias"], state.pop("decoder.bias"))
+    if tie_word_embeddings:
+        # reference ties decoder.weight to the token embedding
+        # (_tied_weights_keys); the table was already placed above, and HF
+        # may omit the tied weight from the file entirely — the bias can
+        # still be present on its own
+        state.pop("decoder.weight", None)
+        if "decoder.bias" in state:
+            _set(out, ["decoder_bias"], state.pop("decoder.bias"))
+    elif "decoder.weight" in state:
+        _set(out, ["decoder", "kernel"], state.pop("decoder.weight").T)
+        if "decoder.bias" in state:
+            _set(out, ["decoder", "bias"], state.pop("decoder.bias"))
     if "classifier.weight" in state:
         _set(out, ["classifier", "kernel"], state.pop("classifier.weight").T)
         if "classifier.bias" in state:
@@ -158,7 +164,12 @@ def load_torch_state(checkpoint: str) -> dict:
 
 
 def hf_config_to_cm3p(data: dict):
-    """HF-layout ``config.json`` dict -> our CM3PConfig (unknown keys dropped)."""
+    """HF-layout ``config.json`` dict -> our config (unknown keys dropped).
+
+    Returns a nested CM3PConfig for dual-tower bundles, or a flat
+    BeatmapConfig for MLM/classifier bundles (reference ``config_class =
+    CM3PBeatmapConfig``, modeling_cm3p.py:1138/1242).
+    """
     import dataclasses
 
     from ..configs import AudioConfig, BeatmapConfig, CM3PConfig, MetadataConfig
@@ -167,16 +178,33 @@ def hf_config_to_cm3p(data: dict):
         known = {f.name for f in dataclasses.fields(cls)}
         return {k: v for k, v in d.items() if k in known}
 
+    def beatmap_from(d: dict) -> BeatmapConfig:
+        d = dict(d)
+        ac = d.pop("audio_config", {}) or {}
+        return BeatmapConfig(**{**pick(BeatmapConfig, d), "audio_config": AudioConfig(**pick(AudioConfig, ac))})
+
+    if "beatmap_config" not in data and "metadata_config" not in data:
+        # flat CM3PBeatmapConfig layout: the top level IS the beatmap config,
+        # so the HF-top-level tie_word_embeddings lands in the right place
+        return beatmap_from(data)
+
     bc = dict(data.get("beatmap_config", {}))
-    ac = bc.pop("audio_config", {}) or {}
-    beatmap = BeatmapConfig(**{**pick(BeatmapConfig, bc), "audio_config": AudioConfig(**pick(AudioConfig, ac))})
+    # HF hoists tie_word_embeddings to the top level on export
+    # (hf_export._DROP_KEYS); put it back where our config keeps it
+    bc.setdefault("tie_word_embeddings", bool(data.get("tie_word_embeddings", False)))
+    beatmap = beatmap_from(bc)
     metadata = MetadataConfig(**pick(MetadataConfig, data.get("metadata_config", {})))
     top = pick(CM3PConfig, {k: v for k, v in data.items() if k not in ("beatmap_config", "metadata_config")})
     return CM3PConfig(metadata_config=metadata, beatmap_config=beatmap, **top)
 
 
 def load_hf_checkpoint(directory):
-    """(CM3PConfig, flax params) from an HF-layout dir (reference or exported)."""
+    """(config, flax params) from an HF-layout dir (reference or exported).
+
+    The config is a CM3PConfig (dual-tower bundle) or a flat BeatmapConfig
+    (MLM/classifier bundle) — dispatch on its type like
+    ``inference.load_pretrained`` does.
+    """
     import json
     from pathlib import Path
 
@@ -184,8 +212,9 @@ def load_hf_checkpoint(directory):
     with open(directory / "config.json") as f:
         data = json.load(f)
     cfg = hf_config_to_cm3p(data)
+    bc = getattr(cfg, "beatmap_config", cfg)
     state = load_torch_state(str(directory))
-    params = convert_cm3p_state_dict(state, tie_word_embeddings=bool(data.get("tie_word_embeddings")))
+    params = convert_cm3p_state_dict(state, tie_word_embeddings=bc.tie_word_embeddings)
     import jax.numpy as jnp
     import jax
 

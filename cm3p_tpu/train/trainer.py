@@ -49,6 +49,7 @@ class Trainer:
         mesh=None,
         model_axis: int = 1,
         resume: bool = True,
+        from_pretrained: Optional[str] = None,
         load_best_model_at_end: bool = False,
         eval_has_variations: bool = True,
         labels_kind: str = "none",
@@ -74,6 +75,7 @@ class Trainer:
         self.seed = seed
         self.mesh = mesh or make_mesh(model=model_axis)
         self.resume = resume
+        self.from_pretrained = from_pretrained
         self.load_best_model_at_end = load_best_model_at_end
         self.eval_has_variations = eval_has_variations
         self._best_eval_loss: Optional[float] = None
@@ -122,6 +124,37 @@ class Trainer:
     def _setup(self, example_batch: dict) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
         state = create_train_state(self.model, self.tx, rng, example_batch, method=self.forward_method)
+
+        if self.from_pretrained:
+            # finetune bootstrap (reference train.py from_pretrained key):
+            # load starting params from an earlier run's model/ dir — either
+            # our native Orbax layout or an HF-layout (converted/exported)
+            # checkpoint directory
+            import os
+
+            if os.path.exists(os.path.join(self.from_pretrained, "model.safetensors")):
+                from ..interop import load_hf_checkpoint
+
+                _, loaded = load_hf_checkpoint(self.from_pretrained)
+            else:
+                from .checkpoint import load_model
+
+                loaded = load_model(self.from_pretrained, params_template=jax.device_get(state.params))
+            # key-wise merge: every model param must be present in the
+            # checkpoint; extras (e.g. the reference's dead audio embedding
+            # table) ride along harmlessly (flax.apply ignores them)
+            import flax.traverse_util as tu
+
+            flat_t = tu.flatten_dict(state.params)
+            flat_l = tu.flatten_dict(loaded)
+            missing = set(flat_t) - set(flat_l)
+            if missing:
+                raise ValueError(f"from_pretrained is missing params: {sorted(missing)[:5]}")
+            merged = {
+                k: jnp.asarray(v, flat_t[k].dtype if k in flat_t else None) for k, v in flat_l.items()
+            }
+            logger.info("Initialized params from %s", self.from_pretrained)
+            state = state._replace(params=tu.unflatten_dict(merged))
 
         if self.resume:
             latest = self.ckpt.latest_step()

@@ -67,8 +67,8 @@ The `hf/` subfolder is an HF-layout bundle (`model.safetensors` +
 `config.json`) loadable directly by the reference implementation:
 
 ```python
-from cm3p.modeling_cm3p import CM3PModel  # the reference package
-model = CM3PModel.from_pretrained("{name}/hf")
+from cm3p.modeling_cm3p import {architecture}  # the reference package
+model = {architecture}.from_pretrained("{name}/hf")
 ```
 
 """
@@ -107,26 +107,30 @@ def main(argv=None):
     shutil.copytree(ns.model_dir, out / "model", dirs_exist_ok=True)
     shutil.copytree(ns.processor_dir, out / "processor", dirs_exist_ok=True)
 
+    name = ns.name or out.name
     hf_section = hf_contents = ""
     if ns.hf:
         from cm3p_tpu.configs import load_config
         from cm3p_tpu.interop import export_hf_checkpoint
+        from cm3p_tpu.interop.hf_export import default_architecture
         from cm3p_tpu.train.checkpoint import load_model
 
+        # load_config returns a flat BeatmapConfig for MLM/classifier
+        # artifacts — export_hf_checkpoint handles both layouts
         config = load_config(out / "model")
         params = load_model(out / "model")
-        export_hf_checkpoint(params, config, out / "hf")
-        hf_section = "HF_SECTION_PLACEHOLDER"
+        architecture = default_architecture(config)
+        export_hf_checkpoint(params, config, out / "hf", architecture=architecture)
+        # str.format never rescans substituted values, so nesting the
+        # formatted section directly is safe
+        hf_section = HF_SECTION.format(name=name, architecture=architecture)
         hf_contents = "- `hf/` — reference-loadable HF bundle (safetensors + config.json)\n"
         logger.info("Exported reference-loadable HF bundle to %s", out / "hf")
 
-    name = ns.name or out.name
     card = MODEL_CARD.format(
         name=name, training_details=ns.training_details,
         hf_section=hf_section, hf_contents=hf_contents,
     )
-    if hf_section:
-        card = card.replace("HF_SECTION_PLACEHOLDER", HF_SECTION.format(name=name))
     (out / "README.md").write_text(card)
     logger.info("Packaged %s (model class: %s)", out, infer_model_class(out / "model"))
 

@@ -290,3 +290,30 @@ class TestSampleLoaderRobustness:
         assert 0 in workers  # survivor's samples all arrived
         assert sum(1 for it in items if it["worker"] == 0) == 3
         assert elapsed < 120, f"dead-worker detection took {elapsed:.0f}s"
+
+
+def _wedged_factory(worker_id, num_workers):
+    import time
+
+    if worker_id == 1:
+        time.sleep(3600)  # alive but never produces — hung NFS read analogue
+    for i in range(3):
+        yield {"worker": worker_id, "i": i}
+
+
+class TestSampleLoaderIdleTimeout:
+    def test_wedged_but_alive_worker_bounded(self):
+        """Liveness polling alone spins forever on a hung-but-alive worker;
+        the overall idle bound (reference DataLoader timeout parity) must
+        end the epoch (review finding on the dead-worker fix)."""
+        import time
+
+        from cm3p_tpu.data import SampleLoader
+
+        t0 = time.time()
+        items = list(
+            SampleLoader(_wedged_factory, num_workers=2, log_dir=None, idle_timeout=10)
+        )
+        elapsed = time.time() - t0
+        assert sum(1 for it in items if it["worker"] == 0) == 3
+        assert elapsed < 60, f"idle bound not applied: {elapsed:.0f}s"

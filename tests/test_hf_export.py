@@ -199,6 +199,160 @@ class TestPublishModelHF:
         assert "from_pretrained" in card and "hf/" in card
 
 
+class TestFlatBundles:
+    """MLM/classifier artifacts export as flat CM3PBeatmapConfig bundles
+    (reference ``config_class`` of CM3PForMaskedLM / CM3PForBeatmapClassification,
+    modeling_cm3p.py:1138/1242) and round-trip through the reference stack."""
+
+    def _flat_cfg(self, **over):
+        cfg = tiny_cm3p_config().beatmap_config
+        cfg.audio_sos_token_id = 498
+        cfg.audio_eos_token_id = 499
+        cfg.audio_token_id = 500
+        cfg.sparse_prediction = False
+        for k, v in over.items():
+            setattr(cfg, k, v)
+        return cfg
+
+    def _init_with_audio(self, model, cfg, rng):
+        """Init WITH audio features so the audio-encoder params exist (the
+        reference CM3PBeatmapTransformer always instantiates them)."""
+        ids = np.asarray(rng.integers(5, 490, (2, 32)), np.int32)
+        ids[:, 0] = cfg.audio_sos_token_id
+        ids[:, 1] = cfg.audio_token_id
+        ids[:, 2] = cfg.audio_token_id
+        ids[:, 3] = cfg.audio_eos_token_id
+        return model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(ids),
+            input_features=jnp.asarray(rng.standard_normal((2, 80, 16)), jnp.float32),
+            attention_mask=jnp.ones((2, 32), jnp.int32),
+        )
+
+    def test_tied_masked_lm_round_trip(self, tmp_path):
+        from cm3p.modeling_cm3p import CM3PForMaskedLM as RefMLM
+
+        from cm3p_tpu.inference import load_pretrained
+        from cm3p_tpu.interop import export_hf_checkpoint
+        from cm3p_tpu.models import MaskedLMModule
+
+        cfg = self._flat_cfg(tie_word_embeddings=True)
+        model = MaskedLMModule(cfg)
+        rng = np.random.default_rng(1)
+        params = self._init_with_audio(model, cfg, rng)
+        out_dir = tmp_path / "mlm_hf"
+        export_hf_checkpoint(params, cfg, out_dir)
+
+        import json
+
+        data = json.loads((out_dir / "config.json").read_text())
+        assert data["model_type"] == "CM3PBeatmap"
+        assert data["architectures"] == ["CM3PForMaskedLM"]
+        assert data["tie_word_embeddings"] is True
+
+        ref, info = RefMLM.from_pretrained(
+            out_dir, attn_implementation="sdpa", output_loading_info=True
+        )
+        # decoder.weight is tied — HF restores it from the embedding table
+        assert [k for k in info["missing_keys"] if k != "decoder.weight"] == []
+        assert info["unexpected_keys"] == []
+        ref = ref.eval()
+
+        ids = np.asarray(rng.integers(5, 490, (2, 32)), np.int32)
+        mask = np.ones_like(ids)
+        ours = np.asarray(
+            model.apply(params, jnp.asarray(ids), attention_mask=jnp.asarray(mask)).logits,
+            np.float32,
+        )
+        with torch.no_grad():
+            theirs = ref(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask.astype(np.int64))
+            ).logits.numpy()
+        assert cosine(ours, theirs) > 0.9999
+
+        # and back into OUR stack: load_pretrained auto-detects the flat
+        # HF layout and rebuilds a *tied* MaskedLM (review finding: the tie
+        # flag must survive the round trip or params go missing)
+        _, model2, params2 = load_pretrained(str(out_dir), dtype=jnp.float32)
+        assert isinstance(model2, MaskedLMModule)
+        assert model2.config.tie_word_embeddings is True
+        again = np.asarray(
+            model2.apply(params2, jnp.asarray(ids), attention_mask=jnp.asarray(mask)).logits,
+            np.float32,
+        )
+        np.testing.assert_allclose(again, ours, atol=2e-5)
+
+    def test_classifier_round_trip(self, tmp_path):
+        from cm3p.modeling_cm3p import CM3PForBeatmapClassification as RefCls
+
+        from cm3p_tpu.inference import load_pretrained
+        from cm3p_tpu.interop import export_hf_checkpoint
+        from cm3p_tpu.models import ClassifierModule
+
+        cfg = self._flat_cfg(num_labels=3, problem_type="single_label_classification")
+        model = ClassifierModule(cfg)
+        rng = np.random.default_rng(2)
+        params = self._init_with_audio(model, cfg, rng)
+        out_dir = tmp_path / "cls_hf"
+        export_hf_checkpoint(params, cfg, out_dir)
+
+        import json
+
+        data = json.loads((out_dir / "config.json").read_text())
+        assert data["architectures"] == ["CM3PForBeatmapClassification"]
+
+        ref, info = RefCls.from_pretrained(
+            out_dir, attn_implementation="sdpa", output_loading_info=True
+        )
+        assert info["missing_keys"] == []
+        assert info["unexpected_keys"] == []
+        ref = ref.eval()
+
+        ids = np.asarray(rng.integers(5, 490, (2, 32)), np.int32)
+        mask = np.ones_like(ids)
+        ours = np.asarray(
+            model.apply(params, jnp.asarray(ids), attention_mask=jnp.asarray(mask)).logits,
+            np.float32,
+        )
+        with torch.no_grad():
+            theirs = ref(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask.astype(np.int64))
+            ).logits.numpy()
+        assert cosine(ours, theirs) > 0.999
+
+        _, model2, params2 = load_pretrained(str(out_dir), dtype=jnp.float32)
+        assert isinstance(model2, ClassifierModule)
+        again = np.asarray(
+            model2.apply(params2, jnp.asarray(ids), attention_mask=jnp.asarray(mask)).logits,
+            np.float32,
+        )
+        np.testing.assert_allclose(again, ours, atol=2e-5)
+
+    def test_publish_model_hf_flat_artifact(self, tmp_path):
+        """publish_model --hf must not crash on a flat-config artifact
+        (review finding: load_config returns a BeatmapConfig there)."""
+        import publish_model
+        from cm3p_tpu.models import MaskedLMModule
+        from cm3p_tpu.processing import CM3PProcessor
+        from cm3p_tpu.train.checkpoint import save_model
+
+        cfg = self._flat_cfg(tie_word_embeddings=False)
+        model = MaskedLMModule(cfg)
+        params = self._init_with_audio(model, cfg, np.random.default_rng(3))
+        save_model(str(tmp_path / "model"), params, config=cfg)
+        CM3PProcessor().save_pretrained(str(tmp_path / "processor"))
+        rc = publish_model.main([
+            "--model-dir", str(tmp_path / "model"),
+            "--processor-dir", str(tmp_path / "processor"),
+            "--output", str(tmp_path / "release"),
+            "--hf",
+        ])
+        assert rc == 0
+        assert (tmp_path / "release" / "hf" / "model.safetensors").exists()
+        card = (tmp_path / "release" / "README.md").read_text()
+        assert "CM3PForMaskedLM" in card
+
+
 class TestLoadPretrainedHF:
     def test_load_pretrained_detects_hf_layout(self, trained_bundle):
         """inference.load_pretrained consumes an HF bundle directly (either a

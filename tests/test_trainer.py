@@ -210,3 +210,52 @@ class TestRetentionProtection:
         np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0) * 2)
         assert mgr.latest_step() == 4
         mgr.close()
+
+
+class TestFromPretrained:
+    def test_bootstrap_from_native_and_hf_checkpoints(self, tmp_path):
+        """Trainer(from_pretrained=...) starts from the given checkpoint —
+        the key the finetune_reference recipe depends on (review finding:
+        it was previously consumed nowhere, silently training from random
+        init). Both layouts: native save_model dir and HF-export dir."""
+        from cm3p_tpu.interop import export_hf_checkpoint
+        from cm3p_tpu.train.checkpoint import save_model
+
+        trainer = make_trainer(tmp_path / "a", max_steps=2)
+        state = trainer.train()
+        trainer.close()
+        params_a = jax.device_get(state.params)
+        save_model(str(tmp_path / "a_model"), params_a)
+
+        t2 = make_trainer(tmp_path / "b", max_steps=0, from_pretrained=str(tmp_path / "a_model"))
+        s2 = t2.train()
+        t2.close()
+        got = jax.device_get(s2.params)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params_a),
+            jax.tree_util.tree_leaves_with_path(got),
+        ):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a), err_msg=str(path))
+
+        cfg, _ = tiny_batches()
+        export_hf_checkpoint(params_a, cfg, tmp_path / "hf")
+        t3 = make_trainer(tmp_path / "c", max_steps=0, from_pretrained=str(tmp_path / "hf"))
+        s3 = t3.train()
+        t3.close()
+        got3 = jax.device_get(s3.params)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params_a),
+            jax.tree_util.tree_leaves_with_path(got3),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, err_msg=str(path))
+
+    def test_missing_params_raise(self, tmp_path):
+        """A checkpoint that lacks model params must fail loudly, not train
+        a half-initialized model."""
+        from cm3p_tpu.train.checkpoint import save_model
+
+        save_model(str(tmp_path / "partial"), {"params": {"logit_scale": np.float32(1.0)}})
+        trainer = make_trainer(tmp_path / "out", max_steps=1, from_pretrained=str(tmp_path / "partial"))
+        with pytest.raises(Exception):
+            trainer.train()
+        trainer.close()

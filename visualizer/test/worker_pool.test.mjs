@@ -13,9 +13,21 @@ class BrowserishWorker {
   constructor() {
     this.w = new NodeWorker(adapter);
     this.w.unref();
+    this._listeners = new Map();
   }
   postMessage(m, transfer = []) {
     this.w.postMessage(m, transfer);
+  }
+  addEventListener(type, fn) {
+    // browser 'error' events carry .message; node passes an Error directly
+    const wrapped = (err) => fn(err instanceof Error ? err : { message: String(err) });
+    this._listeners.set(fn, wrapped);
+    this.w.on(type === 'error' ? 'error' : 'messageerror', wrapped);
+  }
+  removeEventListener(type, fn) {
+    const wrapped = this._listeners.get(fn);
+    if (wrapped) this.w.off(type === 'error' ? 'error' : 'messageerror', wrapped);
+    this._listeners.delete(fn);
   }
   terminate() {
     return this.w.terminate();
@@ -81,6 +93,48 @@ test('pool.kmeans separates well-separated clusters', async () => {
     assert.ok(pure / n > 0.95, `purity ${pure / n}`);
   } finally {
     pool.terminate();
+  }
+});
+
+test('pool calls reject (not hang) when the compute worker is broken', async () => {
+  // a worker whose script fails to load never replies on the MessageChannel;
+  // the pool must reject via the timeout so worker.js can fall back
+  class DeadWorker {
+    postMessage() {}
+    terminate() {}
+  }
+  const RealWorker = globalThis.Worker;
+  globalThis.Worker = DeadWorker;
+  try {
+    const pool = new WorkerPool(2, { callTimeoutMs: 200 });
+    const flat = new Float32Array(64);
+    await assert.rejects(() => pool.normalize(flat, 8, 8), /timed out/);
+    pool.terminate();
+  } finally {
+    globalThis.Worker = RealWorker;
+  }
+});
+
+test('pool normalize spreads chunks across workers (not all on worker 0)', async () => {
+  // chunk size divisible by pool size — the old `start % size` routing sent
+  // every chunk to worker 0
+  const used = new Set();
+  class CountingWorker extends BrowserishWorker {
+    postMessage(m, transfer) {
+      used.add(this);
+      super.postMessage(m, transfer);
+    }
+  }
+  const RealWorker = globalThis.Worker;
+  globalThis.Worker = CountingWorker;
+  try {
+    const n = 32, d = 4; // 4 workers -> per=8, starts 0/8/16/24 all ≡ 0 mod 4
+    const pool = new WorkerPool(4);
+    await pool.normalize(makeData(n, d), n, d);
+    pool.terminate();
+    assert.ok(used.size > 1, `expected >1 workers used, got ${used.size}`);
+  } finally {
+    globalThis.Worker = RealWorker;
   }
 });
 

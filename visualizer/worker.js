@@ -34,6 +34,26 @@ function initPool(n) {
   }
 }
 
+// run the sharded pool path, falling back to the single-threaded kernel on
+// any pool failure (nested-worker load errors surface asynchronously — the
+// pool's _call rejects on worker error or timeout; the inputs passed to the
+// pool are slice copies, so the originals are intact for the fallback)
+async function withPool(poolFn, fallbackFn) {
+  if (!pool) return fallbackFn();
+  try {
+    return await poolFn();
+  } catch (e) {
+    postMessage({ type: 'LOG', message: `worker pool failed (${e.message}); using single-threaded path` });
+    try {
+      pool.terminate();
+    } catch (_) {
+      // already-dead workers
+    }
+    pool = null;
+    return fallbackFn();
+  }
+}
+
 // dataset state
 let columns = {};        // name -> array
 let columnNames = [];
@@ -412,7 +432,10 @@ async function runPipeline(indices, projection, k) {
   const sub = indices.length === nSamples ? embeddings : gatherSubset(indices);
   const n = indices.length;
   points = projection === 'umap' ? await projectUmap(sub, n, nFeatures) : calculatePCA(sub, n, nFeatures);
-  labels = pool ? await pool.kmeans(sub, n, nFeatures, k) : calculateKmeans(sub, n, nFeatures, k);
+  labels = await withPool(
+    () => pool.kmeans(sub, n, nFeatures, k),
+    () => calculateKmeans(sub, n, nFeatures, k)
+  );
   postMessage(
     {
       type: 'DATA_READY',
@@ -439,9 +462,10 @@ self.onmessage = async (e) => {
         columnNames = Object.keys(columns);
         [embeddings, nSamples, nFeatures] = extractEmbeddings(columns);
         initPool(nSamples);
-        normalized = pool
-          ? await pool.normalize(embeddings, nSamples, nFeatures)
-          : normalizeVectors(embeddings, nSamples, nFeatures);
+        normalized = await withPool(
+          () => pool.normalize(embeddings, nSamples, nFeatures),
+          () => normalizeVectors(embeddings, nSamples, nFeatures)
+        );
         currentK = msg.k || 8;
         await runPipeline(Uint32Array.from({ length: nSamples }, (_, i) => i), 'pca', currentK);
         break;
@@ -456,9 +480,10 @@ self.onmessage = async (e) => {
       case 'RECLUSTER': {
         currentK = msg.k;
         const sub = activeIndices.length === nSamples ? embeddings : gatherSubset(activeIndices);
-        labels = pool
-          ? await pool.kmeans(sub, activeIndices.length, nFeatures, currentK)
-          : calculateKmeans(sub, activeIndices.length, nFeatures, currentK);
+        labels = await withPool(
+          () => pool.kmeans(sub, activeIndices.length, nFeatures, currentK),
+          () => calculateKmeans(sub, activeIndices.length, nFeatures, currentK)
+        );
         postMessage({ type: 'CLUSTERS', labels });
         break;
       }

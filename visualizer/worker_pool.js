@@ -5,10 +5,12 @@
 // scheme as the reference pool (/root/reference/visualizer/worker_pool.js).
 
 const MAX_WORKERS = 8;
+const CALL_TIMEOUT_MS = 60000;
 
 export class WorkerPool {
-  constructor(size = null) {
+  constructor(size = null, { callTimeoutMs = CALL_TIMEOUT_MS } = {}) {
     this.size = Math.min(size || (navigator.hardwareConcurrency || 4), MAX_WORKERS);
+    this.callTimeoutMs = callTimeoutMs;
     this.workers = [];
     for (let i = 0; i < this.size; i++) {
       this.workers.push(new Worker('./compute_worker.js', { type: 'module' }));
@@ -18,7 +20,34 @@ export class WorkerPool {
   _call(worker, message, transfer = []) {
     return new Promise((resolve, reject) => {
       const channel = new MessageChannel();
-      channel.port1.onmessage = (e) => (e.data.error ? reject(new Error(e.data.error)) : resolve(e.data));
+      // nested-worker script failures are asynchronous (the constructor
+      // succeeds even when compute_worker.js 404s or CSP-blocks), so a
+      // reply-port listener alone would await forever — also listen for
+      // worker 'error' and bound every call with a timeout so callers can
+      // fall back to the single-threaded kernels
+      let settled = false;
+      const settle = (fn, value) => {
+        if (settled) return;
+        settled = true;
+        clearTimeout(timer);
+        if (worker.removeEventListener) {
+          worker.removeEventListener('error', onError);
+          worker.removeEventListener('messageerror', onError);
+        }
+        channel.port1.onmessage = null;
+        fn(value);
+      };
+      const onError = (e) => settle(reject, new Error((e && e.message) || 'compute worker error'));
+      const timer = setTimeout(
+        () => settle(reject, new Error(`compute worker call timed out after ${this.callTimeoutMs} ms`)),
+        this.callTimeoutMs
+      );
+      if (worker.addEventListener) {
+        worker.addEventListener('error', onError);
+        worker.addEventListener('messageerror', onError);
+      }
+      channel.port1.onmessage = (e) =>
+        e.data.error ? settle(reject, new Error(e.data.error)) : settle(resolve, e.data);
       worker.postMessage({ ...message, port: channel.port2 }, [channel.port2, ...transfer]);
     });
   }
@@ -37,10 +66,12 @@ export class WorkerPool {
   async normalize(flat, n, d) {
     const out = new Float32Array(n * d);
     await Promise.all(
-      this._chunks(n).map(async ([start, end]) => {
+      this._chunks(n).map(async ([start, end], ci) => {
         const chunk = flat.slice(start * d, end * d);
+        // round-robin by chunk INDEX — `start % size` collapses onto
+        // worker 0 whenever the chunk length is a multiple of the pool size
         const res = await this._call(
-          this.workers[start % this.size],
+          this.workers[ci % this.size],
           { type: 'NORMALIZE_CHUNK', chunk, n: end - start, d },
           [chunk.buffer]
         );
