@@ -60,7 +60,7 @@ class TestConfigSystem:
         from pathlib import Path
 
         train_dir = Path(__file__).parent.parent / "configs" / "train"
-        for name in ("default", "v1", "v2", "v3", "v4", "v5", "v6", "v6_mask", "v7", "v7_classifier", "v8_packed", "smoke", "finetune_reference"):
+        for name in ("default", "v1", "v2", "v3", "v4", "v5", "v6", "v6_1", "v6_mask", "v7", "v7_classifier", "v8_packed", "smoke", "finetune_reference"):
             cfg = load_config(train_dir, name)
             assert "training" in cfg and "processor" in cfg and "dataset" in cfg, name
             assert isinstance(cfg["model"]["metadata_config"]["norm_eps"], float), name
