@@ -317,3 +317,22 @@ class TestSampleLoaderIdleTimeout:
         elapsed = time.time() - t0
         assert sum(1 for it in items if it["worker"] == 0) == 3
         assert elapsed < 60, f"idle bound not applied: {elapsed:.0f}s"
+
+
+class TestMmrsFactoryPicklable:
+    def test_train_entry_factory_survives_spawn(self, mmrs_root, processor):
+        """train.py's MMRS dataset factory crosses the spawn process boundary
+        of SampleLoader workers, so it must be picklable — a closure there
+        breaks every real num_workers>0 training run (found by
+        tools/tpu_convergence.py)."""
+        import pickle
+
+        import train as train_entry
+
+        cfg = make_config(mmrs_root, include_audio=False, include_metadata=False)
+        fac = train_entry.MmrsDatasetFactory(cfg, processor, test=True, process_id=0, process_count=1)
+        pickle.loads(pickle.dumps(fac))
+        from cm3p_tpu.data import SampleLoader
+
+        samples = list(SampleLoader(fac, num_workers=1, log_dir=None))
+        assert samples and "input_ids" in samples[0]

@@ -127,8 +127,29 @@ def synthetic_batches(args: dict, cfg, processor, test: bool, seed: int = 0):
     return gen
 
 
+class MmrsDatasetFactory:
+    """Picklable dataset factory: loader workers are spawn-based processes,
+    so the factory crossing the process boundary must not be a closure."""
+
+    def __init__(self, ds_cfg, processor, test: bool, process_id: int, process_count: int):
+        self.ds_cfg = ds_cfg
+        self.processor = processor
+        self.test = test
+        self.process_id = process_id
+        self.process_count = process_count
+
+    def __call__(self, worker_id: int, num_workers: int):
+        from cm3p_tpu.data import MmrsDataset
+
+        return MmrsDataset(
+            self.ds_cfg, self.processor, test=self.test, worker_id=worker_id,
+            num_workers=num_workers, process_id=self.process_id,
+            process_count=self.process_count,
+        )
+
+
 def mmrs_batches(args: dict, processor, test: bool):
-    from cm3p_tpu.data import DatasetConfig, MmrsDataset, SampleLoader, batched_loader
+    from cm3p_tpu.data import DatasetConfig, SampleLoader, batched_loader
 
     dataset_kwargs = {k: v for k, v in args["dataset"].items() if k != "synthetic"}
     ds_cfg = DatasetConfig(**dataset_kwargs)
@@ -140,12 +161,9 @@ def mmrs_batches(args: dict, processor, test: bool):
     def factory():
         import jax
 
-        def dataset_factory(worker_id, num_workers_):
-            return MmrsDataset(
-                ds_cfg, processor, test=test, worker_id=worker_id, num_workers=num_workers_,
-                process_id=jax.process_index(), process_count=jax.process_count(),
-            )
-
+        dataset_factory = MmrsDatasetFactory(
+            ds_cfg, processor, test, jax.process_index(), jax.process_count()
+        )
         loader = SampleLoader(dataset_factory, num_workers=num_workers)
         if packed:
             from cm3p_tpu.data.packing_collator import packed_batches
