@@ -54,12 +54,14 @@ class SampleLoader:
         queue_size: int = 64,
         log_dir: Optional[str] = "dataloader",
         idle_timeout: float = 600.0,
+        startup_timeout: float = 600.0,
     ):
         self.dataset_factory = dataset_factory
         self.num_workers = num_workers
         self.queue_size = queue_size
         self.log_dir = log_dir
         self.idle_timeout = idle_timeout
+        self.startup_timeout = startup_timeout
 
     def __iter__(self) -> Iterator[dict]:
         if self.num_workers <= 0:
@@ -81,6 +83,7 @@ class SampleLoader:
 
         done: set[int] = set()
         idle = 0.0
+        received_any = False
         try:
             while len(done) < self.num_workers:
                 try:
@@ -103,9 +106,16 @@ class SampleLoader:
                             )
                     # liveness polling alone can spin forever on a wedged-but-
                     # alive worker (deadlocked child, hung NFS read) — keep the
-                    # reference's overall bound as a second line of defense
+                    # reference's overall bound as a second line of defense.
+                    # Before the first item arrives the bound is the (larger)
+                    # startup grace: spawn children re-import the factory's
+                    # module, which can take tens of seconds on a loaded host
+                    # and must not trip a short steady-state idle_timeout.
                     idle += 5.0
-                    if self.idle_timeout and idle >= self.idle_timeout:
+                    bound = self.idle_timeout if received_any else max(
+                        self.idle_timeout or 0.0, self.startup_timeout or 0.0
+                    )
+                    if bound and idle >= bound:
                         logger.warning(
                             "Loader queue idle for %.0f s with %d worker(s) "
                             "still alive; stopping the epoch early",
@@ -115,6 +125,7 @@ class SampleLoader:
                         break
                     continue
                 idle = 0.0
+                received_any = True
                 if isinstance(item, tuple) and len(item) == 2 and isinstance(item[0], str) and item[0] == _STOP:
                     done.add(item[1])
                     continue

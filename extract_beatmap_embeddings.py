@@ -63,6 +63,46 @@ def build_model_and_params(model_dir: Optional[str], processor, dtype_name: str,
     return model, params
 
 
+class BeatmapFilesDatasetFactory:
+    """Picklable dataset factory for loose .osu/.osz extraction.
+
+    SampleLoader workers are spawn processes, so the factory must cross a
+    pickle boundary — a closure here crashes every ``--num-workers > 0``
+    run at startup (same hazard as ``train.MmrsDatasetFactory``).
+    """
+
+    def __init__(self, paths, processor, include_audio: bool):
+        self.paths = paths
+        self.processor = processor
+        self.include_audio = include_audio
+
+    def __call__(self, worker_id, num_workers):
+        from cm3p_tpu.data import BeatmapFilesDataset
+
+        return BeatmapFilesDataset(
+            self.paths,
+            self.processor,
+            include_audio=self.include_audio,
+            worker_id=worker_id,
+            num_workers=num_workers,
+        )
+
+
+class MmrsExtractFactory:
+    """Picklable MMRS dataset factory for embedding extraction."""
+
+    def __init__(self, ds_cfg, processor):
+        self.ds_cfg = ds_cfg
+        self.processor = processor
+
+    def __call__(self, worker_id, num_workers):
+        from cm3p_tpu.data import MmrsDataset
+
+        return MmrsDataset(
+            self.ds_cfg, self.processor, worker_id=worker_id, num_workers=num_workers, test=False
+        )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model-dir", default=None, help="orbax model dir (params + config.json)")
@@ -135,15 +175,7 @@ def main(argv=None):
 
     include_audio = not ns.no_audio
     if ns.beatmap_files:
-        def dataset_factory(worker_id, num_workers):
-            return BeatmapFilesDataset(
-                ns.beatmap_files,
-                processor,
-                include_audio=include_audio,
-                worker_id=worker_id,
-                num_workers=num_workers,
-            )
-
+        dataset_factory = BeatmapFilesDatasetFactory(ns.beatmap_files, processor, include_audio)
         metadata = BeatmapFilesDataset(ns.beatmap_files, processor, include_audio=False).metadata
     elif ns.dataset_path:
         ds_cfg = DatasetConfig(
@@ -155,9 +187,7 @@ def main(argv=None):
             cycle_length=1,
         )
 
-        def dataset_factory(worker_id, num_workers):
-            return MmrsDataset(ds_cfg, processor, worker_id=worker_id, num_workers=num_workers, test=False)
-
+        dataset_factory = MmrsExtractFactory(ds_cfg, processor)
         metadata = MmrsDataset(ds_cfg, processor).get_filtered_metadata()
     else:
         parser.error("Provide --dataset-path or --beatmap-files")
