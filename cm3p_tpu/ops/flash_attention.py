@@ -870,6 +870,11 @@ def _flash_attention_fwd_impl(
     d = hd // heads
     if window is not None and lq != lk:
         raise ValueError("windowed attention requires equal q/k lengths")
+    if rope_theta is not None and lq != lk:
+        # rectangular shapes (e.g. allgather-KV shards) have ambiguous q
+        # positions — arange(lq) would be shard-local while k uses absolute
+        # arange(lk). The SP path pre-applies rope with the true positions.
+        raise ValueError("rope_theta requires lq == lk; apply rope before the kernel")
     can_fuse = rope_theta is not None and d == 64 and heads % 2 == 0
     routes_fused = (window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4) or (
         window is None and qseg is not None

@@ -132,7 +132,9 @@ class Trainer:
             # checkpoint directory
             import os
 
-            if os.path.exists(os.path.join(self.from_pretrained, "model.safetensors")):
+            if os.path.exists(os.path.join(self.from_pretrained, "model.safetensors")) or any(
+                f.startswith("pytorch_model") for f in os.listdir(self.from_pretrained)
+            ):
                 from ..interop import load_hf_checkpoint
 
                 _, loaded = load_hf_checkpoint(self.from_pretrained)
@@ -140,9 +142,12 @@ class Trainer:
                 from .checkpoint import load_model
 
                 loaded = load_model(self.from_pretrained, params_template=jax.device_get(state.params))
-            # key-wise merge: every model param must be present in the
-            # checkpoint; extras (e.g. the reference's dead audio embedding
-            # table) ride along harmlessly (flax.apply ignores them)
+            # key-wise merge restricted to the MODEL's tree: every model
+            # param must be present in the checkpoint; checkpoint-only
+            # extras (e.g. a decoder head this config doesn't use) are
+            # dropped — keeping them would desynchronize state.params from
+            # the opt_state the optimizer was init'd on and crash the first
+            # tx.update with a pytree mismatch
             import flax.traverse_util as tu
 
             flat_t = tu.flatten_dict(state.params)
@@ -150,9 +155,14 @@ class Trainer:
             missing = set(flat_t) - set(flat_l)
             if missing:
                 raise ValueError(f"from_pretrained is missing params: {sorted(missing)[:5]}")
-            merged = {
-                k: jnp.asarray(v, flat_t[k].dtype if k in flat_t else None) for k, v in flat_l.items()
-            }
+            extras = set(flat_l) - set(flat_t)
+            if extras:
+                logger.info(
+                    "from_pretrained: ignoring %d checkpoint-only params (e.g. %s)",
+                    len(extras),
+                    "/".join(sorted(extras)[0]),
+                )
+            merged = {k: jnp.asarray(flat_l[k], flat_t[k].dtype) for k in flat_t}
             logger.info("Initialized params from %s", self.from_pretrained)
             state = state._replace(params=tu.unflatten_dict(merged))
 

@@ -330,3 +330,48 @@ class TestFusedRope:
             q, k, v, key_mask=mask, window=300, block_q=128, block_k=128, rope_theta=10000.0
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    def test_rectangular_with_rope_rejected(self):
+        """lq != lk with rope_theta is ambiguous (shard-local vs absolute q
+        positions) — must raise, not silently fuse wrong positions."""
+        q, k, v, _ = make_inputs(L=256)
+        kk = jnp.concatenate([k, k], axis=1)
+        vv = jnp.concatenate([v, v], axis=1)
+        mask = jnp.ones((q.shape[0], kk.shape[1]), jnp.int32)
+        with pytest.raises(ValueError, match="rope"):
+            fa.flash_attention(q, kk, vv, key_mask=mask, window=None, rope_theta=10000.0)
+
+    @pytest.mark.parametrize("theta", [10000.0, 160000.0])
+    def test_helpers_match_model_rope(self, theta):
+        """ops' numpy-side rope helpers (_rope_tables/_rot_matrix/
+        _apply_rope_xla) must stay formula-identical to the model's
+        rope_cos_sin/_rotate_half_matrix/apply_rope — model-path vs
+        kernel-path parity depends on it (review finding: two independent
+        implementations can silently desynchronize)."""
+        from cm3p_tpu.models.modernbert import (
+            _rotate_half_matrix,
+            apply_rope,
+            rope_cos_sin,
+        )
+
+        d, l = 64, 192
+        np.testing.assert_array_equal(
+            np.asarray(fa._rot_matrix(d)), np.asarray(_rotate_half_matrix(d, jnp.float32))
+        )
+        cos2, sin2 = fa._rope_tables(l, d, theta, jnp.float32)
+        cos_m, sin_m = rope_cos_sin(jnp.arange(l), d, theta)
+        # ops builds tables in float64, the model in float32 — identical
+        # formulas differ by fp32 rounding of theta**(i/d); a formula
+        # desync would be orders of magnitude larger
+        np.testing.assert_allclose(
+            np.asarray(cos2[:, :d]), np.asarray(cos_m), atol=1e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sin2[:, :d]), np.asarray(sin_m), atol=1e-4, rtol=1e-4
+        )
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, l, 4, d)), jnp.float32)
+        got = fa._apply_rope_xla(x.reshape(2, l, 4 * d), theta, d).reshape(2, l, 4, d)
+        want, _ = apply_rope(x, x, cos_m, sin_m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)

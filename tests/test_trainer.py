@@ -249,6 +249,36 @@ class TestFromPretrained:
         ):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, err_msg=str(path))
 
+    def test_checkpoint_only_extras_dropped(self, tmp_path):
+        """A checkpoint with params the model lacks (e.g. a decoder head this
+        config doesn't use) must train: extras are dropped at merge, not
+        grafted into state.params where they desynchronize the optimizer
+        tree and crash the first tx.update (review finding)."""
+        from safetensors.numpy import load_file, save_file
+
+        from cm3p_tpu.interop import export_hf_checkpoint
+
+        trainer = make_trainer(tmp_path / "a", max_steps=1)
+        state = trainer.train()
+        trainer.close()
+        params_a = jax.device_get(state.params)
+        cfg, _ = tiny_batches()
+        export_hf_checkpoint(params_a, cfg, tmp_path / "hf")
+
+        h = cfg.beatmap_config.hidden_size
+        p = tmp_path / "hf" / "model.safetensors"
+        sd = load_file(str(p))
+        sd["head.dense.weight"] = np.zeros((h, h), np.float32)
+        sd["head.norm.weight"] = np.ones((h,), np.float32)
+        sd["decoder.weight"] = np.zeros((cfg.beatmap_config.vocab_size, h), np.float32)
+        save_file(sd, str(p))
+
+        t2 = make_trainer(tmp_path / "b", max_steps=1, from_pretrained=str(tmp_path / "hf"))
+        s2 = t2.train()  # crashes with a pytree mismatch if extras ride along
+        t2.close()
+        assert int(s2.step) == 1
+        assert "head" not in jax.device_get(s2.params)["params"]
+
     def test_missing_params_raise(self, tmp_path):
         """A checkpoint that lacks model params must fail loudly, not train
         a half-initialized model."""

@@ -11,6 +11,12 @@ fetch, so per-call timing is latency-dominated otherwise).
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
 import argparse
 import time
 
@@ -65,7 +71,7 @@ def main():
     def make_fn(window, bq, bk, with_seg, bwd):
         def one(q, k, v):
             s = seg if with_seg else jnp.ones((B, L), jnp.int32)
-            return _flash_attention(q, k, v, s, s, window, bq, bk, H)
+            return _flash_attention(q, k, v, s, s, window, bq, bk, H, None)
 
         if bwd:
             def loss(q, k, v):

@@ -14,6 +14,12 @@ reference.
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
 import time
 
 import jax

@@ -12,6 +12,12 @@ Usage: --check (CPU interpret parity) or --bench (TPU timing).
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
 import argparse
 import functools
 import math

@@ -14,6 +14,12 @@ Self-contained copies of the kernel scaffolding; does not touch product code.
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
 import functools
 import math
 import time

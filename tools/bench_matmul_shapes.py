@@ -7,6 +7,12 @@ ceiling and the stack is already at it.
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
 import time
 
 import jax

@@ -7,6 +7,12 @@ these paths only see exercise here).
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
 import functools
 
 import jax
@@ -56,10 +62,10 @@ def main():
             argnums=(0, 1, 2),
         )(q, k, v)
         for bq, bk in combos:
-            out = fa._flash_attention(q, k, v, seg, seg, window, bq, bk, H)
+            out = fa._flash_attention(q, k, v, seg, seg, window, bq, bk, H, None)
             err = float(jnp.max(jnp.abs(out - ref)))
             d = jax.grad(
-                lambda q_, k_, v_: jnp.sum(fa._flash_attention(q_, k_, v_, seg, seg, window, bq, bk, H) * 1e-2),
+                lambda q_, k_, v_: jnp.sum(fa._flash_attention(q_, k_, v_, seg, seg, window, bq, bk, H, None) * 1e-2),
                 argnums=(0, 1, 2),
             )(q, k, v)
             derr = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(d, dref))
