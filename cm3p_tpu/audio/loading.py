@@ -25,7 +25,14 @@ def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
     from scipy.signal import resample_poly
 
     frac = Fraction(target_rate, orig_rate).limit_denominator(10_000)
-    out = resample_poly(np.asarray(audio, dtype=np.float64), frac.numerator, frac.denominator)
+    if max(frac.numerator, frac.denominator) > 256:
+        # Exact huge rationals (e.g. 7619/8000 for a 1.05x DT draw) make
+        # resample_poly 2-4x slower than a capped approximation for no
+        # audible benefit: q <= 128 bounds the playback-rate error by
+        # 1/(128*129) ~ 6e-5, far below mel-bin resolution. The output is
+        # trimmed/padded to the TRUE expected length below either way.
+        frac = Fraction(target_rate, orig_rate).limit_denominator(128)
+    out = resample_poly(np.asarray(audio, dtype=np.float32), frac.numerator, frac.denominator)
     # fix off-by-a-sample lengths from the rational approximation
     expected = int(math.ceil(len(audio) * target_rate / orig_rate))
     if len(out) > expected:

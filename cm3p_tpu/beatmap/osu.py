@@ -22,6 +22,7 @@ to ms immediately; we skip the detour).
 """
 from __future__ import annotations
 
+import bisect
 import math
 from dataclasses import dataclass, field
 from os import PathLike
@@ -115,6 +116,7 @@ class Beatmap:
         self.slider_multiplier: float = 1.4
         self.slider_tick_rate: float = 1.0
         self.timing_points: list[TimingPoint] = []
+        self._tp_offset_cache: Optional[tuple[list[float], bool]] = None
         self._hit_objects: list[HitObject] = []
 
     # -- slider-lib-compatible accessors -------------------------------------
@@ -127,6 +129,20 @@ class Beatmap:
         return self._hit_objects
 
     def timing_point_at(self, time_ms: float) -> TimingPoint:
+        # Hot path: called 1-3x per hit object by the parser. When offsets are
+        # non-decreasing (every real .osu), bisect matches the linear
+        # reversed scan ("last point with offset <= t") exactly; unsorted
+        # lists keep the scan. Cache keyed by list length so tests that build
+        # maps by appending points invalidate it.
+        cache = self._tp_offset_cache
+        if cache is None or len(cache[0]) != len(self.timing_points):
+            offsets = [tp.offset for tp in self.timing_points]
+            is_sorted = all(a <= b for a, b in zip(offsets, offsets[1:]))
+            cache = self._tp_offset_cache = (offsets, is_sorted)
+        offsets, is_sorted = cache
+        if is_sorted:
+            idx = bisect.bisect_right(offsets, time_ms) - 1
+            return self.timing_points[max(idx, 0)]
         for tp in reversed(self.timing_points):
             if tp.offset <= time_ms:
                 return tp

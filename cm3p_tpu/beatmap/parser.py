@@ -276,7 +276,7 @@ class BeatmapEventParser(JsonConfigMixin):
     def tp_to_scroll_speed(self, tp: TimingPoint) -> float:
         if tp.parent is None or tp.ms_per_beat >= 0 or math.isnan(tp.ms_per_beat):
             return 1.0
-        return float(np.clip(-100.0 / tp.ms_per_beat, 0.01, 10.0))
+        return float(min(max(-100.0 / tp.ms_per_beat, 0.01), 10.0))
 
     def _get_snapping(self, time_ms: float, beatmap: Beatmap, add_snap: bool = True) -> Optional[int]:
         """Detect the beat snap divisor (1/1 .. 1/16, 2 ms tolerance)."""
@@ -305,7 +305,7 @@ class BeatmapEventParser(JsonConfigMixin):
         sample_set = sample_set if 0 < sample_set < 4 else 1
         addition_set = addition_set if 0 < addition_set < 4 else 1
         hitsound = hitsound & 14  # whistle/finish/clap bits only
-        volume = int(np.clip(volume, 0, 100))
+        volume = int(min(max(volume, 0), 100))
         return hitsound, sample_set, addition_set, volume
 
     def _get_position(
@@ -313,7 +313,11 @@ class BeatmapEventParser(JsonConfigMixin):
     ) -> tuple[Optional[int], Optional[int], Optional[int], np.ndarray]:
         x = y = dist = None
         if self.add_distances:
-            dist = int(np.linalg.norm(pos - last_pos))
+            # same float64 ops as np.linalg.norm on a 2-vector (dx*dx+dy*dy
+            # then sqrt) without the per-object array boxing
+            dx = float(pos[0]) - float(last_pos[0])
+            dy = float(pos[1]) - float(last_pos[1])
+            dist = int(math.sqrt(dx * dx + dy * dy))
         if self.add_positions:
             x = int(pos[0])
             y = int(pos[1])
@@ -321,7 +325,7 @@ class BeatmapEventParser(JsonConfigMixin):
 
     @staticmethod
     def _get_mania_column(pos: np.ndarray, columns: int) -> int:
-        return int(np.clip(pos[0] / 512 * columns, 0, columns - 1))
+        return int(min(max(pos[0] / 512 * columns, 0), columns - 1))
 
     def _add_group(
         self,

@@ -190,19 +190,25 @@ class BeatmapTokenizer(JsonConfigMixin):
 
     # ------------------------------------------------------------ tokenizing
 
+    # NB: quantizers use builtin min/max, not np.clip — same result for the
+    # scalar ints/floats the parser emits, ~20x cheaper (np.clip boxes every
+    # scalar into a 0-d array; it was ~16% of the host pipeline, measured by
+    # tools/bench_host_pipeline.py). Bit-parity pinned by
+    # tests/test_tokenizer_parity.py.
+
     def _tokenize_time_shift(self, time: float) -> str:
-        time = np.clip(time, self.min_time, self.max_time)
+        time = min(max(time, self.min_time), self.max_time)
         time = round(time / self.time_step) * self.time_step
         return f"[TIME_SHIFT_{int(time)}]"
 
     def _tokenize_distance(self, distance: int) -> str:
-        distance = np.clip(distance, 0, self.max_distance)
+        distance = min(max(distance, 0), self.max_distance)
         distance = round(distance / self.distance_step) * self.distance_step
         return f"[DISTANCE_{distance}]"
 
     def _tokenize_position(self, pos_x: int, pos_y: int):
-        pos_x = np.clip(pos_x, self.position_range[0], self.position_range[1])
-        pos_y = np.clip(pos_y, self.position_range[2], self.position_range[3])
+        pos_x = min(max(pos_x, self.position_range[0]), self.position_range[1])
+        pos_y = min(max(pos_y, self.position_range[2]), self.position_range[3])
         pos_x = round(pos_x / self.position_step) * self.position_step
         pos_y = round(pos_y / self.position_step) * self.position_step
         if self.position_split_axes:
@@ -212,17 +218,17 @@ class BeatmapTokenizer(JsonConfigMixin):
             yield f"[POS_{int(pos_x)}_{int(pos_y)}]"
 
     def _tokenize_mania_column(self, mania_column: int) -> str:
-        return f"[MANIA_COLUMN_{int(np.clip(mania_column, 1, 18))}]"
+        return f"[MANIA_COLUMN_{int(min(max(mania_column, 1), 18))}]"
 
     def _tokenize_scroll_speed(self, scroll_speed: float) -> str:
-        scroll_speed = np.clip(scroll_speed, 0.0, 10.0)
+        scroll_speed = min(max(scroll_speed, 0.0), 10.0)
         scroll_speed = round(scroll_speed / 0.01) * 0.01
         return f"[SCROLL_SPEED_{scroll_speed:.2f}]"
 
     def _tokenize_hitsound(self, hitsound: int, sampleset: int, addition: int) -> str:
-        hitsound = int(np.clip(hitsound >> 1, 0, 7)) << 1
-        sampleset = int(np.clip(sampleset, 1, 3))
-        addition = int(np.clip(addition, 1, 3))
+        hitsound = int(min(max(hitsound >> 1, 0), 7)) << 1
+        sampleset = int(min(max(sampleset, 1), 3))
+        addition = int(min(max(addition, 1), 3))
         return f"[HITSOUND_{hitsound}_{sampleset}_{addition}]"
 
     def tokenize_groups(self, groups: list[Group], window_start_ms: Optional[int] = None) -> list[str]:

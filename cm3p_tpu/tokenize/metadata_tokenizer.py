@@ -216,7 +216,7 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("difficulty", None)
         if v is None:
             return "[DIFFICULTY_UNK]"
-        v = np.clip(v, self.min_difficulty, self.max_difficulty)
+        v = min(max(v, self.min_difficulty), self.max_difficulty)
         v = round(v / self.difficulty_step) * self.difficulty_step
         return f"[DIFFICULTY_{v:.1f}]"
 
@@ -224,7 +224,7 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("year", None)
         if v is None:
             return "[YEAR_UNK]"
-        return f"[YEAR_{int(np.clip(v, self.min_year, self.max_year))}]"
+        return f"[YEAR_{int(min(max(v, self.min_year), self.max_year))}]"
 
     def _tokenize_mode(self, m: Metadata) -> str:
         v = m.get("mode", None)
@@ -254,7 +254,7 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("cs", None)
         if v is None:
             return "[CS_UNK]"
-        v = np.clip(v, 0.0, 10.0)
+        v = min(max(v, 0.0), 10.0)
         v = round(v / 0.1) * 0.1
         return f"[CS_{v:.1f}]"
 
@@ -268,7 +268,7 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("song_length", None)
         if v is None:
             return "[SONG_LENGTH_UNK]"
-        v = np.clip(v, 0, self.max_song_length)
+        v = min(max(v, 0), self.max_song_length)
         v = round(v / self.song_length_step) * self.song_length_step
         return f"[SONG_LENGTH_{int(v)}]"
 
@@ -276,7 +276,7 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("song_position", None)
         if v is None:
             return "[SONG_POSITION_UNK]"
-        v = np.clip(v, 0.0, 1.0)
+        v = min(max(v, 0.0), 1.0)
         v = round(v / self.song_position_step) * self.song_position_step
         return f"[SONG_POSITION_{v:.2f}]"
 
@@ -284,7 +284,7 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("global_sv", None)
         if v is None:
             return "[GLOBAL_SV_UNK]"
-        v = np.clip(v, 0.4, 3.6)
+        v = min(max(v, 0.4), 3.6)
         v = round(v / self.global_sv_step) * self.global_sv_step
         return f"[GLOBAL_SV_{v:.2f}]"
 
@@ -292,13 +292,13 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("mania_keycount", None)
         if v is None:
             return "[MANIA_KEYCOUNT_UNK]"
-        return f"[MANIA_KEYCOUNT_{int(np.clip(int(v), 1, 18))}]"
+        return f"[MANIA_KEYCOUNT_{int(min(max(int(v), 1), 18))}]"
 
     def _tokenize_hold_note_ratio(self, m: Metadata) -> str:
         v = m.get("hold_note_ratio", None)
         if v is None:
             return "[HOLD_NOTE_RATIO_UNK]"
-        v = np.clip(v, 0.0, 1.0)
+        v = min(max(v, 0.0), 1.0)
         v = round(v / self.hold_note_ratio_step) * self.hold_note_ratio_step
         return f"[HOLD_NOTE_RATIO_{v:.1f}]"
 
@@ -306,7 +306,7 @@ class MetadataTokenizer(JsonConfigMixin):
         v = m.get("scroll_speed_ratio", None)
         if v is None:
             return "[SCROLL_SPEED_RATIO_UNK]"
-        v = np.clip(v, 0.0, 1.0)
+        v = min(max(v, 0.0), 1.0)
         v = round(v / self.scroll_speed_ratio_step) * self.scroll_speed_ratio_step
         return f"[SCROLL_SPEED_RATIO_{v:.1f}]"
 

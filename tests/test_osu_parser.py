@@ -71,6 +71,23 @@ class TestOsuParsing:
         assert bm.timing_point_at(1000) is tp1
         assert bm.timing_point_at(-5) is tp0  # before first falls back
 
+    def test_timing_point_lookup_unsorted_and_appended(self):
+        # timing_point_at caches a bisect index for sorted offsets; unsorted
+        # lists must keep the exact reversed-scan semantics (last point in
+        # file order with offset <= t), and appending must invalidate the
+        # cache (tests build maps incrementally).
+        from cm3p_tpu.beatmap.osu import TimingPoint
+
+        bm = make_mini()
+        tp0, tp1 = bm.timing_points
+        assert bm.timing_point_at(1500) is tp1  # build the cache
+        out_of_order = TimingPoint(offset=500.0, ms_per_beat=400.0)
+        bm.timing_points.append(out_of_order)  # now [0, 1000, 500]
+        # reversed scan: last point with offset <= 700 in file order
+        assert bm.timing_point_at(700) is out_of_order
+        assert bm.timing_point_at(1200) is out_of_order  # 500 <= 1200, last in order
+        assert bm.timing_point_at(100) is tp0
+
     def test_slider_end_time_with_sv(self):
         bm = make_mini()
         slider = bm.hit_objects()[2]
