@@ -273,6 +273,70 @@ class LayerNormF32(nn.Module):
         return out.astype(dtype)
 
 
+class _LNParams(nn.Module):
+    """Declares nn.LayerNorm's params (same child path ``LayerNorm_0``)
+    without applying it — the fused FFN kernel consumes them directly.
+    Param paths and path-keyed init RNGs match LayerNormF32 exactly, so
+    checkpoints are interchangeable between the fused and unfused branches."""
+
+    dim: int
+    use_bias: bool
+
+    class _Inner(nn.Module):
+        dim: int
+        use_bias: bool
+
+        @nn.compact
+        def __call__(self):
+            scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+                if self.use_bias
+                else None
+            )
+            return scale, bias
+
+    @nn.compact
+    def __call__(self):
+        return _LNParams._Inner(self.dim, self.use_bias, name="LayerNorm_0")()
+
+
+class _GeGLUParams(nn.Module):
+    """Declares GeGLU's Dense kernels (paths ``Wi/kernel``, ``Wo/kernel``)
+    with the same shapes/inits, without applying them (see _LNParams)."""
+
+    config: EncoderConfig
+
+    class _Kernel(nn.Module):
+        shape: tuple
+        std: float
+        cutoff: float
+
+        @nn.compact
+        def __call__(self):
+            return self.param(
+                "kernel", trunc_normal_init(self.std, self.cutoff), self.shape, jnp.float32
+            )
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.config
+        wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
+        wi = _GeGLUParams._Kernel(
+            (cfg.hidden_size, 2 * cfg.intermediate_size),
+            cfg.initializer_range,
+            cfg.initializer_cutoff_factor,
+            name="Wi",
+        )()
+        wo = _GeGLUParams._Kernel(
+            (cfg.intermediate_size, cfg.hidden_size),
+            wo_std,
+            cfg.initializer_cutoff_factor,
+            name="Wo",
+        )()
+        return wi, wo
+
+
 class EncoderLayer(nn.Module):
     config: EncoderConfig
     layer_id: int
@@ -294,8 +358,28 @@ class EncoderLayer(nn.Module):
         x = x + SelfAttention(
             cfg, self.layer_id, self.dtype, self.attn_impl, self.sp_mesh, self.sp_axis, name="attn"
         )(attn_in, bias, cos, sin, flash_window, segment_ids, deterministic, fuse_rope)
-        mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
-        x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)
+
+        from ..ops.fused_ffn import fusable, fused_ln_ffn
+
+        if self.attn_impl == "pallas" and fusable(
+            cfg.hidden_size,
+            cfg.intermediate_size,
+            cfg.hidden_activation,
+            cfg.mlp_bias,
+            cfg.mlp_dropout > 0.0 and not deterministic,
+            self.dtype,
+        ):
+            # Fused LN+GeGLU half-block: one Pallas pass on no-grad forwards
+            # (the GeGLU intermediate and LN output never touch HBM); under
+            # autodiff its custom_vjp runs the exact composition below, so
+            # training math is identical. The proxy modules declare the SAME
+            # param paths as the unfused branch — checkpoints interchange.
+            scale, ln_bias = _LNParams(cfg.hidden_size, cfg.norm_bias, name="mlp_norm")()
+            wi, wo = _GeGLUParams(cfg, name="mlp")()
+            x = fused_ln_ffn(x, scale, ln_bias, wi, wo, eps=cfg.norm_eps)
+        else:
+            mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
+            x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)
         return x
 
 

@@ -46,6 +46,25 @@ def variants():
     return cases
 
 
+def ffn_variants():
+    """(name, d_model, d_ff, dtype) for the fused LN+GeGLU FFN kernel at every
+    tower shape the model can emit (beatmap 768/1152, audio 512/1024,
+    metadata 256/512)."""
+    import jax.numpy as jnp
+
+    from cm3p_tpu.ops.fused_ffn import fusable
+
+    cases = []
+    for dtype in ("bf16", "fp32"):
+        jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        for d, f, tower in ((768, 1152, "beatmap"), (512, 1024, "audio"), (256, 512, "meta")):
+            # mirror production gating (fp32 beatmap-shape weights crash
+            # Mosaic and are gated off in fusable())
+            if fusable(d, f, "gelu", False, False, jt):
+                cases.append((f"ffn {tower} {d}/{f} {dtype}", d, f, dtype))
+    return cases
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--interpret", action="store_true")
@@ -117,6 +136,32 @@ def main():
             if not ok:
                 failures.append(name)
             print(f"{name:34s} {status}  ({dt:5.1f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+
+    from cm3p_tpu.ops.fused_ffn import _pallas_ln_ffn
+
+    for name, d, f, dtype in ffn_variants():
+        jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jt)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+        bias = jnp.zeros((d,), jnp.float32)
+        wi = jnp.asarray(rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.02)
+        wo = jnp.asarray(rng.standard_normal((f, d)).astype(np.float32) * 0.02)
+        t0 = time.perf_counter()
+        try:
+            out = jax.jit(
+                lambda x, s, b, wi, wo: _pallas_ln_ffn(
+                    x, s, b, wi, wo, eps=1e-5, residual=True, block_rows=256
+                )
+            )(x, scale, bias, wi, wo)
+            val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+            ok = np.isfinite(val)
+            dt = time.perf_counter() - t0
+            print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({dt:5.1f}s)", flush=True)
+            if not ok:
+                failures.append(name)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
