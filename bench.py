@@ -202,7 +202,9 @@ def main():
         cfg.beatmap_config.vocab_size = BeatmapTokenizer().vocab_size
         candidates = [args.batch_size] if args.batch_size else [16, 32, 64]
 
-    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas")
+    from cm3p_tpu.utils.platform import resolve_attn_impl
+
+    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl=resolve_attn_impl("pallas"))
 
     @jax.jit
     def extract(params, batch):

@@ -35,7 +35,9 @@ def load_pretrained(model_dir: str, processor_dir: Optional[str] = None, dtype=N
     from .configs import BeatmapConfig, CM3PConfig, load_config
     from .models import ClassifierModule, CM3PModule, MaskedLMModule
     from .train.checkpoint import load_model
+    from .utils.platform import resolve_attn_impl
 
+    attn_impl = resolve_attn_impl(attn_impl)
     processor = CM3PProcessor.from_pretrained(processor_dir) if processor_dir else CM3PProcessor()
     if os.path.exists(os.path.join(model_dir, "model.safetensors")) or any(
         f.startswith("pytorch_model") for f in os.listdir(model_dir)

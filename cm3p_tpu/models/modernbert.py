@@ -144,7 +144,17 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True, fuse_rope=False
+        self,
+        x,
+        bias,
+        cos,
+        sin,
+        flash_window=None,
+        segment_ids=None,
+        deterministic=True,
+        fuse_rope=False,
+        pre_norm=None,
+        residual=None,
     ):
         cfg = self.config
         hidden = cfg.hidden_size
@@ -152,14 +162,32 @@ class SelfAttention(nn.Module):
         head_dim = cfg.head_dim
         wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
 
-        qkv = nn.Dense(
-            3 * hidden,
-            use_bias=cfg.attention_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
-            name="Wqkv",
-        )(x)
+        if pre_norm is not None or residual is not None:
+            from ..ops.fused_ln_matmul import fused_ln_matmul
+
+        if pre_norm is not None:
+            # fused attn_norm -> Wqkv: x arrives RAW, the pre-norm's params
+            # come from the EncoderLayer proxy; the LN output never reaches
+            # HBM on no-grad forwards (ops/fused_ln_matmul.py)
+            ln_scale, ln_bias = pre_norm
+            wqkv = _KernelParam(
+                (hidden, 3 * hidden),
+                cfg.initializer_range,
+                cfg.initializer_cutoff_factor,
+                name="Wqkv",
+            )()
+            qkv = fused_ln_matmul(
+                x.astype(self.dtype), wqkv, scale=ln_scale, bias=ln_bias, eps=cfg.norm_eps
+            )
+        else:
+            qkv = nn.Dense(
+                3 * hidden,
+                use_bias=cfg.attention_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+                name="Wqkv",
+            )(x)
         b, l, _ = qkv.shape
         # head-minor (B, L, H, D): the layout the Pallas kernels take — no
         # (B, H, L, D) transposes anywhere on the flash path (they were real
@@ -214,6 +242,13 @@ class SelfAttention(nn.Module):
             )
 
         out = out.reshape(b, l, hidden)
+        if residual is not None:
+            # fused Wo projection + residual add (one pass, no separate
+            # elementwise read/write); caller must NOT re-add the residual
+            wo = _KernelParam(
+                (hidden, hidden), wo_std, cfg.initializer_cutoff_factor, name="Wo"
+            )()
+            return fused_ln_matmul(out, wo, residual=residual)
         out = nn.Dense(
             hidden,
             use_bias=cfg.attention_bias,
@@ -301,34 +336,39 @@ class _LNParams(nn.Module):
         return _LNParams._Inner(self.dim, self.use_bias, name="LayerNorm_0")()
 
 
+class _KernelParam(nn.Module):
+    """Declares a Dense module's ``kernel`` param (same path, shape, and
+    path-keyed init) without applying the Dense — fused kernels consume the
+    raw weight. Checkpoints interchange with the nn.Dense the proxy mirrors."""
+
+    shape: tuple
+    std: float
+    cutoff: float
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", trunc_normal_init(self.std, self.cutoff), self.shape, jnp.float32
+        )
+
+
 class _GeGLUParams(nn.Module):
     """Declares GeGLU's Dense kernels (paths ``Wi/kernel``, ``Wo/kernel``)
     with the same shapes/inits, without applying them (see _LNParams)."""
 
     config: EncoderConfig
 
-    class _Kernel(nn.Module):
-        shape: tuple
-        std: float
-        cutoff: float
-
-        @nn.compact
-        def __call__(self):
-            return self.param(
-                "kernel", trunc_normal_init(self.std, self.cutoff), self.shape, jnp.float32
-            )
-
     @nn.compact
     def __call__(self):
         cfg = self.config
         wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
-        wi = _GeGLUParams._Kernel(
+        wi = _KernelParam(
             (cfg.hidden_size, 2 * cfg.intermediate_size),
             cfg.initializer_range,
             cfg.initializer_cutoff_factor,
             name="Wi",
         )()
-        wo = _GeGLUParams._Kernel(
+        wo = _KernelParam(
             (cfg.intermediate_size, cfg.hidden_size),
             wo_std,
             cfg.initializer_cutoff_factor,
@@ -350,14 +390,39 @@ class EncoderLayer(nn.Module):
         self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True, fuse_rope=False
     ):
         cfg = self.config
+        from ..ops.fused_ln_matmul import lnmm_fusable
+
+        fuse_attn_proj = (
+            self.attn_impl == "pallas"
+            and not cfg.attention_bias
+            and lnmm_fusable(cfg.hidden_size, 3 * cfg.hidden_size, self.dtype)
+        )
         # layer 0 has an identity attention pre-norm (ModernBERT quirk)
+        pre_norm = None
         if self.layer_id == 0:
+            attn_in = x
+        elif fuse_attn_proj:
+            # raw x in; SelfAttention fuses attn_norm into the QKV matmul.
+            # Proxy declares the same attn_norm param paths/inits.
+            pre_norm = _LNParams(cfg.hidden_size, cfg.norm_bias, name="attn_norm")()
             attn_in = x
         else:
             attn_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="attn_norm")(x)
-        x = x + SelfAttention(
+        attn_out = SelfAttention(
             cfg, self.layer_id, self.dtype, self.attn_impl, self.sp_mesh, self.sp_axis, name="attn"
-        )(attn_in, bias, cos, sin, flash_window, segment_ids, deterministic, fuse_rope)
+        )(
+            attn_in,
+            bias,
+            cos,
+            sin,
+            flash_window,
+            segment_ids,
+            deterministic,
+            fuse_rope,
+            pre_norm=pre_norm,
+            residual=x if fuse_attn_proj else None,
+        )
+        x = attn_out if fuse_attn_proj else x + attn_out
 
         from ..ops.fused_ffn import fusable, fused_ln_ffn
 

@@ -141,8 +141,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from cm3p_tpu.utils.cache import enable_compilation_cache
+    from cm3p_tpu.utils.platform import resolve_attn_impl
 
     enable_compilation_cache()
+    ns.attn_impl = resolve_attn_impl(ns.attn_impl)
 
     from cm3p_tpu.data import BeatmapFilesDataset, DatasetConfig, MmrsDataset, SampleLoader, batched_loader
     from cm3p_tpu.models import CM3PModule

@@ -1,0 +1,142 @@
+"""Fused LN->matmul (+residual) kernel: parity with flax modules + autodiff.
+
+Same contracts as tests/test_fused_ffn.py for the companion op
+(ops/fused_ln_matmul.py): exact XLA-composition match with the module pair
+it replaces, Pallas-kernel agreement within the bf16 band, analytic
+backward == jax autodiff. The EncoderLayer wiring (param-path identity,
+grad-mode forward) is covered by test_fused_ffn's encoder-level tests,
+which exercise all three fusions at once.
+"""
+import functools
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from cm3p_tpu.models.modernbert import LayerNormF32, trunc_normal_init
+from cm3p_tpu.ops.fused_ln_matmul import (
+    _pallas_ln_matmul,
+    fused_ln_matmul,
+    lnmm_fusable,
+    reference_ln_matmul,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+
+
+class _NormDense(nn.Module):
+    """attn_norm -> Wqkv, exactly as the unfused EncoderLayer composes it."""
+
+    d_out: int
+    eps: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        y = LayerNormF32(self.eps, False, name="norm")(x)
+        return nn.Dense(
+            self.d_out, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(0.02, 2.0), name="W",
+        )(y)
+
+
+def _setup(d=256, n=768, rows=300, dtype=jnp.bfloat16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((2, rows // 2, d)), dtype)
+    mod = _NormDense(n, 1e-5, dtype)
+    params = mod.init(jax.random.PRNGKey(seed), x)
+    scale = params["params"]["norm"]["LayerNorm_0"]["scale"] * jnp.asarray(
+        rng.uniform(0.5, 1.5, (d,)), jnp.float32
+    )
+    params["params"]["norm"]["LayerNorm_0"]["scale"] = scale
+    w = params["params"]["W"]["kernel"]
+    return mod, params, x, scale, w
+
+
+class TestFusedLnMatmul:
+    def test_reference_matches_flax_modules_exactly(self):
+        mod, params, x, scale, w = _setup()
+        want = mod.apply(params, x)
+        got = reference_ln_matmul(x, scale, None, w, None, eps=1e-5, with_ln=True)
+        assert jnp.array_equal(want, got)
+
+    def test_kernel_matches_reference(self):
+        mod, params, x, scale, w = _setup()
+        want = reference_ln_matmul(x, scale, None, w, None, eps=1e-5, with_ln=True)
+        got = _pallas_ln_matmul(x, scale, None, w, None, eps=1e-5, with_ln=True, block_rows=128)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05, rtol=0.02
+        )
+
+    def test_kernel_residual_no_ln(self):
+        mod, params, x, scale, w = _setup(d=256, n=256)
+        rng = np.random.default_rng(1)
+        res = jnp.asarray(rng.standard_normal(x.shape[:-1] + (256,)), x.dtype)
+        want = reference_ln_matmul(x, scale, None, w, res, eps=1e-5, with_ln=False)
+        got = _pallas_ln_matmul(x, scale, None, w, res, eps=1e-5, with_ln=False, block_rows=128)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05, rtol=0.02
+        )
+        # and the residual actually participates
+        assert not jnp.array_equal(
+            got, reference_ln_matmul(x, scale, None, w, None, eps=1e-5, with_ln=False)
+        )
+
+    def test_backward_matches_autodiff_with_ln(self):
+        mod, params, x, scale, w = _setup(dtype=jnp.float32)
+
+        def weigh(out):
+            return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape) * 0.01))
+
+        def loss_ref(x, scale, w):
+            return weigh(reference_ln_matmul(x, scale, None, w, None, eps=1e-5, with_ln=True))
+
+        def loss_fused(x, scale, w):
+            return weigh(fused_ln_matmul(x, w, scale=scale, eps=1e-5))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, w)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, w)
+        for a, b, name in zip(g_ref, g_fused, ["dx", "dscale", "dw"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=name
+            )
+
+    def test_backward_matches_autodiff_residual(self):
+        mod, params, x, scale, w = _setup(d=256, n=256, dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        res = jnp.asarray(rng.standard_normal(x.shape[:-1] + (256,)), jnp.float32)
+
+        def weigh(out):
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.02))
+
+        def loss_ref(x, w, res):
+            return weigh(reference_ln_matmul(x, scale, None, w, res, eps=1e-5, with_ln=False))
+
+        def loss_fused(x, w, res):
+            return weigh(fused_ln_matmul(x, w, residual=res))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, res)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, res)
+        for a, b, name in zip(g_ref, g_fused, ["dx", "dw", "dres"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=name
+            )
+
+    def test_grad_forward_value_matches_reference(self):
+        mod, params, x, scale, w = _setup()
+        want = reference_ln_matmul(x, scale, None, w, None, eps=1e-5, with_ln=True)
+        val, _ = jax.vjp(lambda *a: fused_ln_matmul(a[0], a[2], scale=a[1], eps=1e-5), x, scale, w)
+        assert jnp.array_equal(val, want)
+
+    def test_fusable_gate(self):
+        assert lnmm_fusable(768, 2304)
+        assert lnmm_fusable(768, 768)
+        assert not lnmm_fusable(700, 2304)
+        assert not lnmm_fusable(768, 2304, jnp.float32)  # 7.1 MB fp32 weights
+        assert lnmm_fusable(256, 768, jnp.float32)

@@ -87,3 +87,15 @@ class TestInferenceAPI:
         assert len(positions) == len(true_ids) == len(topk)
         assert topk.shape[1] == 5
         assert (topk < bt.vocab_size).all()
+
+
+class TestResolveAttnImpl:
+    """CLI entry points downgrade pallas->xla on CPU (a bare pallas_call
+    raises 'Only interpret mode is supported on CPU backend')."""
+
+    def test_pallas_downgrades_on_cpu(self):
+        from cm3p_tpu.utils.platform import resolve_attn_impl
+
+        # conftest pins the cpu backend, so the downgrade must trigger here
+        assert resolve_attn_impl("pallas") == "xla"
+        assert resolve_attn_impl("xla") == "xla"

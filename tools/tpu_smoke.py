@@ -141,6 +141,36 @@ def main():
             print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
 
     from cm3p_tpu.ops.fused_ffn import _pallas_ln_ffn
+    from cm3p_tpu.ops.fused_ln_matmul import _pallas_ln_matmul, lnmm_fusable
+
+    # fused LN->matmul(+residual): qkv and wo+residual at every tower width
+    for dtype in ("bf16", "fp32"):
+        jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        for d, tower in ((768, "beatmap"), (512, "audio"), (256, "meta")):
+            for n, kind in ((3 * d, "qkv"), (d, "wo+res")):
+                if not lnmm_fusable(d, n, jt):
+                    continue
+                name = f"lnmm {tower} {kind} {dtype}"
+                x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jt)
+                scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+                w = jnp.asarray(rng.standard_normal((d, n)).astype(np.float32) * 0.02)
+                res = x if kind == "wo+res" else None
+                with_ln = kind == "qkv"
+                t0 = time.perf_counter()
+                try:
+                    out = jax.jit(
+                        lambda x, s, w, r: _pallas_ln_matmul(
+                            x, s, None, w, r, eps=1e-5, with_ln=with_ln
+                        )
+                    )(x, scale, w, res)
+                    val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+                    ok = np.isfinite(val)
+                    print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
+                    if not ok:
+                        failures.append(name)
+                except Exception as e:  # noqa: BLE001
+                    failures.append(name)
+                    print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
 
     for name, d, f, dtype in ffn_variants():
         jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32

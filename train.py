@@ -326,7 +326,13 @@ def main(argv=None):
     model_cfg.metadata_config.eos_token_id = mt.eos_token_id
 
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    common = dict(dtype=dtype, attn_impl=args.get("attn_impl", "pallas"), remat=args.get("remat", True))
+    from cm3p_tpu.utils.platform import resolve_attn_impl
+
+    common = dict(
+        dtype=dtype,
+        attn_impl=resolve_attn_impl(args.get("attn_impl", "pallas")),
+        remat=args.get("remat", True),
+    )
     if args["model_cls"] == "MaskedLMModule":
         model = MaskedLMModule(model_cfg.beatmap_config, **common)
     elif args["model_cls"] == "ClassifierModule":
