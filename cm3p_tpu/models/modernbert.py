@@ -163,7 +163,7 @@ class SelfAttention(nn.Module):
         wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
 
         if pre_norm is not None or residual is not None:
-            from ..ops.fused_ln_matmul import fused_ln_matmul
+            from ..ops.fused_ln_matmul import W8A8_ENABLED, fused_ln_matmul, fused_ln_matmul_q
 
         if pre_norm is not None:
             # fused attn_norm -> Wqkv: x arrives RAW, the pre-norm's params
@@ -176,7 +176,10 @@ class SelfAttention(nn.Module):
                 cfg.initializer_cutoff_factor,
                 name="Wqkv",
             )()
-            qkv = fused_ln_matmul(
+            # CM3P_W8A8=1 quantizes the 2304-wide QKV projection in-kernel
+            # (int8 MXU; no-grad primal only — autodiff runs the bf16 path)
+            lnmm = fused_ln_matmul_q if W8A8_ENABLED else fused_ln_matmul
+            qkv = lnmm(
                 x.astype(self.dtype), wqkv, scale=ln_scale, bias=ln_bias, eps=cfg.norm_eps
             )
         else:
@@ -439,9 +442,11 @@ class EncoderLayer(nn.Module):
             # autodiff its custom_vjp runs the exact composition below, so
             # training math is identical. The proxy modules declare the SAME
             # param paths as the unfused branch — checkpoints interchange.
+            from ..ops.fused_ln_matmul import W8A8_ENABLED
+
             scale, ln_bias = _LNParams(cfg.hidden_size, cfg.norm_bias, name="mlp_norm")()
             wi, wo = _GeGLUParams(cfg, name="mlp")()
-            x = fused_ln_ffn(x, scale, ln_bias, wi, wo, eps=cfg.norm_eps)
+            x = fused_ln_ffn(x, scale, ln_bias, wi, wo, eps=cfg.norm_eps, w8a8=W8A8_ENABLED)
         else:
             mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
             x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)

@@ -79,6 +79,23 @@ def _gelu_kernel_f32(u: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * u * (1.0 + _erf_approx_f32(u * (1.0 / _SQRT2)))
 
 
+def quantize_weight_int8(w):
+    """Per-output-channel symmetric int8: returns (w_i8 (D, N), scale_w (N,) f32)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-30)
+    sw = amax / 127.0
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def _quant_rows_int8(y: jnp.ndarray):
+    """Per-row symmetric int8 over fp32 activations: (q i8, row_scale f32)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-30)
+    sa = amax * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(y / sa), -127.0, 127.0).astype(jnp.int8)
+    return q, sa
+
+
 def _gelu_exact_grad_f32(u: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (1.0 + jax.lax.erf(u / _SQRT2)) + u * jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
 
@@ -106,16 +123,29 @@ def reference_ln_ffn(x, scale, bias, wi, wo, *, eps: float, residual: bool = Tru
 # ------------------------------------------------------------------- kernel
 
 
-def _ffn_kernel(x_ref, sb_ref, wi_ref, wo_ref, out_ref, *, eps, d_ff, residual):
+def _ffn_kernel(x_ref, sb_ref, wi_ref, wo_ref, *rest, eps, d_ff, residual, w8a8):
+    if w8a8:
+        swi_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     x = x_ref[...]  # (rows, D) activation dtype
     xf = x.astype(jnp.float32)
     scale = sb_ref[0:1, :].astype(jnp.float32)
     bias = sb_ref[1:2, :].astype(jnp.float32)
     y = _ln_f32(xf, scale, bias, eps)
-    yb = y.astype(x.dtype)
-    h = jax.lax.dot_general(
-        yb, wi_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(x.dtype)  # cast to match the XLA path's bf16 intermediate
+    if w8a8:
+        # int8 MXU for the 2304-wide Wi (the only matmul where W8A8 nets a
+        # win, tools/bench_int8.py); Wo at N=768 stays bf16
+        q, sa = _quant_rows_int8(y)
+        acc = jax.lax.dot_general(
+            q, wi_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        h = (acc.astype(jnp.float32) * sa * swi_ref[0:1, :]).astype(x.dtype)
+    else:
+        yb = y.astype(x.dtype)
+        h = jax.lax.dot_general(
+            yb, wi_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)  # cast to match the XLA path's bf16 intermediate
     inp = h[:, :d_ff].astype(jnp.float32)
     gate = h[:, d_ff:].astype(jnp.float32)
     gb = (_gelu_kernel_f32(inp) * gate).astype(x.dtype)
@@ -125,7 +155,9 @@ def _ffn_kernel(x_ref, sb_ref, wi_ref, wo_ref, out_ref, *, eps, d_ff, residual):
     out_ref[...] = x + o if residual else o
 
 
-def _pallas_ln_ffn(x, scale, bias, wi, wo, *, eps, residual, block_rows, interpret=False):
+def _pallas_ln_ffn(
+    x, scale, bias, wi, wo, *, eps, residual, block_rows, w8a8=False, interpret=False
+):
     dt = x.dtype
     d = x.shape[-1]
     d_ff = wo.shape[0]
@@ -143,18 +175,27 @@ def _pallas_ln_ffn(x, scale, bias, wi, wo, *, eps, residual, block_rows, interpr
     sb = sb.at[0].set(scale.astype(jnp.float32))
     sb = sb.at[1].set(bias.astype(jnp.float32))
 
+    in_specs = [
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 2 * d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_ff, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if w8a8:
+        wi_q, swi = quantize_weight_int8(wi)
+        args = [x2, sb, wi_q, wo.astype(dt)]
+        in_specs.append(pl.BlockSpec((8, 2 * d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((8, 2 * d_ff), jnp.float32).at[0].set(swi))
+    else:
+        args = [x2, sb, wi.astype(dt), wo.astype(dt)]
+
     # NB: pass `interpret` only when set — tests monkeypatch pl.pallas_call
     # with interpret=True, and an explicit False here would override it
     kwargs = {"interpret": True} if interpret else {}
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel, eps=eps, d_ff=d_ff, residual=residual),
+        functools.partial(_ffn_kernel, eps=eps, d_ff=d_ff, residual=residual, w8a8=w8a8),
         grid=(rows_pad // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 2 * d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_ff, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, d), dt),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
@@ -164,21 +205,21 @@ def _pallas_ln_ffn(x, scale, bias, wi, wo, *, eps, residual, block_rows, interpr
             transcendentals=rows_pad * d_ff,
         ),
         **kwargs,
-    )(x2, sb, wi.astype(dt), wo.astype(dt))
+    )(*args)
     return out[:rows].reshape(*lead, d)
 
 
 # -------------------------------------------------------------- custom vjp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8):
     return _pallas_ln_ffn(
-        x, scale, bias, wi, wo, eps=eps, residual=residual, block_rows=block_rows
+        x, scale, bias, wi, wo, eps=eps, residual=residual, block_rows=block_rows, w8a8=w8a8
     )
 
 
-def _ln_ffn_fwd(x, scale, bias, wi, wo, eps, residual, block_rows):
+def _ln_ffn_fwd(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8):
     # Differentiated forward: run the exact XLA composition (training math is
     # identical to the unfused modules) and save x + the pre-split GeGLU
     # intermediate h — the same activation set XLA autodiff keeps live.
@@ -195,7 +236,7 @@ def _ln_ffn_fwd(x, scale, bias, wi, wo, eps, residual, block_rows):
     return out, (x, scale, bias, wi, wo, h)
 
 
-def _ln_ffn_bwd(eps, residual, block_rows, res, g):
+def _ln_ffn_bwd(eps, residual, block_rows, w8a8, res, g):
     x, scale, bias, wi, wo, h = res
     dt = x.dtype
     d = x.shape[-1]
@@ -263,6 +304,7 @@ def fused_ln_ffn(
     residual: bool = True,
     block_rows: int = 512,  # measured optimum: 16.4/15.4/15.0 ms/layer at
     # 128/256/512 rows (B123-packed shape, v5e); 1024 fails to compile
+    w8a8: bool = False,  # int8 Wi on the no-grad primal (CM3P_W8A8 gate)
 ) -> jnp.ndarray:
     """x + Wo(gelu(a) * b) with [a|b] = Wi(LN(x)); Pallas on the no-grad path.
 
@@ -271,7 +313,7 @@ def fused_ln_ffn(
     """
     if bias is None:
         bias = jnp.zeros((x.shape[-1],), jnp.float32)
-    return _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows)
+    return _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8)
 
 
 def fusable(

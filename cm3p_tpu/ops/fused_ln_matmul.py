@@ -206,3 +206,135 @@ def lnmm_fusable(d_in: int, d_out: int, dtype=jnp.bfloat16) -> bool:
     if dtype == jnp.float32 and 4 * d_in * d_out > 7_000_000:
         return False
     return FUSED_LNMM_ENABLED and d_in % 128 == 0 and d_out % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# W8A8 variant: LN -> per-row int8 quant -> int8 matmul (MXU 2x at N=2304)
+#
+# tools/bench_int8.py showed the int8 MXU premise holds (207 vs 109 TFLOP/s
+# at K=N=768) but a separate XLA dynamic-quant pass costs more than the
+# matmul saves. Here the activation quant rides inside the LN kernel on
+# VMEM-resident data (the exact "fused LN->int8" follow-up the ROADMAP
+# dead-end entry prescribes): per-row absmax over the LN output, symmetric
+# round to [-127, 127], int8 x int8 -> int32 dot, dequant by
+# row_scale x per-channel weight scale on the way out. Weights quantize
+# per output channel OUTSIDE the kernel (once per forward; 1.7 M elements).
+#
+# Extraction-path only (no-grad): training always runs the bf16 composition.
+# Gated by CM3P_W8A8=1 until the accuracy A/B on real weights is recorded.
+# ---------------------------------------------------------------------------
+
+W8A8_ENABLED = os.environ.get("CM3P_W8A8", "0") == "1"
+
+from .fused_ffn import quantize_weight_int8  # noqa: E402  (shared quantizer)
+
+
+def _lnmm_q_kernel(x_ref, sb_ref, w_ref, sw_ref, out_ref, *, eps, with_ln):
+    x = x_ref[...]
+    if with_ln:
+        scale = sb_ref[0:1, :].astype(jnp.float32)
+        bias = sb_ref[1:2, :].astype(jnp.float32)
+        y = _ln_f32(x.astype(jnp.float32), scale, bias, eps)
+    else:
+        y = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-30)
+    sa = amax * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(y / sa), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    sw = sw_ref[0:1, :]
+    out_ref[...] = (acc.astype(jnp.float32) * sa * sw).astype(x.dtype)
+
+
+def _pallas_ln_matmul_q(x, scale, bias, w_i8, scale_w, *, eps, with_ln, block_rows=512):
+    dt = x.dtype
+    d = x.shape[-1]
+    n = w_i8.shape[1]
+    lead = x.shape[:-1]
+    rows = 1
+    for s in lead:
+        rows *= s
+    x2 = x.reshape(rows, d)
+    rows_pad = _cdiv(rows, block_rows) * block_rows
+    if rows_pad != rows:
+        x2 = jnp.pad(x2, [(0, rows_pad - rows), (0, 0)])
+
+    sb = jnp.zeros((8, d), jnp.float32)
+    if with_ln:
+        sb = sb.at[0].set(scale.astype(jnp.float32))
+        if bias is not None:
+            sb = sb.at[1].set(bias.astype(jnp.float32))
+    sw = jnp.zeros((8, n), jnp.float32).at[0].set(scale_w.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_lnmm_q_kernel, eps=eps, with_ln=with_ln),
+        grid=(rows_pad // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, n), dt),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * d * n,
+            bytes_accessed=rows_pad * (d * dt.itemsize + n * dt.itemsize) + d * n,
+            transcendentals=0,
+        ),
+    )(x2, sb, w_i8, sw)
+    return out[:rows].reshape(*lead, n)
+
+
+def reference_ln_matmul_q(x, scale, bias, w, *, eps, with_ln):
+    """XLA composition of the SAME quantized math (for parity tests)."""
+    dt = x.dtype
+    if with_ln:
+        if bias is None:
+            bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        y = _ln_f32(
+            x.astype(jnp.float32), scale.astype(jnp.float32), bias.astype(jnp.float32), eps
+        )
+    else:
+        y = x.astype(jnp.float32)
+    wq, sw = quantize_weight_int8(w)
+    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-30)
+    sa = amax / 127.0
+    q = jnp.clip(jnp.round(y / sa), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, wq, (((q.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * sa * sw).astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ln_matmul_q(x, scale, bias, w, eps, with_ln, block_rows):
+    wq, sw = quantize_weight_int8(w)
+    return _pallas_ln_matmul_q(
+        x, scale, bias, wq, sw, eps=eps, with_ln=with_ln, block_rows=block_rows
+    )
+
+
+def _ln_matmul_q_fwd(x, scale, bias, w, eps, with_ln, block_rows):
+    # under autodiff: exact bf16 composition forward (training math unchanged,
+    # same contract as _ln_matmul) — W8A8 runs only on no-grad primals
+    out = reference_ln_matmul(x, scale, bias, w, None, eps=eps, with_ln=with_ln)
+    return out, (x, scale, bias, w, None)
+
+
+def _ln_matmul_q_bwd(eps, with_ln, block_rows, resid, g):
+    return _ln_matmul_bwd(eps, with_ln, block_rows, resid, g)[:4]
+
+
+_ln_matmul_q.defvjp(_ln_matmul_q_fwd, _ln_matmul_q_bwd)
+
+
+def fused_ln_matmul_q(x, w, *, scale=None, bias=None, eps: float = 1e-5, block_rows: int = 512):
+    """W8A8 LN(x) @ w. No-grad primal runs the int8 kernel; under autodiff
+    the exact bf16 composition runs instead (gradients/training unaffected)."""
+    with_ln = scale is not None
+    if not with_ln:
+        scale = jnp.ones((x.shape[-1],), jnp.float32)
+    return _ln_matmul_q(x, scale, bias, w, eps, with_ln, block_rows)

@@ -189,3 +189,72 @@ class TestFusedFFN:
         assert not fusable(768, 1152, "gelu", False, False, jnp.float32)
         assert fusable(512, 1024, "gelu", False, False, jnp.float32)
         assert fusable(256, 512, "gelu", False, False, jnp.float32)
+
+
+class TestFFNW8A8:
+    """Int8 Wi inside the fused FFN kernel (CM3P_W8A8 extraction path)."""
+
+    def test_kernel_matches_quantized_composition(self):
+        from cm3p_tpu.ops.fused_ffn import (
+            _ln_f32,
+            _pallas_ln_ffn,
+            _quant_rows_int8,
+            quantize_weight_int8,
+        )
+
+        cfg, mod, params, x, scale, wi, wo = _setup()
+        bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        got = _pallas_ln_ffn(
+            x, scale, bias, wi, wo, eps=1e-5, residual=True, block_rows=128, w8a8=True
+        )
+        # same int8 math composed in XLA
+        y = _ln_f32(x.astype(jnp.float32), scale, bias, 1e-5)
+        q, sa = _quant_rows_int8(y)
+        wq, swi = quantize_weight_int8(wi)
+        acc = jax.lax.dot_general(
+            q, wq, (((q.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        h = (acc.astype(jnp.float32) * sa * swi).astype(x.dtype)
+        f = wo.shape[0]
+        a = jax.nn.gelu(h[..., :f].astype(jnp.float32), approximate=False)
+        gb = (a * h[..., f:].astype(jnp.float32)).astype(x.dtype)
+        want = x + jnp.dot(gb, wo.astype(x.dtype))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.02, rtol=0.02
+        )
+
+    def test_w8a8_close_to_fp_path(self):
+        from cm3p_tpu.ops.fused_ffn import _pallas_ln_ffn, reference_ln_ffn
+
+        cfg, mod, params, x, scale, wi, wo = _setup()
+        bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        exact = np.asarray(reference_ln_ffn(x, scale, bias, wi, wo, eps=1e-5), np.float32)
+        q = np.asarray(
+            _pallas_ln_ffn(
+                x, scale, bias, wi, wo, eps=1e-5, residual=True, block_rows=128, w8a8=True
+            ),
+            np.float32,
+        )
+        cos = np.sum(q * exact) / (np.linalg.norm(q) * np.linalg.norm(exact))
+        assert cos > 0.9999, cos
+
+    def test_grad_path_ignores_w8a8(self):
+        from cm3p_tpu.ops.fused_ffn import fused_ln_ffn, reference_ln_ffn
+
+        cfg, mod, params, x, scale, wi, wo = _setup(dtype=jnp.float32)
+        bias = jnp.zeros((x.shape[-1],), jnp.float32)
+
+        def loss_q(x, wi, wo):
+            return jnp.sum(fused_ln_ffn(x, scale, bias, wi, wo, eps=1e-5, w8a8=True) ** 2)
+
+        def loss_ref(x, wi, wo):
+            return jnp.sum(reference_ln_ffn(x, scale, bias, wi, wo, eps=1e-5) ** 2)
+
+        v_q, g_q = jax.value_and_grad(loss_q, argnums=(0, 1, 2))(x, wi, wo)
+        v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, wi, wo)
+        # under autodiff the exact composition runs: value and grads match it
+        np.testing.assert_allclose(float(v_q), float(v_r), rtol=1e-6)
+        for a, b, name in zip(g_r, g_q, ["dx", "dwi", "dwo"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=name
+            )

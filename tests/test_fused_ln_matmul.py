@@ -140,3 +140,75 @@ class TestFusedLnMatmul:
         assert not lnmm_fusable(700, 2304)
         assert not lnmm_fusable(768, 2304, jnp.float32)  # 7.1 MB fp32 weights
         assert lnmm_fusable(256, 768, jnp.float32)
+
+
+class TestW8A8:
+    """Fused LN -> int8 quant -> int8 matmul (extraction-path W8A8)."""
+
+    def test_kernel_matches_quantized_reference_exactly(self):
+        from cm3p_tpu.ops.fused_ln_matmul import (
+            _pallas_ln_matmul_q,
+            quantize_weight_int8,
+            reference_ln_matmul_q,
+        )
+
+        mod, params, x, scale, w = _setup(d=256, n=512)
+        want = reference_ln_matmul_q(x, scale, None, w, eps=1e-5, with_ln=True)
+        wq, sw = quantize_weight_int8(w)
+        got = _pallas_ln_matmul_q(
+            x, scale, None, wq, sw, eps=1e-5, with_ln=True, block_rows=128
+        )
+        # same int8 math inside and out: bit-identical
+        assert jnp.array_equal(want, got)
+
+    def test_quantization_error_band(self):
+        """W8A8 output stays within ~1% relative of the fp path on
+        LN-normalized activations (the regime the gate would enable it in)."""
+        from cm3p_tpu.ops.fused_ln_matmul import fused_ln_matmul_q
+
+        mod, params, x, scale, w = _setup(d=256, n=512)
+        exact = np.asarray(
+            reference_ln_matmul(x, scale, None, w, None, eps=1e-5, with_ln=True), np.float32
+        )
+        q = np.asarray(fused_ln_matmul_q(x, w, scale=scale, eps=1e-5), np.float32)
+        denom = np.sqrt(np.mean(exact**2))
+        rel_rmse = np.sqrt(np.mean((q - exact) ** 2)) / denom
+        assert rel_rmse < 0.02, rel_rmse
+        cos = np.sum(q * exact) / (np.linalg.norm(q) * np.linalg.norm(exact))
+        assert cos > 0.9999, cos
+
+    def test_weight_quantizer_round_trip(self):
+        from cm3p_tpu.ops.fused_ln_matmul import quantize_weight_int8
+
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32) * 0.02)
+        wq, sw = quantize_weight_int8(w)
+        assert wq.dtype == jnp.int8
+        back = np.asarray(wq, np.float32) * np.asarray(sw)[None, :]
+        np.testing.assert_allclose(back, np.asarray(w), atol=float(np.max(np.asarray(sw))) / 2 + 1e-6)
+
+
+class TestW8A8ModelWiring:
+    def test_encoder_w8a8_close_to_fp(self, monkeypatch):
+        """CM3P_W8A8 reaches both call sites (QKV + FFN Wi) and the encoder
+        output stays within the quantization band of the fp path."""
+        import cm3p_tpu.ops.fused_ln_matmul as lnmm
+        from cm3p_tpu.models.modernbert import EncoderLayer
+        from cm3p_tpu.configs import EncoderConfig
+
+        cfg = EncoderConfig(hidden_size=256, intermediate_size=512,
+                            num_attention_heads=4, num_hidden_layers=2)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((1, 640, 256)), jnp.bfloat16)
+        cos = jnp.ones((640, 64), jnp.bfloat16)
+        sin = jnp.zeros((640, 64), jnp.bfloat16)
+        layer = EncoderLayer(cfg, 1, jnp.bfloat16, attn_impl="pallas")
+        params = layer.init(jax.random.PRNGKey(7), x, None, cos, sin, 64)
+        fp = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
+
+        monkeypatch.setattr(lnmm, "W8A8_ENABLED", True)
+        q = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
+
+        assert not np.array_equal(fp, q)  # the quantized path actually ran
+        cos_sim = np.sum(fp * q) / (np.linalg.norm(fp) * np.linalg.norm(q))
+        assert cos_sim > 0.999, cos_sim

@@ -172,6 +172,30 @@ def main():
                     failures.append(name)
                     print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
 
+    # W8A8: fused LN -> int8 quant -> int8 matmul (QKV shape, bf16 act)
+    from cm3p_tpu.ops.fused_ln_matmul import _pallas_ln_matmul_q, quantize_weight_int8
+
+    for d, tower in ((768, "beatmap"), (512, "audio"), (256, "meta")):
+        name = f"lnmm-w8a8 {tower} qkv bf16"
+        x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jnp.bfloat16)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.02)
+        t0 = time.perf_counter()
+        try:
+            def _q(x, s, w):
+                wq, sw = quantize_weight_int8(w)
+                return _pallas_ln_matmul_q(x, s, None, wq, sw, eps=1e-5, with_ln=True)
+
+            out = jax.jit(_q)(x, scale, w)
+            val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+            ok = np.isfinite(val)
+            print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
+            if not ok:
+                failures.append(name)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+
     for name, d, f, dtype in ffn_variants():
         jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
         x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jt)
@@ -190,6 +214,30 @@ def main():
             ok = np.isfinite(val)
             dt = time.perf_counter() - t0
             print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({dt:5.1f}s)", flush=True)
+            if not ok:
+                failures.append(name)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+
+    # W8A8 FFN (int8 Wi), bf16 activations, beatmap shape
+    for d, f, tower in ((768, 1152, "beatmap"), (512, 2048, "audio"), (256, 1024, "meta")):
+        name = f"ffn-w8a8 {tower} bf16"
+        x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jnp.bfloat16)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+        bias = jnp.zeros((d,), jnp.float32)
+        wi = jnp.asarray(rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.02)
+        wo = jnp.asarray(rng.standard_normal((f, d)).astype(np.float32) * 0.02)
+        t0 = time.perf_counter()
+        try:
+            out = jax.jit(
+                lambda x, s, b, wi, wo: _pallas_ln_ffn(
+                    x, s, b, wi, wo, eps=1e-5, residual=True, block_rows=256, w8a8=True
+                )
+            )(x, scale, bias, wi, wo)
+            val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+            ok = np.isfinite(val)
+            print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
             if not ok:
                 failures.append(name)
         except Exception as e:  # noqa: BLE001
