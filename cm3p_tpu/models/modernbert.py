@@ -227,9 +227,24 @@ class SelfAttention(nn.Module):
             # (4-5x faster than XLA's dense-masked path at 4k on v5e);
             # flash_window == -1 → global layer, streamed to avoid the
             # O(B·H·L²) score materialization that OOMs XLA at batch ≥ 16.
-            from ..ops.flash_attention import flash_attention
+            from ..ops.flash_attention import FUSED_WO_ENABLED, flash_attention, wo_fusable
 
             window = None if flash_window < 0 else flash_window
+            if (
+                residual is not None
+                and FUSED_WO_ENABLED
+                and wo_fusable(window, 0, 0, hidden, hidden, l, l)
+            ):
+                # Wo-epilogue fusion: the attention output never reaches HBM
+                # on no-grad forwards — the kernel finalize applies
+                # residual + out @ Wo itself (CM3P_FUSED_WO gate)
+                wo = _KernelParam(
+                    (hidden, hidden), wo_std, cfg.initializer_cutoff_factor, name="Wo"
+                )()
+                return flash_attention(
+                    q, k, v, bias=bias, window=window, segment_ids=segment_ids,
+                    rope_theta=rope_theta, wo=wo, out_residual=residual,
+                )
             out = flash_attention(
                 q, k, v, bias=bias, window=window, segment_ids=segment_ids, rope_theta=rope_theta
             )
@@ -442,11 +457,15 @@ class EncoderLayer(nn.Module):
             # autodiff its custom_vjp runs the exact composition below, so
             # training math is identical. The proxy modules declare the SAME
             # param paths as the unfused branch — checkpoints interchange.
+            from ..ops.fused_ffn import W8A8_WO_ENABLED
             from ..ops.fused_ln_matmul import W8A8_ENABLED
 
             scale, ln_bias = _LNParams(cfg.hidden_size, cfg.norm_bias, name="mlp_norm")()
             wi, wo = _GeGLUParams(cfg, name="mlp")()
-            x = fused_ln_ffn(x, scale, ln_bias, wi, wo, eps=cfg.norm_eps, w8a8=W8A8_ENABLED)
+            x = fused_ln_ffn(
+                x, scale, ln_bias, wi, wo, eps=cfg.norm_eps,
+                w8a8=W8A8_ENABLED, w8a8_wo=W8A8_WO_ENABLED,
+            )
         else:
             mlp_in = LayerNormF32(cfg.norm_eps, cfg.norm_bias, name="mlp_norm")(x)
             x = x + GeGLU(cfg, self.dtype, name="mlp")(mlp_in, deterministic)

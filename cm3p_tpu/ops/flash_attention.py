@@ -71,6 +71,11 @@ SOFTMAX_SHIFT = 16.0
 SOFTMAX_CLAMP = 116.0
 ONLINE_MAX = os.environ.get("CM3P_FA_ONLINE_MAX") == "1"
 
+# Wo-epilogue fusion (out-projection + residual inside the kernel finalize).
+# Default OFF until validated on real TPU — flip after tools/tpu_smoke.py
+# passes the wo variants and bench.py A/Bs it (same rollout as CM3P_W8A8).
+FUSED_WO_ENABLED = os.environ.get("CM3P_FUSED_WO", "0") == "1"
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -284,6 +289,7 @@ def _window_fused_kernel(
     nblocks: int, seq_len: int, has_seg: bool, heads: int, head_dim: int,
     with_lse: bool = True,
     fuse_rope: bool = False,
+    fuse_wo: bool = False,
 ):
     """Single-pass windowed attention: all key blocks in one grid step.
 
@@ -292,9 +298,14 @@ def _window_fused_kernel(
     rescale chain AND 2/3 of the grid steps — per-step overhead was ~40 %
     of the streaming kernel's runtime at w=64 on v5e.
     Ref layout: q, k*nblocks, v*nblocks[, qseg, kseg*nblocks]
-    [, qcos, qsin, kcos*nblocks, ksin*nblocks, r2], out, lse.
+    [, qcos, qsin, kcos*nblocks, ksin*nblocks, r2][, wo, res], out, lse
+    [, o_scr].
     With ``fuse_rope`` q/k arrive RAW (softmax scale folded into the q
     tables) and are rotated in-kernel — see the fused-rope block comment.
+    With ``fuse_wo`` the attention output never reaches HBM: the kernel
+    applies the out-projection epilogue ``res + o @ wo`` on the
+    VMEM-resident block (no-grad primal only; mutually exclusive with
+    ``with_lse``).
     """
     k_refs = rest[:nblocks]
     v_refs = rest[nblocks:2 * nblocks]
@@ -311,6 +322,9 @@ def _window_fused_kernel(
         kst_refs = rest[pos + 2 + nblocks:pos + 2 + 2 * nblocks]
         r2_ref = rest[pos + 2 + 2 * nblocks]
         pos += 3 + 2 * nblocks
+    if fuse_wo:
+        wo_ref, res_ref = rest[pos:pos + 2]
+        pos += 2
     # the lse residual (12 per-row stores + a log2 pass per step) costs
     # ~6.5 ms/layer at B64 — measured via tools/bench_headstack_kernel.py —
     # and is only needed when a backward will run; the no-grad path drops it
@@ -318,6 +332,7 @@ def _window_fused_kernel(
         out_ref, lse_ref = rest[pos:pos + 2]
     else:
         out_ref, lse_ref = rest[pos], None
+    o_scr = rest[pos + (2 if with_lse else 1)] if fuse_wo else None
 
     qi = pl.program_id(1)
     start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
@@ -401,12 +416,26 @@ def _window_fused_kernel(
             l_sum = lj if l_sum is None else l_sum + lj
             acc = pv if acc is None else acc + pv
         l_sum = jnp.maximum(l_sum, 1e-30)
-        out_ref[0, :, sl] = (acc / l_sum[:, None]).astype(out_ref.dtype)
+        o_h = (acc / l_sum[:, None])
+        if fuse_wo:
+            o_scr[:, sl] = o_h.astype(o_scr.dtype)
+        else:
+            out_ref[0, :, sl] = o_h.astype(out_ref.dtype)
         if with_lse:
             if ONLINE_MAX:
                 lse_ref[0, h] = m_safe + jnp.log2(l_sum)
             else:
                 lse_ref[0, h] = jnp.log2(l_sum) + SOFTMAX_SHIFT
+
+    if fuse_wo:
+        # out-projection epilogue: numerics identical to the unfused
+        # fused_ln_matmul(out, wo, residual=res) pass (fp32-accumulated
+        # matmul cast to the activation dtype, then the residual add)
+        y = jax.lax.dot_general(
+            o_scr[:], wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+        out_ref[0] = res_ref[0] + y
 
 
 def _block_ranges(b, nq, num_kb, nk_grid, block_q, block_k, window, qseg, kseg):
@@ -464,6 +493,7 @@ def _seg_unrolled_kernel(
     block_q: int, block_k: int, heads: int, head_dim: int, unroll: int,
     with_lse: bool = True,
     fuse_rope: bool = False,
+    fuse_wo: bool = False,
 ):
     """Global/packed attention, ``unroll`` key blocks per grid step.
 
@@ -477,8 +507,10 @@ def _seg_unrolled_kernel(
     (the segment mask alone would double-count the clamped duplicates).
 
     Ref layout: q, k*U, v*U, qseg, kseg*U
-    [, qcos, qsin, kcos*U, ksin*U, r2], out, lse, scratch m/l/acc.
-    With ``fuse_rope`` q/k arrive RAW and are rotated in-kernel.
+    [, qcos, qsin, kcos*U, ksin*U, r2][, wo, res], out, lse, scratch m/l/acc.
+    With ``fuse_rope`` q/k arrive RAW and are rotated in-kernel. With
+    ``fuse_wo`` the finalize applies the out-projection epilogue
+    ``res + o @ wo`` in-kernel (no-grad primal only; excludes ``with_lse``).
     """
     k_refs = rest[:unroll]
     v_refs = rest[unroll:2 * unroll]
@@ -491,12 +523,16 @@ def _seg_unrolled_kernel(
         kst_refs = rest[pos + 2 + unroll:pos + 2 + 2 * unroll]
         r2_ref = rest[pos + 2 + 2 * unroll]
         pos += 3 + 2 * unroll
+    if fuse_wo:
+        wo_ref, res_ref = rest[pos:pos + 2]
+        pos += 2
     if with_lse:
         out_ref, lse_ref = rest[pos:pos + 2]
         m_scr, l_scr, acc_scr = rest[pos + 2:pos + 5]
     else:
         out_ref, lse_ref = rest[pos], None
         m_scr, l_scr, acc_scr = rest[pos + 1:pos + 4]
+    o_scr = rest[pos + (5 if with_lse else 4)] if fuse_wo else None
 
     bi = pl.program_id(0)
     qi = pl.program_id(1)
@@ -598,7 +634,18 @@ def _seg_unrolled_kernel(
         denom = jnp.maximum(l_scr[:], 1e-30)
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            out_ref[0, :, sl] = (acc_scr[:, sl] / denom[h][:, None]).astype(out_ref.dtype)
+            o_h = (acc_scr[:, sl] / denom[h][:, None])
+            if fuse_wo:
+                o_scr[:, sl] = o_h.astype(o_scr.dtype)
+            else:
+                out_ref[0, :, sl] = o_h.astype(out_ref.dtype)
+        if fuse_wo:
+            # out-projection epilogue — see _window_fused_kernel
+            y = jax.lax.dot_general(
+                o_scr[:], wo_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+            out_ref[0] = res_ref[0] + y
         if with_lse:
             if ONLINE_MAX:
                 m_safe = jnp.where(m_scr[:] < NEG_INF * 0.5, 0.0, m_scr[:])
@@ -610,16 +657,22 @@ def _seg_unrolled_kernel(
             lse_ref[0, 0:heads] = lse2
 
 
-def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, rope_theta=None):
+def _seg_unrolled_fwd(
+    q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, rope_theta=None,
+    wo=None, out_res=None,
+):
     """Dispatcher for the unrolled global/packed kernel (window=None, segments).
 
     q/k/v: (B, L, H*D) head-minor; handles rectangular lq != lk. RAW
     (un-roped, unscaled) q/k when ``rope_theta`` is set (requires lq == lk
-    arange positions — guaranteed by the caller)."""
+    arange positions — guaranteed by the caller). ``wo``/``out_res`` fuse
+    the out-projection epilogue (no-grad path; excludes ``return_lse``)."""
     b, lq, hd = q.shape
     lk = k.shape[1]
     d = hd // heads
     unroll = UNROLL
+    fuse_wo = wo is not None
+    assert not (fuse_wo and return_lse)
     if rope_theta is None:
         q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
 
@@ -628,6 +681,8 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, 
     if lq_pad != lq:
         q = jnp.pad(q, [(0, 0), (0, lq_pad - lq), (0, 0)])
         qseg = jnp.pad(qseg, [(0, 0), (0, lq_pad - lq)])
+        if fuse_wo:
+            out_res = jnp.pad(out_res, [(0, 0), (0, lq_pad - lq), (0, 0)])
     if lk_pad != lk:
         k = jnp.pad(k, [(0, 0), (0, lk_pad - lk), (0, 0)])
         v = jnp.pad(v, [(0, 0), (0, lk_pad - lk), (0, 0)])
@@ -701,14 +756,23 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, 
         in_specs.append(pl.BlockSpec((2 * d, 2 * d), lambda bi, qi, t, *_: (0, 0), memory_space=pltpu.VMEM))
         args.append(r2)
 
+    dm = wo.shape[1] if fuse_wo else hd
+    if fuse_wo:
+        in_specs.append(pl.BlockSpec((hd, dm), lambda bi, qi, t, *_: (0, 0), memory_space=pltpu.VMEM))
+        args.append(wo.astype(q.dtype))
+        in_specs.append(pl.BlockSpec((1, block_q, dm), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM))
+        args.append(out_res)
+
     h_pad = _cdiv(heads, 8) * 8
-    out_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, dm), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, dm), q.dtype)]
     scratch = [
         pltpu.VMEM((heads, block_q), jnp.float32),  # m (unused in fixed-shift; 12 KB)
         pltpu.VMEM((heads, block_q), jnp.float32),  # l
         pltpu.VMEM((block_q, hd), jnp.float32),     # acc
     ]
+    if fuse_wo:
+        scratch.append(pltpu.VMEM((block_q, hd), q.dtype))  # normalized o for the epilogue dot
     if return_lse:
         out_specs.append(pl.BlockSpec((1, h_pad, block_q), lambda bi, qi, t, *_: (bi, 0, qi), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, h_pad, lq_pad), jnp.float32))
@@ -716,7 +780,7 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, 
         functools.partial(
             _seg_unrolled_kernel, block_q=block_q, block_k=block_k,
             heads=heads, head_dim=d, unroll=unroll, with_lse=return_lse,
-            fuse_rope=rope_theta is not None,
+            fuse_rope=rope_theta is not None, fuse_wo=fuse_wo,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -730,8 +794,9 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, 
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * lq_pad * lk_pad * d,
-            bytes_accessed=(b * (lq_pad + 2 * lk_pad) * hd + b * lq_pad * hd) * q.dtype.itemsize,
+            flops=4 * b * heads * lq_pad * lk_pad * d
+            + (2 * b * lq_pad * hd * dm if fuse_wo else 0),
+            bytes_accessed=(b * (lq_pad + 2 * lk_pad) * hd + b * lq_pad * dm) * q.dtype.itemsize,
             transcendentals=b * heads * lq_pad * lk_pad,
         ),
     )(start_arr, count_arr, *args)
@@ -742,13 +807,19 @@ def _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, 
     return res[0][:, :lq, :]
 
 
-def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse, rope_theta=None):
+def _window_fused_fwd(
+    q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse, rope_theta=None,
+    wo=None, out_res=None,
+):
     """Dispatcher for the single-pass windowed kernel (lq == lk).
 
     q/k/v: (B, L, H*D) head-minor; RAW (un-roped, unscaled) when
-    ``rope_theta`` is set."""
+    ``rope_theta`` is set. ``wo``/``out_res`` fuse the out-projection
+    epilogue (no-grad path; excludes ``return_lse``)."""
     b, l, hd = q.shape
     d = hd // heads
+    fuse_wo = wo is not None
+    assert not (fuse_wo and return_lse)
     if rope_theta is None:
         q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
     l_pad = _cdiv(l, block_q) * block_q
@@ -758,6 +829,8 @@ def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, retu
         q = jnp.pad(q, [(0, 0), (0, l_pad - l), (0, 0)])
         k = jnp.pad(k, [(0, 0), (0, l_pad - l), (0, 0)])
         v = jnp.pad(v, [(0, 0), (0, l_pad - l), (0, 0)])
+        if fuse_wo:
+            out_res = jnp.pad(out_res, [(0, 0), (0, l_pad - l), (0, 0)])
         if qseg is not None:
             qseg = jnp.pad(qseg, [(0, 0), (0, l_pad - l)])
             kseg = jnp.pad(kseg, [(0, 0), (0, l_pad - l)])
@@ -815,14 +888,21 @@ def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, retu
         in_specs.append(pl.BlockSpec((2 * d, 2 * d), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM))
         args.append(r2)
 
+    dm = wo.shape[1] if fuse_wo else hd
+    if fuse_wo:
+        in_specs.append(pl.BlockSpec((hd, dm), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM))
+        args.append(wo.astype(q.dtype))
+        in_specs.append(pl.BlockSpec((1, block_q, dm), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM))
+        args.append(out_res)
+
     kernel = functools.partial(
         _window_fused_kernel, window=window, block_q=block_q, block_k=block_k,
         num_kb=num_kb, nblocks=nblocks, seq_len=l, has_seg=has_seg, heads=heads, head_dim=d,
-        with_lse=return_lse, fuse_rope=rope_theta is not None,
+        with_lse=return_lse, fuse_rope=rope_theta is not None, fuse_wo=fuse_wo,
     )
     h_pad = _cdiv(heads, 8) * 8  # lse sublane dim must be 8-aligned for TPU blocks
-    out_specs = [pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, l_pad, hd), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, dm), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, l_pad, dm), q.dtype)]
     if return_lse:
         out_specs.append(pl.BlockSpec((1, h_pad, block_q), lambda bi, qi: (bi, 0, qi), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, h_pad, l_pad), jnp.float32))
@@ -832,11 +912,13 @@ def _window_fused_fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, retu
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((block_q, hd), q.dtype)] if fuse_wo else [],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * l_pad * nblocks * block_k * d,
+            flops=4 * b * heads * l_pad * nblocks * block_k * d
+            + (2 * b * l_pad * hd * dm if fuse_wo else 0),
             bytes_accessed=(b * l_pad * hd * 4) * q.dtype.itemsize,
             transcendentals=b * heads * l_pad * nblocks * block_k,
         ),
@@ -859,12 +941,17 @@ def _flash_attention_fwd_impl(
     heads: int,
     return_lse: bool = False,
     rope_theta: Optional[float] = None,
+    wo: Optional[jnp.ndarray] = None,
+    out_res: Optional[jnp.ndarray] = None,
 ):
     """q/k/v: (B, L, H*D) head-minor flattened.
 
     ``rope_theta``: fuse rotary embedding (arange positions) into the
     kernel — q/k must be RAW. Falls back to an XLA rope pass for head
-    dims != 64, odd head counts, and the streaming kernel path."""
+    dims != 64, odd head counts, and the streaming kernel path.
+    ``wo``/``out_res``: fuse the out-projection epilogue ``out_res + o @ wo``
+    into the kernel (no-grad primal only; the caller guarantees the shapes
+    route to one of the two fused kernels — the streaming path rejects it)."""
     b, lq, hd = q.shape
     lk = k.shape[1]
     d = hd // heads
@@ -886,10 +973,16 @@ def _flash_attention_fwd_impl(
         rope_theta = None
     if window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4:
         return _window_fused_fwd(
-            q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse, rope_theta
+            q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse, rope_theta,
+            wo=wo, out_res=out_res,
         )
     if window is None and qseg is not None:
-        return _seg_unrolled_fwd(q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, rope_theta)
+        return _seg_unrolled_fwd(
+            q, k, v, qseg, kseg, block_q, block_k, heads, return_lse, rope_theta,
+            wo=wo, out_res=out_res,
+        )
+    if wo is not None:
+        raise ValueError("fused Wo epilogue is unsupported on the streaming kernel path")
     # fold both the softmax scale and log2(e) into q: scores land in log2
     # space so the kernel's transcendental is exp2, not exp
     q = q * jnp.asarray(math.log2(math.e) / math.sqrt(d), q.dtype)
@@ -1110,6 +1203,54 @@ def _bwd(window, block_q, block_k, heads, rope_theta, res, g):
 _flash_attention.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _flash_attention_wo(q, k, v, qseg, kseg, wo, out_res, window, block_q, block_k, heads, rope_theta):
+    """Attention with the out-projection epilogue ``out_res + o @ wo`` fused
+    into the kernel's finalize — the attention output never round-trips HBM
+    on no-grad forwards (saves one (B, L, H·D) write + read per layer)."""
+    return _flash_attention_fwd_impl(
+        q, k, v, qseg, kseg, window, block_q, block_k, heads,
+        rope_theta=rope_theta, wo=wo, out_res=out_res,
+    )
+
+
+def _wo_fwd(q, k, v, qseg, kseg, wo, out_res, window, block_q, block_k, heads, rope_theta):
+    # Differentiated forward: the exact unfused composition (training math
+    # identical to flash_attention + fused_ln_matmul(residual=...)); the
+    # vjp closure rides as a jax.tree_util.Partial residual.
+    def comp(q_, k_, v_, qseg_, kseg_, wo_, r_):
+        o = _flash_attention(q_, k_, v_, qseg_, kseg_, window, block_q, block_k, heads, rope_theta)
+        return r_ + jnp.dot(o, wo_.astype(o.dtype))
+
+    out, vjp = jax.vjp(comp, q, k, v, qseg, kseg, wo, out_res)
+    return out, vjp
+
+
+def _wo_bwd(window, block_q, block_k, heads, rope_theta, vjp, g):
+    dq, dk, dv, _, _, dwo, dres = vjp(g)
+    return dq, dk, dv, None, None, dwo, dres
+
+
+_flash_attention_wo.defvjp(_wo_fwd, _wo_bwd)
+
+
+def wo_fusable(window: Optional[int], block_q: int, block_k: int,
+               hd: int, dm: int, lq: int, lk: int) -> bool:
+    """Shapes the Wo-epilogue kernels support: one of the two fused routes
+    (single-pass windowed or seg-unrolled global), lane-aligned dims, square
+    q/k. The streaming fallback path has no epilogue. ``block_q``/``block_k``
+    0 = the dispatcher's auto defaults."""
+    if lq != lk or hd % 128 or dm % 128:
+        return False
+    if window is not None:
+        if not block_q:
+            block_q = 128
+        if not block_k:
+            block_k = block_q
+        return _cdiv(block_q + 2 * window, block_k) + 1 <= 4
+    return True  # global routes via the seg-unrolled kernel (segments synthesized)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -1121,6 +1262,8 @@ def flash_attention(
     block_q: int = 0,
     block_k: int = 0,
     rope_theta: Optional[float] = None,
+    wo: Optional[jnp.ndarray] = None,
+    out_residual: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flash attention over head-minor (B, L, H, D) tensors.
 
@@ -1147,6 +1290,13 @@ def flash_attention(
             in-kernel). Requires default arange positions; net
             -3.3/-4.3 ms/layer (local/global) vs a standalone rope pass
             at B64·L4096·H12 on v5e (tools/bench_r2_attn.py E5).
+        wo: optional (H·D, d_model) out-projection weight — fuses the
+            ``out_residual + attn @ wo`` epilogue into the kernel finalize
+            (no-grad primal only; autodiff runs the unfused composition).
+            Returns (B, L, d_model) instead of (B, L, H, D). Shapes the
+            kernels can't fuse (``wo_fusable``) fall back to an XLA epilogue.
+        out_residual: (B, L, d_model) residual added by the epilogue;
+            required with ``wo``.
     """
     b, lq, heads, d = q.shape
     lk = k.shape[1]
@@ -1185,5 +1335,94 @@ def flash_attention(
     qf = q.reshape(b, lq, heads * d)
     kf = k.reshape(b, lk, heads * d)
     vf = v.reshape(b, lk, heads * d)
+
+    from ..utils.platform import active_mesh
+
+    if wo is not None:
+        if out_residual is None:
+            raise ValueError("wo requires out_residual")
+        dm = wo.shape[1]
+        if not wo_fusable(window, block_q, block_k, heads * d, dm, lq, lk):
+            # XLA epilogue fallback keeps the API uniform
+            out = _flash_attention(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads, rope_theta)
+            return out_residual + jnp.dot(out, wo.astype(out.dtype))
+        mesh = active_mesh()
+        if mesh is not None:
+            # dp-only shard_map (sharding heads would need a psum of partial
+            # epilogue products; extraction meshes are data-parallel anyway)
+            dp = mesh.shape.get("data", 1)
+            if dp > 1 and b % dp == 0:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                has_seg = qseg is not None
+
+                def _call_wo(q_, k_, v_, qs_, ks_, wo_, r_):
+                    return _flash_attention_wo(
+                        q_, k_, v_,
+                        qs_ if has_seg else None, ks_ if has_seg else None,
+                        wo_, r_,
+                        window, block_q, block_k, heads, rope_theta,
+                    )
+
+                dummy = jnp.zeros((), jnp.int32)
+                seg_spec = P("data", None) if has_seg else P()
+                return shard_map(
+                    _call_wo,
+                    mesh=mesh,
+                    in_specs=(
+                        P("data", None, None), P("data", None, None), P("data", None, None),
+                        seg_spec, seg_spec, P(), P("data", None, None),
+                    ),
+                    out_specs=P("data", None, None),
+                    check_vma=False,
+                )(qf, kf, vf, qseg if has_seg else dummy, kseg if has_seg else dummy, wo, out_residual)
+        return _flash_attention_wo(
+            qf, kf, vf, qseg, kseg, wo, out_residual,
+            window, block_q, block_k, heads, rope_theta,
+        )
+
+    # Mesh-aware dispatch: under an ambient (data, model) mesh, run the
+    # kernel inside shard_map — batch sharded over `data`, whole heads over
+    # `model` (the head-minor (B, L, H·D) layout splits H·D into contiguous
+    # per-head 64-lane groups, so a model shard owns heads//tp whole heads).
+    # Without this, GSPMD treats the pallas_call as an opaque custom call
+    # and all-gathers every operand to replicated — on an 8-chip mesh that
+    # is an 8x slowdown of the attention stack. Differentiable: shard_map
+    # carries the custom_vjp through per-shard (tests/test_mesh_pallas.py).
+    mesh = active_mesh()
+    if mesh is not None and lq == lk:
+        dp = mesh.shape.get("data", 1)
+        tp = mesh.shape.get("model", 1)
+        dp_ok = dp > 1 and b % dp == 0
+        tp_ok = tp > 1 and heads % tp == 0 and ((heads // tp) * d) % 128 == 0
+        if dp_ok or tp_ok:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            baxis = "data" if dp_ok else None
+            haxis = "model" if tp_ok else None
+            local_heads = heads // tp if tp_ok else heads
+            qkv_spec = P(baxis, None, haxis)
+            seg_spec = P(baxis, None) if qseg is not None else P()
+            has_seg = qseg is not None
+
+            def _call(q_, k_, v_, qs_, ks_):
+                return _flash_attention(
+                    q_, k_, v_,
+                    qs_ if has_seg else None, ks_ if has_seg else None,
+                    window, block_q, block_k, local_heads, rope_theta,
+                )
+
+            dummy = jnp.zeros((), jnp.int32)
+            out = shard_map(
+                _call,
+                mesh=mesh,
+                in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec, seg_spec),
+                out_specs=qkv_spec,
+                check_vma=False,
+            )(qf, kf, vf, qseg if has_seg else dummy, kseg if has_seg else dummy)
+            return out.reshape(b, lq, heads, d)
+
     out = _flash_attention(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads, rope_theta)
     return out.reshape(b, lq, heads, d)

@@ -41,6 +41,13 @@ _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 FUSED_FFN_ENABLED = os.environ.get("CM3P_FUSED_FFN", "1") != "0"
 
+# Second-stage W8A8: also run the FFN's Wo (1152 -> 768) matmul in int8.
+# The GeGLU output is already fp32 and VMEM-resident in the kernel, so the
+# per-row quant rides for free on top of the elementwise gelu*gate pass;
+# independent gate so perf/accuracy can be A/B'd separately from CM3P_W8A8
+# (which covers the N=2304 projections). Extraction-path only, like w8a8.
+W8A8_WO_ENABLED = os.environ.get("CM3P_W8A8_WO", "0") == "1"
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -123,11 +130,16 @@ def reference_ln_ffn(x, scale, bias, wi, wo, *, eps: float, residual: bool = Tru
 # ------------------------------------------------------------------- kernel
 
 
-def _ffn_kernel(x_ref, sb_ref, wi_ref, wo_ref, *rest, eps, d_ff, residual, w8a8):
+def _ffn_kernel(x_ref, sb_ref, wi_ref, wo_ref, *rest, eps, d_ff, residual, w8a8, w8a8_wo):
+    pos = 0
+    swi_ref = swo_ref = None
     if w8a8:
-        swi_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+        swi_ref = rest[pos]
+        pos += 1
+    if w8a8_wo:
+        swo_ref = rest[pos]
+        pos += 1
+    out_ref = rest[pos]
     x = x_ref[...]  # (rows, D) activation dtype
     xf = x.astype(jnp.float32)
     scale = sb_ref[0:1, :].astype(jnp.float32)
@@ -148,15 +160,26 @@ def _ffn_kernel(x_ref, sb_ref, wi_ref, wo_ref, *rest, eps, d_ff, residual, w8a8)
         ).astype(x.dtype)  # cast to match the XLA path's bf16 intermediate
     inp = h[:, :d_ff].astype(jnp.float32)
     gate = h[:, d_ff:].astype(jnp.float32)
-    gb = (_gelu_kernel_f32(inp) * gate).astype(x.dtype)
-    o = jax.lax.dot_general(
-        gb, wo_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    gf = _gelu_kernel_f32(inp) * gate
+    if w8a8_wo:
+        # int8 Wo: the fp32 GeGLU product is already VMEM-resident — per-row
+        # quant is one absmax+round pass on top of the gelu*gate elementwise
+        gq, sg = _quant_rows_int8(gf)
+        acc = jax.lax.dot_general(
+            gq, wo_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        o = (acc.astype(jnp.float32) * sg * swo_ref[0:1, :]).astype(x.dtype)
+    else:
+        gb = gf.astype(x.dtype)
+        o = jax.lax.dot_general(
+            gb, wo_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     out_ref[...] = x + o if residual else o
 
 
 def _pallas_ln_ffn(
-    x, scale, bias, wi, wo, *, eps, residual, block_rows, w8a8=False, interpret=False
+    x, scale, bias, wi, wo, *, eps, residual, block_rows, w8a8=False, w8a8_wo=False,
+    interpret=False,
 ):
     dt = x.dtype
     d = x.shape[-1]
@@ -182,18 +205,28 @@ def _pallas_ln_ffn(
         pl.BlockSpec((d_ff, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if w8a8:
-        wi_q, swi = quantize_weight_int8(wi)
-        args = [x2, sb, wi_q, wo.astype(dt)]
-        in_specs.append(pl.BlockSpec((8, 2 * d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        args.append(jnp.zeros((8, 2 * d_ff), jnp.float32).at[0].set(swi))
+        wi_arg = quantize_weight_int8(wi)
     else:
-        args = [x2, sb, wi.astype(dt), wo.astype(dt)]
+        wi_arg = (wi.astype(dt), None)
+    if w8a8_wo:
+        wo_arg = quantize_weight_int8(wo)
+    else:
+        wo_arg = (wo.astype(dt), None)
+    args = [x2, sb, wi_arg[0], wo_arg[0]]
+    if w8a8:
+        in_specs.append(pl.BlockSpec((8, 2 * d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((8, 2 * d_ff), jnp.float32).at[0].set(wi_arg[1]))
+    if w8a8_wo:
+        in_specs.append(pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((8, d), jnp.float32).at[0].set(wo_arg[1]))
 
     # NB: pass `interpret` only when set — tests monkeypatch pl.pallas_call
     # with interpret=True, and an explicit False here would override it
     kwargs = {"interpret": True} if interpret else {}
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel, eps=eps, d_ff=d_ff, residual=residual, w8a8=w8a8),
+        functools.partial(
+            _ffn_kernel, eps=eps, d_ff=d_ff, residual=residual, w8a8=w8a8, w8a8_wo=w8a8_wo
+        ),
         grid=(rows_pad // block_rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -212,14 +245,15 @@ def _pallas_ln_ffn(
 # -------------------------------------------------------------- custom vjp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8, w8a8_wo):
     return _pallas_ln_ffn(
-        x, scale, bias, wi, wo, eps=eps, residual=residual, block_rows=block_rows, w8a8=w8a8
+        x, scale, bias, wi, wo, eps=eps, residual=residual, block_rows=block_rows,
+        w8a8=w8a8, w8a8_wo=w8a8_wo,
     )
 
 
-def _ln_ffn_fwd(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8):
+def _ln_ffn_fwd(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8, w8a8_wo):
     # Differentiated forward: run the exact XLA composition (training math is
     # identical to the unfused modules) and save x + the pre-split GeGLU
     # intermediate h — the same activation set XLA autodiff keeps live.
@@ -236,7 +270,7 @@ def _ln_ffn_fwd(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8):
     return out, (x, scale, bias, wi, wo, h)
 
 
-def _ln_ffn_bwd(eps, residual, block_rows, w8a8, res, g):
+def _ln_ffn_bwd(eps, residual, block_rows, w8a8, w8a8_wo, res, g):
     x, scale, bias, wi, wo, h = res
     dt = x.dtype
     d = x.shape[-1]
@@ -305,6 +339,7 @@ def fused_ln_ffn(
     block_rows: int = 512,  # measured optimum: 16.4/15.4/15.0 ms/layer at
     # 128/256/512 rows (B123-packed shape, v5e); 1024 fails to compile
     w8a8: bool = False,  # int8 Wi on the no-grad primal (CM3P_W8A8 gate)
+    w8a8_wo: bool = False,  # int8 Wo too (CM3P_W8A8_WO gate)
 ) -> jnp.ndarray:
     """x + Wo(gelu(a) * b) with [a|b] = Wi(LN(x)); Pallas on the no-grad path.
 
@@ -313,7 +348,7 @@ def fused_ln_ffn(
     """
     if bias is None:
         bias = jnp.zeros((x.shape[-1],), jnp.float32)
-    return _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8)
+    return _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8, w8a8_wo)
 
 
 def fusable(

@@ -1,9 +1,45 @@
-"""Backend-aware defaults shared by the CLI entry points."""
+"""Backend-aware defaults shared by the CLI entry points and ops."""
 from __future__ import annotations
 
 import logging
+import os
 
 logger = logging.getLogger(__name__)
+
+# Mesh-aware Pallas: kill switch for the ops' shard_map self-wrapping
+MESH_PALLAS_ENABLED = os.environ.get("CM3P_MESH_PALLAS", "1") != "0"
+
+
+def active_mesh():
+    """The ambient ``jax.sharding.Mesh`` (entered via ``with mesh:``), or None.
+
+    Returns None when no mesh context is active OR when already inside a
+    shard_map manual region (nested shard_maps over different meshes are
+    illegal — e.g. the SP path wraps flash_attention itself).
+
+    GSPMD cannot partition a ``pallas_call`` (an opaque custom call gets
+    all-gathered to replicated), so the Pallas ops use this to self-wrap in
+    ``shard_map`` over the (data, model) axes — batch over ``data``, heads
+    over ``model`` — making the kernels run on local shards under pjit the
+    way XLA ops do. Uses private JAX internals behind a broad guard: if the
+    API moves, behavior degrades to the old replicated semantics, never to
+    an error.
+    """
+    if not MESH_PALLAS_ENABLED:
+        return None
+    try:
+        from jax._src import core as _core
+
+        if _core.get_axis_env().axis_sizes:
+            return None
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        if m is not None and not m.empty:
+            return m
+    except Exception:
+        return None
+    return None
 
 
 def resolve_attn_impl(requested: str = "pallas") -> str:

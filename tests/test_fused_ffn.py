@@ -258,3 +258,48 @@ class TestFFNW8A8:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=name
             )
+
+
+class TestFFNW8A8Wo:
+    """Int8 Wo stage (CM3P_W8A8_WO): quant rides on the VMEM-resident
+    GeGLU product; independent gate from the Wi-side w8a8."""
+
+    @pytest.mark.parametrize("w8a8", [False, True])
+    def test_close_to_fp_path(self, w8a8):
+        from cm3p_tpu.ops.fused_ffn import _pallas_ln_ffn, reference_ln_ffn
+
+        cfg, mod, params, x, scale, wi, wo = _setup()
+        bias = jnp.zeros((x.shape[-1],), jnp.float32)
+        exact = np.asarray(reference_ln_ffn(x, scale, bias, wi, wo, eps=1e-5), np.float32)
+        q = np.asarray(
+            _pallas_ln_ffn(
+                x, scale, bias, wi, wo, eps=1e-5, residual=True, block_rows=128,
+                w8a8=w8a8, w8a8_wo=True,
+            ),
+            np.float32,
+        )
+        assert not np.array_equal(q, exact)  # the int8 Wo actually ran
+        cos = np.sum(q * exact) / (np.linalg.norm(q) * np.linalg.norm(exact))
+        assert cos > 0.9999, cos
+
+    def test_grad_path_ignores_w8a8_wo(self):
+        from cm3p_tpu.ops.fused_ffn import fused_ln_ffn, reference_ln_ffn
+
+        cfg, mod, params, x, scale, wi, wo = _setup(dtype=jnp.float32)
+        bias = jnp.zeros((x.shape[-1],), jnp.float32)
+
+        def loss_q(x, wi, wo):
+            return jnp.sum(
+                fused_ln_ffn(x, scale, bias, wi, wo, eps=1e-5, w8a8=True, w8a8_wo=True) ** 2
+            )
+
+        def loss_ref(x, wi, wo):
+            return jnp.sum(reference_ln_ffn(x, scale, bias, wi, wo, eps=1e-5) ** 2)
+
+        v_q, g_q = jax.value_and_grad(loss_q, argnums=(0, 1, 2))(x, wi, wo)
+        v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, wi, wo)
+        np.testing.assert_allclose(float(v_q), float(v_r), rtol=1e-6)
+        for a, b, name in zip(g_r, g_q, ["dx", "dwi", "dwo"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=name
+            )

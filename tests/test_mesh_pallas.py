@@ -1,0 +1,172 @@
+"""Mesh-aware Pallas dispatch: flash_attention self-wraps in shard_map.
+
+Under an ambient (data, model) mesh the public ``flash_attention`` runs the
+kernel per-shard via ``jax.shard_map`` (GSPMD would otherwise all-gather the
+pallas_call's operands to replicated). These tests assert the sharded result
+— forward AND gradients — is bit-comparable to the unsharded kernel, across
+dp-only, tp-only, dp×tp, windowed/global/segmented/rope variants, and that
+non-divisible shapes fall back to the plain path.
+"""
+import functools
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import cm3p_tpu.ops.flash_attention as fa
+from cm3p_tpu.ops.flash_attention import flash_attention
+from cm3p_tpu.utils import platform
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+
+
+def make_mesh(data=4, model=2):
+    devs = np.array(jax.devices()[: data * model]).reshape(data, model)
+    return Mesh(devs, ("data", "model"))
+
+
+def make_inputs(B=8, H=4, L=256, D=64, seed=0, with_segments=False):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    seg = None
+    if with_segments:
+        # two segments + trailing padding per row
+        s = np.ones((B, L), np.int32)
+        s[:, L // 2 :] = 2
+        s[:, -L // 8 :] = 0
+        seg = jnp.asarray(s)
+    return q, k, v, seg
+
+
+class TestMeshForward:
+    @pytest.mark.parametrize("window", [None, 64])
+    @pytest.mark.parametrize("with_segments", [False, True])
+    def test_matches_unsharded(self, window, with_segments):
+        q, k, v, seg = make_inputs(with_segments=with_segments)
+        base = flash_attention(q, k, v, window=window, segment_ids=seg)
+        with make_mesh():
+            sharded = flash_attention(q, k, v, window=window, segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_rope_fused(self):
+        q, k, v, _ = make_inputs()
+        base = flash_attention(q, k, v, rope_theta=10000.0)
+        with make_mesh():
+            sharded = flash_attention(q, k, v, rope_theta=10000.0)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_dp_only_mesh(self):
+        q, k, v, seg = make_inputs(with_segments=True)
+        base = flash_attention(q, k, v, segment_ids=seg)
+        devs = np.array(jax.devices()).reshape(8, 1)
+        with Mesh(devs, ("data", "model")):
+            sharded = flash_attention(q, k, v, segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_tp_only_mesh(self):
+        # H=4, tp=4 -> 1 head/shard = 64 lanes < 128: tp not ok -> dp axis 1,
+        # falls through to the plain path; H=8, tp=4 -> 2 heads = 128 ok.
+        q, k, v, _ = make_inputs(B=2, H=8)
+        base = flash_attention(q, k, v)
+        devs = np.array(jax.devices()[:4]).reshape(1, 4)
+        with Mesh(devs, ("data", "model")):
+            sharded = flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_indivisible_shapes_fall_back(self):
+        # B=3 not divisible by 4, H=4/tp=2 -> 2 heads*64=128 ok on model axis
+        q, k, v, _ = make_inputs(B=3, H=4, L=128)
+        base = flash_attention(q, k, v)
+        with make_mesh():
+            sharded = flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_kill_switch(self, monkeypatch):
+        monkeypatch.setattr(platform, "MESH_PALLAS_ENABLED", False)
+        with make_mesh():
+            assert platform.active_mesh() is None
+
+
+class TestMeshFusedWo:
+    @pytest.mark.parametrize("window", [None, 64])
+    @pytest.mark.parametrize("with_segments", [False, True])
+    def test_wo_epilogue_matches_unsharded(self, window, with_segments):
+        """The dp shard_map wrap of the Wo-epilogue path (incl. the
+        no-segments case, where the dummy operand must NOT reach the kernel
+        as segment ids)."""
+        rng = np.random.default_rng(3)
+        q, k, v, seg = make_inputs(with_segments=with_segments)
+        wo = jnp.asarray(rng.standard_normal((256, 256)) * 0.05, jnp.float32)
+        res = jnp.asarray(rng.standard_normal((8, 256, 256)), jnp.float32)
+        base = flash_attention(
+            q, k, v, window=window, segment_ids=seg, wo=wo, out_residual=res
+        )
+        with make_mesh():
+            sharded = flash_attention(
+                q, k, v, window=window, segment_ids=seg, wo=wo, out_residual=res
+            )
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+
+class TestMeshGrad:
+    @pytest.mark.parametrize("window", [None, 64])
+    def test_grads_match_unsharded(self, window):
+        q, k, v, seg = make_inputs(B=4, L=128, with_segments=True)
+
+        def loss(q_, k_, v_):
+            o = flash_attention(q_, k_, v_, window=window, segment_ids=seg)
+            return jnp.sum(o * o)
+
+        gbase = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with make_mesh(data=4, model=2):
+            gsh = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gsh, gbase):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+    def test_grads_match_with_rope(self):
+        q, k, v, _ = make_inputs(B=4, L=128)
+
+        def loss(q_, k_, v_):
+            o = flash_attention(q_, k_, v_, rope_theta=10000.0)
+            return jnp.sum(o * o)
+
+        gbase = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with make_mesh(data=4, model=2):
+            gsh = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gsh, gbase):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+class TestMeshJit:
+    def test_under_jit_with_sharded_inputs(self):
+        """The production shape: jit inside `with mesh:` on device_put inputs."""
+        q, k, v, seg = make_inputs(with_segments=True)
+        base = flash_attention(q, k, v, segment_ids=seg)
+        mesh = make_mesh()
+        qs = jax.device_put(q, NamedSharding(mesh, P("data", None, "model", None)))
+        ks = jax.device_put(k, NamedSharding(mesh, P("data", None, "model", None)))
+        vs = jax.device_put(v, NamedSharding(mesh, P("data", None, "model", None)))
+        ss = jax.device_put(seg, NamedSharding(mesh, P("data", None)))
+        with mesh:
+            fn = jax.jit(lambda a, b, c, s: flash_attention(a, b, c, segment_ids=s))
+            out = fn(qs, ks, vs, ss)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+    def test_sp_path_still_works(self):
+        """sequence-parallel wraps flash_attention in its own shard_map; the
+        ambient-mesh probe must return None inside it (no nested shard_map)."""
+        from cm3p_tpu.parallel.sequence import sequence_sharded_attention
+
+        q, k, v, _ = make_inputs(B=2, H=4, L=256)
+        mesh = Mesh(np.array(jax.devices()), ("seq",))
+        base = flash_attention(q, k, v, window=32)
+        out = sequence_sharded_attention(q, k, v, None, mesh=mesh, window=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)

@@ -41,6 +41,11 @@ def variants():
             # gradients through the fused backward kernels
             cases.append((f"local w64 GRAD {tag}", dict(window=64, seg=True), True, dtype, rope))
             cases.append((f"global seg GRAD {tag}", dict(window=None, seg=True), True, dtype, rope))
+            # Wo-epilogue fusion (out-projection + residual in-kernel;
+            # no-grad primal — grads run the unfused composition anyway)
+            cases.append((f"local w64 WO   {tag}", dict(window=64, seg=True, wo=True), False, dtype, rope))
+            cases.append((f"global seg WO  {tag}", dict(window=None, seg=True, wo=True), False, dtype, rope))
+            cases.append((f"global noma WO {tag}", dict(window=None, wo=True), False, dtype, rope))
         # rectangular allgather-KV shape (SP path; never roped)
         cases.append((f"rect lq!=lk    {dtype}", dict(window=None, mask=True, rect=True), False, dtype, None))
     return cases
@@ -118,6 +123,13 @@ def main():
             k = k[:, : L // 2]
             v = v[:, : L // 2]
             call_kw["key_mask"] = jnp.asarray(mask_np[:, : L // 2])
+        if kw.get("wo"):
+            call_kw["wo"] = jnp.asarray(
+                rng.standard_normal((H * D, H * D)).astype(np.float32) * 0.05
+            )
+            call_kw["out_residual"] = jnp.asarray(
+                rng.standard_normal((B, L, H * D)).astype(np.float32), jt
+            )
         t0 = time.perf_counter()
         try:
             if grad:
@@ -220,29 +232,31 @@ def main():
             failures.append(name)
             print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
 
-    # W8A8 FFN (int8 Wi), bf16 activations, beatmap shape
-    for d, f, tower in ((768, 1152, "beatmap"), (512, 2048, "audio"), (256, 1024, "meta")):
-        name = f"ffn-w8a8 {tower} bf16"
-        x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jnp.bfloat16)
-        scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
-        bias = jnp.zeros((d,), jnp.float32)
-        wi = jnp.asarray(rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.02)
-        wo = jnp.asarray(rng.standard_normal((f, d)).astype(np.float32) * 0.02)
-        t0 = time.perf_counter()
-        try:
-            out = jax.jit(
-                lambda x, s, b, wi, wo: _pallas_ln_ffn(
-                    x, s, b, wi, wo, eps=1e-5, residual=True, block_rows=256, w8a8=True
-                )
-            )(x, scale, bias, wi, wo)
-            val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
-            ok = np.isfinite(val)
-            print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
-            if not ok:
+    # W8A8 FFN (int8 Wi; and the int8-Wo second stage), bf16 activations
+    for wo_q in (False, True):
+        for d, f, tower in ((768, 1152, "beatmap"), (512, 2048, "audio"), (256, 1024, "meta")):
+            name = f"ffn-w8a8{'+wo' if wo_q else ''} {tower} bf16"
+            x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jnp.bfloat16)
+            scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+            bias = jnp.zeros((d,), jnp.float32)
+            wi = jnp.asarray(rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.02)
+            wo = jnp.asarray(rng.standard_normal((f, d)).astype(np.float32) * 0.02)
+            t0 = time.perf_counter()
+            try:
+                out = jax.jit(
+                    lambda x, s, b, wi, wo, _wq=wo_q: _pallas_ln_ffn(
+                        x, s, b, wi, wo, eps=1e-5, residual=True, block_rows=256,
+                        w8a8=True, w8a8_wo=_wq,
+                    )
+                )(x, scale, bias, wi, wo)
+                val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+                ok = np.isfinite(val)
+                print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
+                if not ok:
+                    failures.append(name)
+            except Exception as e:  # noqa: BLE001
                 failures.append(name)
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+                print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
 
     print(f"\n{len(failures)} failures / total {time.perf_counter()-t_start:.0f}s", flush=True)
     if failures:
