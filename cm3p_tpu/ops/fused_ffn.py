@@ -247,10 +247,20 @@ def _pallas_ln_ffn(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8, w8a8_wo):
-    return _pallas_ln_ffn(
-        x, scale, bias, wi, wo, eps=eps, residual=residual, block_rows=block_rows,
-        w8a8=w8a8, w8a8_wo=w8a8_wo,
-    )
+    from ..utils.platform import active_mesh, dp_rows_ok, dp_shard_rows
+
+    def call(x_, scale_, bias_, wi_, wo_):
+        return _pallas_ln_ffn(
+            x_, scale_, bias_, wi_, wo_, eps=eps, residual=residual,
+            block_rows=block_rows, w8a8=w8a8, w8a8_wo=w8a8_wo,
+        )
+
+    # mesh-aware no-grad primal: run per data-shard (rows are independent);
+    # GSPMD would otherwise all-gather the opaque pallas_call's operands
+    mesh = active_mesh()
+    if mesh is not None and dp_rows_ok(mesh, x):
+        return dp_shard_rows(mesh, call, (x,), (scale, bias, wi, wo))
+    return call(x, scale, bias, wi, wo)
 
 
 def _ln_ffn_fwd(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8, w8a8_wo):

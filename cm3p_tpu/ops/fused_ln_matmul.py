@@ -125,6 +125,26 @@ def _pallas_ln_matmul(x, scale, bias, w, res, *, eps, with_ln, block_rows=512):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _ln_matmul(x, scale, bias, w, res, eps, with_ln, block_rows):
+    from ..utils.platform import active_mesh, dp_rows_ok, dp_shard_rows
+
+    # mesh-aware no-grad primal: run per data-shard (rows are independent);
+    # GSPMD would otherwise all-gather the opaque pallas_call's operands.
+    # Optional bias/res ride as closures (None has no shard_map spec).
+    mesh = active_mesh()
+    if mesh is not None and dp_rows_ok(mesh, x):
+        has_bias = bias is not None
+        has_res = res is not None
+
+        def call(x_, res_, scale_, bias_, w_):
+            return _pallas_ln_matmul(
+                x_, scale_, bias_ if has_bias else None, w_,
+                res_ if has_res else None,
+                eps=eps, with_ln=with_ln, block_rows=block_rows,
+            )
+
+        dummy_r = x if not has_res else res
+        dummy_b = scale if not has_bias else bias
+        return dp_shard_rows(mesh, call, (x, dummy_r), (scale, dummy_b, w))
     return _pallas_ln_matmul(
         x, scale, bias, w, res, eps=eps, with_ln=with_ln, block_rows=block_rows
     )
@@ -226,7 +246,7 @@ def lnmm_fusable(d_in: int, d_out: int, dtype=jnp.bfloat16) -> bool:
 
 W8A8_ENABLED = os.environ.get("CM3P_W8A8", "0") == "1"
 
-from .fused_ffn import quantize_weight_int8  # noqa: E402  (shared quantizer)
+from .fused_ffn import _quant_rows_int8, quantize_weight_int8  # noqa: E402  (shared quantizers)
 
 
 def _lnmm_q_kernel(x_ref, sb_ref, w_ref, sw_ref, out_ref, *, eps, with_ln):
@@ -237,9 +257,7 @@ def _lnmm_q_kernel(x_ref, sb_ref, w_ref, sw_ref, out_ref, *, eps, with_ln):
         y = _ln_f32(x.astype(jnp.float32), scale, bias, eps)
     else:
         y = x.astype(jnp.float32)
-    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-30)
-    sa = amax * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(y / sa), -127.0, 127.0).astype(jnp.int8)
+    q, sa = _quant_rows_int8(y)  # shared with the FFN kernel — keep in sync
     acc = jax.lax.dot_general(
         q, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -300,9 +318,7 @@ def reference_ln_matmul_q(x, scale, bias, w, *, eps, with_ln):
     else:
         y = x.astype(jnp.float32)
     wq, sw = quantize_weight_int8(w)
-    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-30)
-    sa = amax / 127.0
-    q = jnp.clip(jnp.round(y / sa), -127.0, 127.0).astype(jnp.int8)
+    q, sa = _quant_rows_int8(y)
     acc = jax.lax.dot_general(
         q, wq, (((q.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -311,7 +327,21 @@ def reference_ln_matmul_q(x, scale, bias, w, *, eps, with_ln):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _ln_matmul_q(x, scale, bias, w, eps, with_ln, block_rows):
+    from ..utils.platform import active_mesh, dp_rows_ok, dp_shard_rows
+
     wq, sw = quantize_weight_int8(w)
+    mesh = active_mesh()
+    if mesh is not None and dp_rows_ok(mesh, x):
+        has_bias = bias is not None
+
+        def call(x_, scale_, bias_, wq_, sw_):
+            return _pallas_ln_matmul_q(
+                x_, scale_, bias_ if has_bias else None, wq_, sw_,
+                eps=eps, with_ln=with_ln, block_rows=block_rows,
+            )
+
+        dummy_b = scale if not has_bias else bias
+        return dp_shard_rows(mesh, call, (x,), (scale, dummy_b, wq, sw))
     return _pallas_ln_matmul_q(
         x, scale, bias, wq, sw, eps=eps, with_ln=with_ln, block_rows=block_rows
     )

@@ -42,6 +42,40 @@ def active_mesh():
     return None
 
 
+def dp_rows_ok(mesh, x) -> bool:
+    """True when ``x``'s leading dim splits evenly over the mesh's ``data``
+    axis — the applicability test for :func:`dp_shard_rows`."""
+    dp = mesh.shape.get("data", 1)
+    return dp > 1 and x.ndim >= 2 and x.shape[0] % dp == 0
+
+
+def dp_shard_rows(mesh, fn, sharded, replicated):
+    """Dp-only ``shard_map`` wrap for row-parallel Pallas ops.
+
+    Runs ``fn(*sharded, *replicated)`` with every array in ``sharded`` split
+    over the mesh's ``data`` axis on dim 0 and ``replicated`` broadcast; the
+    output is row-sharded like ``sharded[0]``. Used by the fused LN/FFN
+    kernels' no-grad primals: GSPMD treats a ``pallas_call`` as an opaque
+    custom call and would otherwise all-gather its operands to replicated
+    (see the matching dispatch in ops/flash_attention.py). Caller checks
+    applicability with :func:`dp_rows_ok`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def spec(a):
+        return P(*(("data",) + (None,) * (a.ndim - 1)))
+
+    in_specs = tuple(spec(a) for a in sharded) + tuple(P() for _ in replicated)
+    return shard_map(
+        lambda *args: fn(*args),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=spec(sharded[0]),
+        check_vma=False,
+    )(*sharded, *replicated)
+
+
 def resolve_attn_impl(requested: str = "pallas") -> str:
     """Downgrade ``pallas`` to ``xla`` when the active backend is CPU.
 

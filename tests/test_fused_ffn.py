@@ -63,8 +63,10 @@ class TestFusedFFN:
     def test_reference_matches_flax_modules_exactly(self):
         cfg, mod, params, x, scale, wi, wo = _setup()
         want = mod.apply(params, x)
-        got = reference_ln_ffn(x, scale, None if not cfg.norm_bias else None, wi, wo,
-                               eps=cfg.norm_eps)
+        ln_bias = (
+            params["params"]["mlp_norm"]["LayerNorm_0"]["bias"] if cfg.norm_bias else None
+        )
+        got = reference_ln_ffn(x, scale, ln_bias, wi, wo, eps=cfg.norm_eps)
         # same ops in the same order -> identical floats
         assert jnp.array_equal(want, got), float(jnp.abs(want.astype(jnp.float32) - got.astype(jnp.float32)).max())
 

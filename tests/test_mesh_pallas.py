@@ -94,6 +94,101 @@ class TestMeshForward:
         with make_mesh():
             assert platform.active_mesh() is None
 
+    def test_active_mesh_engages(self):
+        """Positive probe: the private-API path in active_mesh() must return
+        the ambient mesh — if a JAX upgrade moves those internals, the whole
+        mesh dispatch silently degrades to replicated and only THIS test
+        notices (the allclose tests pass trivially on the fallback path)."""
+        assert platform.active_mesh() is None
+        with make_mesh() as m:
+            got = platform.active_mesh()
+            assert got is not None
+            assert dict(got.shape) == {"data": 4, "model": 2}
+
+
+class TestMeshFusedLnOps:
+    """The fused LN->matmul / LN->FFN primals self-wrap in a dp shard_map
+    under an ambient mesh (same GSPMD-opacity problem as flash_attention)."""
+
+    def _xw(self, d=256, n=768, B=8, L=32, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((B, L, d)), jnp.float32)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((d, n)) * 0.02, jnp.float32)
+        return x, scale, w
+
+    def test_lnmm_qkv_matches_unsharded(self):
+        from cm3p_tpu.ops.fused_ln_matmul import fused_ln_matmul
+
+        x, scale, w = self._xw()
+        base = fused_ln_matmul(x, w, scale=scale)
+        with make_mesh():
+            sharded = fused_ln_matmul(x, w, scale=scale)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_lnmm_wo_residual_matches_unsharded(self):
+        from cm3p_tpu.ops.fused_ln_matmul import fused_ln_matmul
+
+        x, _, w = self._xw(n=256)
+        res = x * 0.5
+        base = fused_ln_matmul(x, w, residual=res)
+        with make_mesh():
+            sharded = fused_ln_matmul(x, w, residual=res)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_lnmm_q_matches_unsharded(self):
+        from cm3p_tpu.ops.fused_ln_matmul import fused_ln_matmul_q
+
+        x, scale, w = self._xw()
+        base = fused_ln_matmul_q(x, w, scale=scale)
+        with make_mesh():
+            sharded = fused_ln_matmul_q(x, w, scale=scale)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_ffn_matches_unsharded(self):
+        from cm3p_tpu.ops.fused_ffn import fused_ln_ffn
+
+        rng = np.random.default_rng(1)
+        d, f = 256, 512
+        x = jnp.asarray(rng.standard_normal((8, 32, d)), jnp.bfloat16)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+        wi = jnp.asarray(rng.standard_normal((d, 2 * f)) * 0.02, jnp.float32)
+        wo = jnp.asarray(rng.standard_normal((f, d)) * 0.02, jnp.float32)
+        base = fused_ln_ffn(x, scale, None, wi, wo, eps=1e-5)
+        with make_mesh():
+            sharded = fused_ln_ffn(x, scale, None, wi, wo, eps=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sharded, np.float32), np.asarray(base, np.float32), atol=1e-5
+        )
+
+    def test_indivisible_rows_fall_back(self):
+        from cm3p_tpu.ops.fused_ln_matmul import fused_ln_matmul
+
+        x, scale, w = self._xw(B=3)
+        base = fused_ln_matmul(x, w, scale=scale)
+        with make_mesh():
+            sharded = fused_ln_matmul(x, w, scale=scale)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
+    def test_grads_unaffected_by_mesh(self):
+        from cm3p_tpu.ops.fused_ffn import fused_ln_ffn
+
+        rng = np.random.default_rng(2)
+        d, f = 256, 512
+        x = jnp.asarray(rng.standard_normal((4, 16, d)), jnp.float32)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+        wi = jnp.asarray(rng.standard_normal((d, 2 * f)) * 0.02, jnp.float32)
+        wo = jnp.asarray(rng.standard_normal((f, d)) * 0.02, jnp.float32)
+
+        def loss(x_, wi_, wo_):
+            return jnp.sum(fused_ln_ffn(x_, scale, None, wi_, wo_, eps=1e-5) ** 2)
+
+        gbase = jax.grad(loss, argnums=(0, 1, 2))(x, wi, wo)
+        with make_mesh():
+            gsh = jax.grad(loss, argnums=(0, 1, 2))(x, wi, wo)
+        for a, b_ in zip(gsh, gbase):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
 
 class TestMeshFusedWo:
     @pytest.mark.parametrize("window", [None, 64])

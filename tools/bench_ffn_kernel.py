@@ -78,8 +78,8 @@ def main(argv=None):
     x32 = x.astype(jnp.float32)
     for block_rows in (64, 128):
         try:
-            fn = chain(lambda x: _pallas_ln_ffn(
-                x32, scale, bias, wi, wo, eps=1e-5, residual=True, block_rows=block_rows))
+            fn = chain(lambda x, _br=block_rows: _pallas_ln_ffn(
+                x, scale, bias, wi, wo, eps=1e-5, residual=True, block_rows=_br))
             out = fn(x32); np.asarray(out[0])
             results[f"fp32_b{block_rows}"] = "OK"
         except Exception as e:  # noqa: BLE001

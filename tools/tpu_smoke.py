@@ -234,7 +234,7 @@ def main():
 
     # W8A8 FFN (int8 Wi; and the int8-Wo second stage), bf16 activations
     for wo_q in (False, True):
-        for d, f, tower in ((768, 1152, "beatmap"), (512, 2048, "audio"), (256, 1024, "meta")):
+        for d, f, tower in ((768, 1152, "beatmap"), (512, 1024, "audio"), (256, 512, "meta")):
             name = f"ffn-w8a8{'+wo' if wo_q else ''} {tower} bf16"
             x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jnp.bfloat16)
             scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
