@@ -125,6 +125,11 @@ def main(argv=None):
         help="pack windows into fixed rows with segment IDs "
         "(3-5x throughput on real length distributions)",
     )
+    parser.add_argument(
+        "--no-mesh",
+        action="store_true",
+        help="disable the automatic data-parallel mesh over all local devices",
+    )
     ns = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
@@ -195,6 +200,38 @@ def main(argv=None):
         parser.error("Provide --dataset-path or --beatmap-files")
         return
 
+    # Data-parallel mesh over all local devices (reference counterpart: the
+    # torch extractor is single-GPU, extract_beatmap_embeddings.py:1-30 —
+    # this is a capability upgrade). Batches are row-sharded over `data`;
+    # the Pallas kernels self-wrap in shard_map under the ambient mesh
+    # (ops/flash_attention.py mesh dispatch), XLA shards the dense stack.
+    import contextlib
+
+    mesh = None
+    n_dev = 1
+    mesh_ctx: contextlib.AbstractContextManager = contextlib.nullcontext()
+    if not ns.no_mesh and len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+
+        n_dev = len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        mesh_ctx = mesh
+        if ns.batch_size % n_dev:
+            ns.batch_size = -(-ns.batch_size // n_dev) * n_dev
+            logger.info("Rounded --batch-size up to %d for the %d-device mesh", ns.batch_size, n_dev)
+        logger.info("Extracting data-parallel over %d devices", n_dev)
+
+    def _shard_rows(arr):
+        """Device_put a host array row-sharded over the mesh's data axis
+        (replicated when its leading dim doesn't divide)."""
+        if mesh is None or arr is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lead = "data" if arr.shape[0] % n_dev == 0 else None
+        spec = P(*((lead,) + (None,) * (arr.ndim - 1)))
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
     @jax.jit
     def extract(params, input_ids, attention_mask, input_features=None):
         return model.apply(
@@ -238,7 +275,8 @@ def main(argv=None):
             ids_list = [p[1] for p in pending]
             feats_list = [p[2] for p in pending]
             packed = pack_windows(seqs, seq_len, pad_id=processor.beatmap_tokenizer.pad_token_id)
-            rows = -(-packed["input_ids"].shape[0] // 4) * 4
+            row_mult = int(np.lcm(4, n_dev))  # rows must split over the mesh
+            rows = -(-packed["input_ids"].shape[0] // row_mult) * row_mult
             input_ids = np.zeros((rows, seq_len), np.int32)
             segment_ids = np.zeros((rows, seq_len), np.int32)
             input_ids[: packed["input_ids"].shape[0]] = packed["input_ids"]
@@ -256,17 +294,18 @@ def main(argv=None):
                 for wi, f in enumerate(feats_list):
                     features[wi] = f
                 features = jnp.asarray(features)
-            embeds = np.asarray(
-                extract_packed(
-                    params,
-                    jnp.asarray(input_ids),
-                    jnp.asarray(segment_ids),
-                    jnp.asarray(window_rows),
-                    jnp.asarray(window_segments),
-                    features,
-                ),
-                np.float32,
-            )[:w]
+            with mesh_ctx:
+                embeds = np.asarray(
+                    extract_packed(
+                        params,
+                        _shard_rows(jnp.asarray(input_ids)),
+                        _shard_rows(jnp.asarray(segment_ids)),
+                        jnp.asarray(window_rows),
+                        jnp.asarray(window_segments),
+                        _shard_rows(features),
+                    ),
+                    np.float32,
+                )[:w]
             n_windows += w
             for i, bid in enumerate(ids_list):
                 bid = tuple(bid) if isinstance(bid, list) else bid
@@ -300,15 +339,27 @@ def main(argv=None):
         beatmap_ids = batch.pop("beatmap_id", None)
         for drop in ("metadata_ids", "metadata_attention_mask", "metadata_variation_classes", "labels"):
             batch.pop(drop, None)
-        embeds = np.asarray(
-            extract(
-                params,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["attention_mask"]),
-                jnp.asarray(batch["input_features"], jnp.bfloat16) if "input_features" in batch else None,
-            ),
-            dtype=np.float32,
-        )
+        n_real = len(batch["input_ids"])
+        if mesh is not None and n_real % n_dev:
+            # pad the tail batch so rows split over the mesh (also avoids a
+            # tail-shape recompile); padding embeddings are sliced off below
+            pad = -(-n_real // n_dev) * n_dev - n_real
+            for key in list(batch):
+                batch[key] = np.concatenate(
+                    [batch[key], np.repeat(batch[key][:1], pad, axis=0)], axis=0
+                )
+        with mesh_ctx:
+            embeds = np.asarray(
+                extract(
+                    params,
+                    _shard_rows(jnp.asarray(batch["input_ids"])),
+                    _shard_rows(jnp.asarray(batch["attention_mask"])),
+                    _shard_rows(jnp.asarray(batch["input_features"], jnp.bfloat16))
+                    if "input_features" in batch
+                    else None,
+                ),
+                dtype=np.float32,
+            )[:n_real]
         n_windows += len(embeds)
         if beatmap_ids is None:
             continue
