@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_ffn import _quant_rows_int8, quantize_weight_int8
+
 NEG_INF = -1e30
 
 # Fixed-shift softmax for the single-pass kernels (window-fused and
@@ -75,6 +77,12 @@ ONLINE_MAX = os.environ.get("CM3P_FA_ONLINE_MAX") == "1"
 # Default OFF until validated on real TPU — flip after tools/tpu_smoke.py
 # passes the wo variants and bench.py A/Bs it (same rollout as CM3P_W8A8).
 FUSED_WO_ENABLED = os.environ.get("CM3P_FUSED_WO", "0") == "1"
+
+# W8A8 for the fused Wo epilogue: per-row int8 quant of the VMEM-resident
+# attention output + int8 Wo (per-output-channel scales). Completes the int8
+# dense stack alongside CM3P_W8A8 (QKV/Wi) and CM3P_W8A8_WO (FFN Wo).
+# No-grad primal only; requires CM3P_FUSED_WO.
+FUSED_WO_Q = os.environ.get("CM3P_FUSED_WO_Q", "0") == "1"
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -290,6 +298,7 @@ def _window_fused_kernel(
     with_lse: bool = True,
     fuse_rope: bool = False,
     fuse_wo: bool = False,
+    wo_q: bool = False,
 ):
     """Single-pass windowed attention: all key blocks in one grid step.
 
@@ -298,14 +307,15 @@ def _window_fused_kernel(
     rescale chain AND 2/3 of the grid steps — per-step overhead was ~40 %
     of the streaming kernel's runtime at w=64 on v5e.
     Ref layout: q, k*nblocks, v*nblocks[, qseg, kseg*nblocks]
-    [, qcos, qsin, kcos*nblocks, ksin*nblocks, r2][, wo, res], out, lse
-    [, o_scr].
+    [, qcos, qsin, kcos*nblocks, ksin*nblocks, r2][, wo, res[, swo]], out,
+    lse[, o_scr].
     With ``fuse_rope`` q/k arrive RAW (softmax scale folded into the q
     tables) and are rotated in-kernel — see the fused-rope block comment.
     With ``fuse_wo`` the attention output never reaches HBM: the kernel
     applies the out-projection epilogue ``res + o @ wo`` on the
     VMEM-resident block (no-grad primal only; mutually exclusive with
-    ``with_lse``).
+    ``with_lse``). With ``wo_q`` the epilogue dot runs int8×int8→int32
+    (``wo`` arrives pre-quantized, per-row activation quant in-kernel).
     """
     k_refs = rest[:nblocks]
     v_refs = rest[nblocks:2 * nblocks]
@@ -325,6 +335,10 @@ def _window_fused_kernel(
     if fuse_wo:
         wo_ref, res_ref = rest[pos:pos + 2]
         pos += 2
+        swo_ref = None
+        if wo_q:
+            swo_ref = rest[pos]
+            pos += 1
     # the lse residual (12 per-row stores + a log2 pass per step) costs
     # ~6.5 ms/layer at B64 — measured via tools/bench_headstack_kernel.py —
     # and is only needed when a backward will run; the no-grad path drops it
@@ -430,11 +444,20 @@ def _window_fused_kernel(
     if fuse_wo:
         # out-projection epilogue: numerics identical to the unfused
         # fused_ln_matmul(out, wo, residual=res) pass (fp32-accumulated
-        # matmul cast to the activation dtype, then the residual add)
-        y = jax.lax.dot_general(
-            o_scr[:], wo_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        # matmul cast to the activation dtype, then the residual add);
+        # wo_q swaps in the int8 dot (same quant math as fused_ln_matmul_q)
+        if wo_q:
+            gq, sg = _quant_rows_int8(o_scr[:].astype(jnp.float32))
+            acc_o = jax.lax.dot_general(
+                gq, wo_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc_o.astype(jnp.float32) * sg * swo_ref[0:1, :]).astype(out_ref.dtype)
+        else:
+            y = jax.lax.dot_general(
+                o_scr[:], wo_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
         out_ref[0] = res_ref[0] + y
 
 
@@ -494,6 +517,7 @@ def _seg_unrolled_kernel(
     with_lse: bool = True,
     fuse_rope: bool = False,
     fuse_wo: bool = False,
+    wo_q: bool = False,
 ):
     """Global/packed attention, ``unroll`` key blocks per grid step.
 
@@ -507,10 +531,11 @@ def _seg_unrolled_kernel(
     (the segment mask alone would double-count the clamped duplicates).
 
     Ref layout: q, k*U, v*U, qseg, kseg*U
-    [, qcos, qsin, kcos*U, ksin*U, r2][, wo, res], out, lse, scratch m/l/acc.
-    With ``fuse_rope`` q/k arrive RAW and are rotated in-kernel. With
-    ``fuse_wo`` the finalize applies the out-projection epilogue
-    ``res + o @ wo`` in-kernel (no-grad primal only; excludes ``with_lse``).
+    [, qcos, qsin, kcos*U, ksin*U, r2][, wo, res[, swo]], out, lse,
+    scratch m/l/acc. With ``fuse_rope`` q/k arrive RAW and are rotated
+    in-kernel. With ``fuse_wo`` the finalize applies the out-projection
+    epilogue ``res + o @ wo`` in-kernel (no-grad primal only; excludes
+    ``with_lse``); ``wo_q`` runs that dot int8 (see _window_fused_kernel).
     """
     k_refs = rest[:unroll]
     v_refs = rest[unroll:2 * unroll]
@@ -526,6 +551,10 @@ def _seg_unrolled_kernel(
     if fuse_wo:
         wo_ref, res_ref = rest[pos:pos + 2]
         pos += 2
+        swo_ref = None
+        if wo_q:
+            swo_ref = rest[pos]
+            pos += 1
     if with_lse:
         out_ref, lse_ref = rest[pos:pos + 2]
         m_scr, l_scr, acc_scr = rest[pos + 2:pos + 5]
@@ -641,10 +670,18 @@ def _seg_unrolled_kernel(
                 out_ref[0, :, sl] = o_h.astype(out_ref.dtype)
         if fuse_wo:
             # out-projection epilogue — see _window_fused_kernel
-            y = jax.lax.dot_general(
-                o_scr[:], wo_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(out_ref.dtype)
+            if wo_q:
+                gq, sg = _quant_rows_int8(o_scr[:].astype(jnp.float32))
+                acc_o = jax.lax.dot_general(
+                    gq, wo_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (acc_o.astype(jnp.float32) * sg * swo_ref[0:1, :]).astype(out_ref.dtype)
+            else:
+                y = jax.lax.dot_general(
+                    o_scr[:], wo_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(out_ref.dtype)
             out_ref[0] = res_ref[0] + y
         if with_lse:
             if ONLINE_MAX:
@@ -757,11 +794,19 @@ def _seg_unrolled_fwd(
         args.append(r2)
 
     dm = wo.shape[1] if fuse_wo else hd
+    wo_q = fuse_wo and FUSED_WO_Q
     if fuse_wo:
         in_specs.append(pl.BlockSpec((hd, dm), lambda bi, qi, t, *_: (0, 0), memory_space=pltpu.VMEM))
-        args.append(wo.astype(q.dtype))
+        if wo_q:
+            wo_i8, swo = quantize_weight_int8(wo)
+            args.append(wo_i8)
+        else:
+            args.append(wo.astype(q.dtype))
         in_specs.append(pl.BlockSpec((1, block_q, dm), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM))
         args.append(out_res)
+        if wo_q:
+            in_specs.append(pl.BlockSpec((8, dm), lambda bi, qi, t, *_: (0, 0), memory_space=pltpu.VMEM))
+            args.append(jnp.zeros((8, dm), jnp.float32).at[0].set(swo))
 
     h_pad = _cdiv(heads, 8) * 8
     out_specs = [pl.BlockSpec((1, block_q, dm), lambda bi, qi, t, *_: (bi, qi, 0), memory_space=pltpu.VMEM)]
@@ -780,7 +825,7 @@ def _seg_unrolled_fwd(
         functools.partial(
             _seg_unrolled_kernel, block_q=block_q, block_k=block_k,
             heads=heads, head_dim=d, unroll=unroll, with_lse=return_lse,
-            fuse_rope=rope_theta is not None, fuse_wo=fuse_wo,
+            fuse_rope=rope_theta is not None, fuse_wo=fuse_wo, wo_q=wo_q,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -889,16 +934,24 @@ def _window_fused_fwd(
         args.append(r2)
 
     dm = wo.shape[1] if fuse_wo else hd
+    wo_q = fuse_wo and FUSED_WO_Q
     if fuse_wo:
         in_specs.append(pl.BlockSpec((hd, dm), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM))
-        args.append(wo.astype(q.dtype))
+        if wo_q:
+            wo_i8, swo = quantize_weight_int8(wo)
+            args.append(wo_i8)
+        else:
+            args.append(wo.astype(q.dtype))
         in_specs.append(pl.BlockSpec((1, block_q, dm), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM))
         args.append(out_res)
+        if wo_q:
+            in_specs.append(pl.BlockSpec((8, dm), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM))
+            args.append(jnp.zeros((8, dm), jnp.float32).at[0].set(swo))
 
     kernel = functools.partial(
         _window_fused_kernel, window=window, block_q=block_q, block_k=block_k,
         num_kb=num_kb, nblocks=nblocks, seq_len=l, has_seg=has_seg, heads=heads, head_dim=d,
-        with_lse=return_lse, fuse_rope=rope_theta is not None, fuse_wo=fuse_wo,
+        with_lse=return_lse, fuse_rope=rope_theta is not None, fuse_wo=fuse_wo, wo_q=wo_q,
     )
     h_pad = _cdiv(heads, 8) * 8  # lse sublane dim must be 8-aligned for TPU blocks
     out_specs = [pl.BlockSpec((1, block_q, dm), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)]

@@ -113,6 +113,64 @@ class TestFusedWoForward:
             flash_attention(q, k, v, wo=wo)
 
 
+class TestFusedWoQ:
+    """Int8 Wo epilogue (CM3P_FUSED_WO_Q): per-row quant of the normalized
+    attention output + per-channel int8 Wo inside the kernel finalize."""
+
+    @pytest.fixture(autouse=True)
+    def enable_wo_q(self, monkeypatch):
+        monkeypatch.setattr(fa, "FUSED_WO_Q", True)
+
+    def int8_reference(self, q, k, v, wo, res, **kw):
+        """The same quantized math composed in XLA."""
+        from cm3p_tpu.ops.fused_ffn import _quant_rows_int8, quantize_weight_int8
+
+        o = flash_attention(q, k, v, **kw)
+        b, l, h, d = o.shape
+        of = o.reshape(b, l, h * d)
+        gq, sg = _quant_rows_int8(of.astype(jnp.float32))
+        wq, sw = quantize_weight_int8(wo)
+        acc = jax.lax.dot_general(
+            gq, wq, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return res + (acc.astype(jnp.float32) * sg * sw).astype(res.dtype)
+
+    @pytest.mark.parametrize("window", [None, 64])
+    @pytest.mark.parametrize("with_segments", [False, True])
+    def test_matches_int8_composition(self, window, with_segments):
+        q, k, v, wo, res, seg = make_inputs(with_segments=with_segments)
+        want = self.int8_reference(q, k, v, wo, res, window=window, segment_ids=seg)
+        got = flash_attention(q, k, v, window=window, segment_ids=seg, wo=wo, out_residual=res)
+        assert not np.array_equal(
+            np.asarray(got), np.asarray(unfused(q, k, v, wo, res, window=window, segment_ids=seg))
+        )  # the int8 path actually ran
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_close_to_fp_path(self):
+        q, k, v, wo, res, seg = make_inputs(with_segments=True)
+        fp = np.asarray(unfused(q, k, v, wo, res, segment_ids=seg), np.float32)
+        got = np.asarray(
+            flash_attention(q, k, v, segment_ids=seg, wo=wo, out_residual=res), np.float32
+        )
+        cos = np.sum(fp * got) / (np.linalg.norm(fp) * np.linalg.norm(got))
+        assert cos > 0.999, cos
+
+    def test_grads_ignore_wo_q(self):
+        q, k, v, wo, res, _ = make_inputs()
+
+        def loss_fused(q_, wo_):
+            return jnp.sum(flash_attention(q_, k, v, window=64, wo=wo_, out_residual=res) ** 2)
+
+        def loss_unfused(q_, wo_):
+            return jnp.sum(unfused(q_, k, v, wo_, res, window=64) ** 2)
+
+        vq, gq = jax.value_and_grad(loss_fused, argnums=(0, 1))(q, wo)
+        vr, gr = jax.value_and_grad(loss_unfused, argnums=(0, 1))(q, wo)
+        np.testing.assert_allclose(float(vq), float(vr), rtol=1e-6)
+        for a, b in zip(gq, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
 class TestFusedWoGrad:
     @pytest.mark.parametrize("window", [None, 64])
     def test_grads_match_unfused(self, window):

@@ -32,6 +32,7 @@ run bench_lnmm0   5400 env CM3P_FUSED_LNMM=0 python bench.py # isolate LNMM gain
 run bench_w8a8    5400 env CM3P_W8A8=1 python bench.py
 run bench_w8a8wo  5400 env CM3P_W8A8=1 CM3P_W8A8_WO=1 python bench.py
 run bench_wo      5400 env CM3P_FUSED_WO=1 python bench.py
-run bench_all     5400 env CM3P_FUSED_WO=1 CM3P_W8A8=1 CM3P_W8A8_WO=1 python bench.py
+run bench_woq     5400 env CM3P_FUSED_WO=1 CM3P_FUSED_WO_Q=1 python bench.py
+run bench_all     5400 env CM3P_FUSED_WO=1 CM3P_FUSED_WO_Q=1 CM3P_W8A8=1 CM3P_W8A8_WO=1 python bench.py
 
 echo "=== batch done $(date -u +%FT%TZ) ===" >> "$LOG"

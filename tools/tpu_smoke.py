@@ -46,6 +46,10 @@ def variants():
             cases.append((f"local w64 WO   {tag}", dict(window=64, seg=True, wo=True), False, dtype, rope))
             cases.append((f"global seg WO  {tag}", dict(window=None, seg=True, wo=True), False, dtype, rope))
             cases.append((f"global noma WO {tag}", dict(window=None, wo=True), False, dtype, rope))
+        if dtype == "bf16":
+            # int8 Wo epilogue (CM3P_FUSED_WO_Q; bf16 is the production path)
+            cases.append(("local w64 WOQ  bf16", dict(window=64, seg=True, wo=True, woq=True), False, "bf16", None))
+            cases.append(("global seg WOQ bf16", dict(window=None, seg=True, wo=True, woq=True), False, "bf16", None))
         # rectangular allgather-KV shape (SP path; never roped)
         cases.append((f"rect lq!=lk    {dtype}", dict(window=None, mask=True, rect=True), False, dtype, None))
     return cases
@@ -130,6 +134,9 @@ def main():
             call_kw["out_residual"] = jnp.asarray(
                 rng.standard_normal((B, L, H * D)).astype(np.float32), jt
             )
+        import cm3p_tpu.ops.flash_attention as fa_mod
+
+        fa_mod.FUSED_WO_Q = bool(kw.get("woq"))
         t0 = time.perf_counter()
         try:
             if grad:
