@@ -190,6 +190,32 @@ class TestMeshFusedLnOps:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
 
 
+class TestMeshModelLevel:
+    """Full EncoderLayer with attn_impl='pallas' under an ambient mesh: the
+    fused QKV lnmm, the flash kernel, the fused Wo+residual lnmm, and the
+    fused FFN all take their mesh-aware dispatch in one composition."""
+
+    @pytest.mark.parametrize("layer_id", [0, 1])  # 0 = global layer, 1 = local
+    def test_encoder_layer_matches_unsharded(self, layer_id):
+        from cm3p_tpu.configs import EncoderConfig
+        from cm3p_tpu.models.modernbert import EncoderLayer
+
+        cfg = EncoderConfig(
+            hidden_size=256, intermediate_size=512,
+            num_attention_heads=4, num_hidden_layers=2,
+        )
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((8, 640, 256)), jnp.bfloat16)
+        cos = jnp.ones((640, 64), jnp.bfloat16)
+        sin = jnp.zeros((640, 64), jnp.bfloat16)
+        layer = EncoderLayer(cfg, layer_id, jnp.bfloat16, attn_impl="pallas")
+        params = layer.init(jax.random.PRNGKey(3), x, None, cos, sin, 64)
+        base = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
+        with make_mesh():
+            sharded = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
+        np.testing.assert_allclose(sharded, base, atol=1e-5)
+
+
 class TestMeshFusedWo:
     @pytest.mark.parametrize("window", [None, 64])
     @pytest.mark.parametrize("with_segments", [False, True])

@@ -83,10 +83,15 @@ def main():
     wo = jnp.asarray(rng.standard_normal((f_ff, D)).astype(np.float32) * 0.02)
     bias = jnp.zeros((D,), jnp.float32)
     ffn_flops = 2.0 * R * D * 2 * f_ff + 2.0 * R * f_ff * D
-    for name, w8 in (("ffn bf16", False), ("ffn w8a8", True)):
-        def ffn(x, _w8=w8):
+    for name, w8, w8wo in (
+        ("ffn bf16", False, False),
+        ("ffn w8a8", True, False),
+        ("ffn w8a8+wo", True, True),
+    ):
+        def ffn(x, _w8=w8, _w8wo=w8wo):
             return _pallas_ln_ffn(
-                x, scale, bias, wi, wo, eps=1e-5, residual=True, block_rows=512, w8a8=_w8
+                x, scale, bias, wi, wo, eps=1e-5, residual=True, block_rows=512,
+                w8a8=_w8, w8a8_wo=_w8wo,
             )
 
         fc = chain(ffn, K)
