@@ -262,11 +262,17 @@ class SelfAttention(nn.Module):
         out = out.reshape(b, l, hidden)
         if residual is not None:
             # fused Wo projection + residual add (one pass, no separate
-            # elementwise read/write); caller must NOT re-add the residual
+            # elementwise read/write); caller must NOT re-add the residual.
+            # CM3P_W8A8_WO runs this output projection int8 too (the gate
+            # covers both Wo-side matmuls: FFN Wo and this one)
+            from ..ops.fused_ffn import W8A8_WO_ENABLED
+            from ..ops.fused_ln_matmul import fused_ln_matmul_q
+
             wo = _KernelParam(
                 (hidden, hidden), wo_std, cfg.initializer_cutoff_factor, name="Wo"
             )()
-            return fused_ln_matmul(out, wo, residual=residual)
+            lnmm_wo = fused_ln_matmul_q if W8A8_WO_ENABLED else fused_ln_matmul
+            return lnmm_wo(out, wo, residual=residual)
         out = nn.Dense(
             hidden,
             use_bias=cfg.attention_bias,

@@ -249,7 +249,11 @@ W8A8_ENABLED = os.environ.get("CM3P_W8A8", "0") == "1"
 from .fused_ffn import _quant_rows_int8, quantize_weight_int8  # noqa: E402  (shared quantizers)
 
 
-def _lnmm_q_kernel(x_ref, sb_ref, w_ref, sw_ref, out_ref, *, eps, with_ln):
+def _lnmm_q_kernel(x_ref, sb_ref, w_ref, sw_ref, *rest, eps, with_ln, with_res):
+    if with_res:
+        res_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     x = x_ref[...]
     if with_ln:
         scale = sb_ref[0:1, :].astype(jnp.float32)
@@ -262,10 +266,14 @@ def _lnmm_q_kernel(x_ref, sb_ref, w_ref, sw_ref, out_ref, *, eps, with_ln):
         q, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     sw = sw_ref[0:1, :]
-    out_ref[...] = (acc.astype(jnp.float32) * sa * sw).astype(x.dtype)
+    y_out = acc.astype(jnp.float32) * sa * sw
+    if with_res:
+        out_ref[...] = res_ref[...] + y_out.astype(x.dtype)
+    else:
+        out_ref[...] = y_out.astype(x.dtype)
 
 
-def _pallas_ln_matmul_q(x, scale, bias, w_i8, scale_w, *, eps, with_ln, block_rows=512):
+def _pallas_ln_matmul_q(x, scale, bias, w_i8, scale_w, res=None, *, eps, with_ln, block_rows=512):
     dt = x.dtype
     d = x.shape[-1]
     n = w_i8.shape[1]
@@ -277,6 +285,10 @@ def _pallas_ln_matmul_q(x, scale, bias, w_i8, scale_w, *, eps, with_ln, block_ro
     rows_pad = _cdiv(rows, block_rows) * block_rows
     if rows_pad != rows:
         x2 = jnp.pad(x2, [(0, rows_pad - rows), (0, 0)])
+        if res is not None:
+            res = jnp.pad(res.reshape(rows, n), [(0, rows_pad - rows), (0, 0)])
+    elif res is not None:
+        res = res.reshape(rows, n)
 
     sb = jnp.zeros((8, d), jnp.float32)
     if with_ln:
@@ -285,15 +297,21 @@ def _pallas_ln_matmul_q(x, scale, bias, w_i8, scale_w, *, eps, with_ln, block_ro
             sb = sb.at[1].set(bias.astype(jnp.float32))
     sw = jnp.zeros((8, n), jnp.float32).at[0].set(scale_w.astype(jnp.float32))
 
+    in_specs = [
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x2, sb, w_i8, sw]
+    if res is not None:
+        in_specs.append(pl.BlockSpec((block_rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(res)
+
     out = pl.pallas_call(
-        functools.partial(_lnmm_q_kernel, eps=eps, with_ln=with_ln),
+        functools.partial(_lnmm_q_kernel, eps=eps, with_ln=with_ln, with_res=res is not None),
         grid=(rows_pad // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, n), dt),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
@@ -302,7 +320,7 @@ def _pallas_ln_matmul_q(x, scale, bias, w_i8, scale_w, *, eps, with_ln, block_ro
             bytes_accessed=rows_pad * (d * dt.itemsize + n * dt.itemsize) + d * n,
             transcendentals=0,
         ),
-    )(x2, sb, w_i8, sw)
+    )(*args)
     return out[:rows].reshape(*lead, n)
 
 
@@ -325,46 +343,53 @@ def reference_ln_matmul_q(x, scale, bias, w, *, eps, with_ln):
     return (acc.astype(jnp.float32) * sa * sw).astype(dt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _ln_matmul_q(x, scale, bias, w, eps, with_ln, block_rows):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _ln_matmul_q(x, scale, bias, w, res, eps, with_ln, block_rows):
     from ..utils.platform import active_mesh, dp_rows_ok, dp_shard_rows
 
     wq, sw = quantize_weight_int8(w)
     mesh = active_mesh()
     if mesh is not None and dp_rows_ok(mesh, x):
         has_bias = bias is not None
+        has_res = res is not None
 
-        def call(x_, scale_, bias_, wq_, sw_):
+        def call(x_, res_, scale_, bias_, wq_, sw_):
             return _pallas_ln_matmul_q(
                 x_, scale_, bias_ if has_bias else None, wq_, sw_,
+                res_ if has_res else None,
                 eps=eps, with_ln=with_ln, block_rows=block_rows,
             )
 
         dummy_b = scale if not has_bias else bias
-        return dp_shard_rows(mesh, call, (x,), (scale, dummy_b, wq, sw))
+        dummy_r = x if not has_res else res
+        return dp_shard_rows(mesh, call, (x, dummy_r), (scale, dummy_b, wq, sw))
     return _pallas_ln_matmul_q(
-        x, scale, bias, wq, sw, eps=eps, with_ln=with_ln, block_rows=block_rows
+        x, scale, bias, wq, sw, res, eps=eps, with_ln=with_ln, block_rows=block_rows
     )
 
 
-def _ln_matmul_q_fwd(x, scale, bias, w, eps, with_ln, block_rows):
+def _ln_matmul_q_fwd(x, scale, bias, w, res, eps, with_ln, block_rows):
     # under autodiff: exact bf16 composition forward (training math unchanged,
     # same contract as _ln_matmul) — W8A8 runs only on no-grad primals
-    out = reference_ln_matmul(x, scale, bias, w, None, eps=eps, with_ln=with_ln)
-    return out, (x, scale, bias, w, None)
+    out = reference_ln_matmul(x, scale, bias, w, res, eps=eps, with_ln=with_ln)
+    return out, (x, scale, bias, w, res)
 
 
 def _ln_matmul_q_bwd(eps, with_ln, block_rows, resid, g):
-    return _ln_matmul_bwd(eps, with_ln, block_rows, resid, g)[:4]
+    return _ln_matmul_bwd(eps, with_ln, block_rows, resid, g)
 
 
 _ln_matmul_q.defvjp(_ln_matmul_q_fwd, _ln_matmul_q_bwd)
 
 
-def fused_ln_matmul_q(x, w, *, scale=None, bias=None, eps: float = 1e-5, block_rows: int = 512):
-    """W8A8 LN(x) @ w. No-grad primal runs the int8 kernel; under autodiff
-    the exact bf16 composition runs instead (gradients/training unaffected)."""
+def fused_ln_matmul_q(
+    x, w, *, scale=None, bias=None, residual=None, eps: float = 1e-5, block_rows: int = 512
+):
+    """W8A8 (residual +) LN(x) @ w; LN skipped when ``scale`` is None.
+
+    No-grad primal runs the int8 kernel; under autodiff the exact bf16
+    composition runs instead (gradients/training unaffected)."""
     with_ln = scale is not None
     if not with_ln:
         scale = jnp.ones((x.shape[-1],), jnp.float32)
-    return _ln_matmul_q(x, scale, bias, w, eps, with_ln, block_rows)
+    return _ln_matmul_q(x, scale, bias, w, residual, eps, with_ln, block_rows)

@@ -177,6 +177,40 @@ class TestW8A8:
         cos = np.sum(q * exact) / (np.linalg.norm(q) * np.linalg.norm(exact))
         assert cos > 0.9999, cos
 
+    def test_residual_variant_matches_composition(self):
+        """fused_ln_matmul_q(residual=...) — the attn-Wo int8 path
+        (CM3P_W8A8_WO) — equals residual + the quantized matmul."""
+        from cm3p_tpu.ops.fused_ln_matmul import (
+            fused_ln_matmul_q,
+            reference_ln_matmul_q,
+        )
+
+        mod, params, x, scale, w = _setup(d=256, n=256)
+        res = x * 0.5
+        want = res + reference_ln_matmul_q(x, scale, None, w, eps=1e-5, with_ln=False)
+        got = fused_ln_matmul_q(x, w, residual=res, eps=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=1e-5
+        )
+
+    def test_residual_variant_grads_run_bf16_composition(self):
+        from cm3p_tpu.ops.fused_ln_matmul import fused_ln_matmul, fused_ln_matmul_q
+
+        mod, params, x, scale, w = _setup(d=256, n=256)
+        res = x * 0.5
+
+        def loss_q(x_, w_, r_):
+            return jnp.sum(fused_ln_matmul_q(x_, w_, residual=r_) ** 2)
+
+        def loss_ref(x_, w_, r_):
+            return jnp.sum(fused_ln_matmul(x_, w_, residual=r_) ** 2)
+
+        vq, gq = jax.value_and_grad(loss_q, argnums=(0, 1, 2))(x, w, res)
+        vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, w, res)
+        np.testing.assert_allclose(float(vq), float(vr), rtol=1e-6)
+        for a, b in zip(gq, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
     def test_weight_quantizer_round_trip(self):
         from cm3p_tpu.ops.fused_ln_matmul import quantize_weight_int8
 
@@ -210,5 +244,29 @@ class TestW8A8ModelWiring:
         q = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
 
         assert not np.array_equal(fp, q)  # the quantized path actually ran
+        cos_sim = np.sum(fp * q) / (np.linalg.norm(fp) * np.linalg.norm(q))
+        assert cos_sim > 0.999, cos_sim
+
+    def test_encoder_w8a8_wo_close_to_fp(self, monkeypatch):
+        """CM3P_W8A8_WO reaches both Wo-side call sites (attn out-projection
+        + FFN Wo) independently of CM3P_W8A8."""
+        import cm3p_tpu.ops.fused_ffn as ffn
+        from cm3p_tpu.models.modernbert import EncoderLayer
+        from cm3p_tpu.configs import EncoderConfig
+
+        cfg = EncoderConfig(hidden_size=256, intermediate_size=512,
+                            num_attention_heads=4, num_hidden_layers=2)
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((1, 640, 256)), jnp.bfloat16)
+        cos = jnp.ones((640, 64), jnp.bfloat16)
+        sin = jnp.zeros((640, 64), jnp.bfloat16)
+        layer = EncoderLayer(cfg, 1, jnp.bfloat16, attn_impl="pallas")
+        params = layer.init(jax.random.PRNGKey(8), x, None, cos, sin, 64)
+        fp = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
+
+        monkeypatch.setattr(ffn, "W8A8_WO_ENABLED", True)
+        q = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
+
+        assert not np.array_equal(fp, q)  # the quantized Wo paths actually ran
         cos_sim = np.sum(fp * q) / (np.linalg.norm(fp) * np.linalg.norm(q))
         assert cos_sim > 0.999, cos_sim

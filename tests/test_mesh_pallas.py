@@ -145,6 +145,16 @@ class TestMeshFusedLnOps:
             sharded = fused_ln_matmul_q(x, w, scale=scale)
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
 
+    def test_lnmm_q_residual_matches_unsharded(self):
+        from cm3p_tpu.ops.fused_ln_matmul import fused_ln_matmul_q
+
+        x, _, w = self._xw(n=256)
+        res = x * 0.5
+        base = fused_ln_matmul_q(x, w, residual=res)
+        with make_mesh():
+            sharded = fused_ln_matmul_q(x, w, residual=res)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=1e-5)
+
     def test_ffn_matches_unsharded(self):
         from cm3p_tpu.ops.fused_ffn import fused_ln_ffn
 

@@ -191,29 +191,34 @@ def main():
                     failures.append(name)
                     print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
 
-    # W8A8: fused LN -> int8 quant -> int8 matmul (QKV shape, bf16 act)
+    # W8A8: fused LN -> int8 quant -> int8 matmul (QKV shape) + the
+    # residual Wo-side variant (CM3P_W8A8_WO attn out-projection), bf16 act
     from cm3p_tpu.ops.fused_ln_matmul import _pallas_ln_matmul_q, quantize_weight_int8
 
-    for d, tower in ((768, "beatmap"), (512, "audio"), (256, "meta")):
-        name = f"lnmm-w8a8 {tower} qkv bf16"
-        x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jnp.bfloat16)
-        scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
-        w = jnp.asarray(rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.02)
-        t0 = time.perf_counter()
-        try:
-            def _q(x, s, w):
-                wq, sw = quantize_weight_int8(w)
-                return _pallas_ln_matmul_q(x, s, None, wq, sw, eps=1e-5, with_ln=True)
+    for kind in ("qkv", "wo+res"):
+        for d, tower in ((768, "beatmap"), (512, "audio"), (256, "meta")):
+            name = f"lnmm-w8a8 {tower} {kind} bf16"
+            n = 3 * d if kind == "qkv" else d
+            x = jnp.asarray(rng.standard_normal((B, L, d)).astype(np.float32) * 0.5, jnp.bfloat16)
+            scale = jnp.asarray(rng.uniform(0.5, 1.5, d).astype(np.float32))
+            w = jnp.asarray(rng.standard_normal((d, n)).astype(np.float32) * 0.02)
+            with_ln = kind == "qkv"
+            res = None if with_ln else x
+            t0 = time.perf_counter()
+            try:
+                def _q(x, s, w, r, _ln=with_ln):
+                    wq, sw = quantize_weight_int8(w)
+                    return _pallas_ln_matmul_q(x, s, None, wq, sw, r, eps=1e-5, with_ln=_ln)
 
-            out = jax.jit(_q)(x, scale, w)
-            val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
-            ok = np.isfinite(val)
-            print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
-            if not ok:
+                out = jax.jit(_q)(x, scale, w, res)
+                val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
+                ok = np.isfinite(val)
+                print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
+                if not ok:
+                    failures.append(name)
+            except Exception as e:  # noqa: BLE001
                 failures.append(name)
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+                print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
 
     for name, d, f, dtype in ffn_variants():
         jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
