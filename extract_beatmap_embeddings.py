@@ -295,18 +295,25 @@ def main(argv=None):
                     features[wi] = f
                 features = jnp.asarray(features)
             with mesh_ctx:
-                embeds = np.asarray(
-                    extract_packed(
-                        params,
-                        _shard_rows(jnp.asarray(input_ids)),
-                        _shard_rows(jnp.asarray(segment_ids)),
-                        jnp.asarray(window_rows),
-                        jnp.asarray(window_segments),
-                        _shard_rows(features),
-                    ),
-                    np.float32,
-                )[:w]
+                dev = extract_packed(
+                    params,
+                    _shard_rows(jnp.asarray(input_ids)),
+                    _shard_rows(jnp.asarray(segment_ids)),
+                    jnp.asarray(window_rows),
+                    jnp.asarray(window_segments),
+                    _shard_rows(features),
+                )
+            # double-buffer: leave this batch in flight (jax dispatch is
+            # async) and drain the previous one — host-side packing of the
+            # next batch overlaps the device compute of this one
+            inflight.append((dev, w, ids_list))
+            if len(inflight) > 1:
+                _drain(inflight.pop(0))
             n_windows += w
+
+        def _drain(item):
+            dev, w, ids_list = item
+            embeds = np.asarray(dev, np.float32)[:w]
             for i, bid in enumerate(ids_list):
                 bid = tuple(bid) if isinstance(bid, list) else bid
                 if bid not in accumulator:
@@ -315,6 +322,7 @@ def main(argv=None):
                     accumulator[bid]["sum"] += embeds[i]
                     accumulator[bid]["count"] += 1
 
+        inflight: list = []
         pending: list = []
         capacity = ns.batch_size * seq_len
         filled = 0
@@ -327,6 +335,8 @@ def main(argv=None):
             pending.append((seq, sample.get("beatmap_id"), sample.get("input_features")))
             filled += len(seq)
         flush(pending)
+        while inflight:
+            _drain(inflight.pop(0))
         dt = time.perf_counter() - t0
         logger.info(
             "Packed-extracted %d window embeddings in %.1fs (%.1f windows/s)",
@@ -335,6 +345,20 @@ def main(argv=None):
         _write_output(accumulator, metadata, ns)
         return
 
+    def _drain_dense(item):
+        dev, n_real, beatmap_ids = item
+        embeds = np.asarray(dev, np.float32)[:n_real]
+        if beatmap_ids is None:
+            return
+        for i, bid in enumerate(np.asarray(beatmap_ids).tolist()):
+            bid = tuple(bid) if isinstance(bid, list) else bid
+            if bid not in accumulator:
+                accumulator[bid] = {"sum": embeds[i].copy(), "count": 1}
+            else:
+                accumulator[bid]["sum"] += embeds[i]
+                accumulator[bid]["count"] += 1
+
+    dense_inflight: list = []
     for batch in batched_loader(iter(loader), ns.batch_size, drop_last=False):
         beatmap_ids = batch.pop("beatmap_id", None)
         for drop in ("metadata_ids", "metadata_attention_mask", "metadata_variation_classes", "labels"):
@@ -349,27 +373,21 @@ def main(argv=None):
                     [batch[key], np.repeat(batch[key][:1], pad, axis=0)], axis=0
                 )
         with mesh_ctx:
-            embeds = np.asarray(
-                extract(
-                    params,
-                    _shard_rows(jnp.asarray(batch["input_ids"])),
-                    _shard_rows(jnp.asarray(batch["attention_mask"])),
-                    _shard_rows(jnp.asarray(batch["input_features"], jnp.bfloat16))
-                    if "input_features" in batch
-                    else None,
-                ),
-                dtype=np.float32,
-            )[:n_real]
-        n_windows += len(embeds)
-        if beatmap_ids is None:
-            continue
-        for i, bid in enumerate(np.asarray(beatmap_ids).tolist()):
-            bid = tuple(bid) if isinstance(bid, list) else bid
-            if bid not in accumulator:
-                accumulator[bid] = {"sum": embeds[i].copy(), "count": 1}
-            else:
-                accumulator[bid]["sum"] += embeds[i]
-                accumulator[bid]["count"] += 1
+            dev = extract(
+                params,
+                _shard_rows(jnp.asarray(batch["input_ids"])),
+                _shard_rows(jnp.asarray(batch["attention_mask"])),
+                _shard_rows(jnp.asarray(batch["input_features"], jnp.bfloat16))
+                if "input_features" in batch
+                else None,
+            )
+        n_windows += n_real
+        # double-buffer: drain the previous batch while this one computes
+        dense_inflight.append((dev, n_real, beatmap_ids))
+        if len(dense_inflight) > 1:
+            _drain_dense(dense_inflight.pop(0))
+    while dense_inflight:
+        _drain_dense(dense_inflight.pop(0))
     dt = time.perf_counter() - t0
     logger.info("Extracted %d window embeddings in %.1fs (%.1f windows/s)", n_windows, dt, n_windows / max(dt, 1e-9))
     _write_output(accumulator, metadata, ns)
