@@ -206,6 +206,9 @@ class BeatmapFilesDataset:
             track_path = Path(first.get("Path", ".")) / str(first.get("BeatmapSetFolder", ""))
 
             audio_cache: dict = {}
+            # audio-only window work (mel, token counts) shared across the
+            # set's difficulties — see CM3PProcessor.audio_features_cache
+            features_cache: dict = {}
             for idx, row in subset.iterrows():
                 audio_samples = None
                 audio_filename = row.get("AudioFile", None)
@@ -233,6 +236,7 @@ class BeatmapFilesDataset:
                         multiply_metadata=self.include_metadata,
                         populate_metadata=self.include_metadata,
                         padding="max_length",
+                        audio_features_cache=features_cache,
                     )
                 except Exception as e:
                     logger.warning("Failed to process beatmap: %s (%s)", beatmap_path, e)

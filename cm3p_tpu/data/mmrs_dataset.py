@@ -229,6 +229,9 @@ class BeatmapDatasetIterable:
             first = metadata.iloc[0]
 
             audio_cache: dict = {}
+            # memoizes the audio-only window work (mel, token counts) across
+            # this track's difficulties — they share the decoded waveform
+            features_cache: dict = {}
             speed = self._get_speed_augment()
             track_path = Path(first["Path"]) / "data" / first["BeatmapSetFolder"]
 
@@ -239,11 +242,13 @@ class BeatmapDatasetIterable:
                     beatmap_metadata = self.metadata.sample(n=1).iloc[0]
                     beatmap_is_matched = False
                 yield from self._get_next_beatmap(
-                    audio_path, beatmap_metadata, speed, audio_cache, beatmap_is_matched
+                    audio_path, beatmap_metadata, speed, audio_cache, beatmap_is_matched,
+                    features_cache,
                 )
 
     def _get_next_beatmap(
-        self, audio_path, beatmap_metadata: Series, speed: float, audio_cache: dict, beatmap_is_matched: bool
+        self, audio_path, beatmap_metadata: Series, speed: float, audio_cache: dict,
+        beatmap_is_matched: bool, features_cache: Optional[dict] = None,
     ) -> Iterator[dict]:
         beatmap_path = (
             Path(beatmap_metadata["Path"])
@@ -282,6 +287,7 @@ class BeatmapDatasetIterable:
                 if self.test
                 else self.args.train_metadata_variations,
                 padding="max_length",
+                audio_features_cache=features_cache,
             )
             results = dict(results)
 

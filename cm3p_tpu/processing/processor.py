@@ -207,6 +207,60 @@ class CM3PProcessor:
         num_audio_tokens = math.ceil(signal_length / audio_length_per_tok)
         return audio, num_audio_tokens
 
+    def _window_audio(
+        self,
+        audio_array: np.ndarray,
+        song_length: float,
+        window_length_sec: float,
+        window_stride_sec: float,
+        min_window_length_sec: float,
+        sampling_rate: int,
+        audio_kwargs: dict,
+        max_source_positions: int,
+        cache: Optional[dict],
+        cache_token=None,
+        cache_pin=None,
+    ) -> tuple[list[int], np.ndarray]:
+        """Per-window audio-token counts + log-mel features for one waveform.
+
+        Depends only on the audio and the window/audio kwargs — NOT on the
+        beatmap — so results are memoized in ``cache`` (caller-scoped, one
+        per decoded track) and shared by every difficulty of a beatmapset.
+        ``cache_token`` identifies the CALLER's audio (path string or
+        original-array id); ``cache_pin`` is stored in the entry so an
+        id-based token can't be recycled while the cache lives.
+        """
+        key = None
+        if cache is not None and cache_token is not None:
+            key = (
+                cache_token,
+                window_length_sec, window_stride_sec, min_window_length_sec,
+                sampling_rate, max_source_positions,
+            )
+            if key in cache:
+                counts, feats, _pin = cache[key]
+                return counts, feats
+        counts: list[int] = []
+        slices: list[np.ndarray] = []
+        for start_sec in np.arange(0, song_length - min_window_length_sec, window_stride_sec):
+            start_frame = int(start_sec * sampling_rate)
+            end_frame = int((start_sec + window_length_sec) * sampling_rate)
+            audio_slice, num_audio_tokens = self._encode_audio(
+                audio_array[start_frame:end_frame], **audio_kwargs
+            )
+            counts.append(num_audio_tokens)
+            slices.append(audio_slice)
+        if slices:
+            feats = self._retrieve_input_features(slices, max_source_positions)
+        else:
+            feats = np.zeros(
+                (0, self.audio_feature_extractor.feature_size, max_source_positions),
+                dtype=np.float32,
+            )
+        if key is not None:
+            cache[key] = (counts, feats, cache_pin)
+        return counts, feats
+
     def _retrieve_input_features(self, audio_list: list[np.ndarray], max_source_positions: int, **_) -> np.ndarray:
         """Log-mel per window, chunked to (chunks, n_mels, max_source_positions)."""
         features = []
@@ -278,6 +332,7 @@ class CM3PProcessor:
         populate_metadata: bool = False,
         metadata_dropout_prob: float = 0.0,
         metadata_variations: int = 1,
+        audio_features_cache: Optional[dict] = None,
         **kwargs,
     ) -> BatchTokens:
         """Process beatmaps/metadata/audio into a model-ready batch.
@@ -286,6 +341,13 @@ class CM3PProcessor:
         ``input_features`` (chunks, n_mels, max_source_positions),
         ``metadata_ids``, ``metadata_attention_mask`` and
         ``metadata_variation_classes``.
+
+        ``audio_features_cache``: optional caller-scoped dict memoizing the
+        audio-only per-window work (slicing, token counts, log-mel) across
+        calls that share the same decoded waveform — e.g. the difficulties
+        of one beatmapset, whose windows derive from the audio alone. The
+        caller owns the dict's lifetime (one per decoded track); entries
+        are keyed by the waveform's identity plus the window/audio kwargs.
         """
         out_kwargs = self._merge_kwargs(**kwargs)
         beatmap_kwargs = dict(out_kwargs["beatmap_kwargs"])
@@ -307,7 +369,18 @@ class CM3PProcessor:
         if metadata is None and beatmap is None:
             raise ValueError("You have to specify either metadata or beatmap. Both cannot be none.")
 
+        audio_cache_tokens = None
         if audio is not None:
+            # cache keys derive from the CALLER's audio identity (path or
+            # original array), not the prepared waveform — _load_audio makes
+            # a fresh array every call, so its id() never repeats
+            raw_audio = audio if isinstance(audio, list) else [audio]
+            audio_cache_tokens = [
+                (("path", str(a)), a)
+                if isinstance(a, (str, Path))
+                else (("arr", id(a), int(np.asarray(a).shape[-1])), a)
+                for a in raw_audio
+            ]
             audio = self._load_audio(sampling_rate, audio, audio_sampling_rate=audio_sampling_rate)
 
         if beatmap is not None:
@@ -321,6 +394,8 @@ class CM3PProcessor:
                     )
             else:
                 audio = [None] * len(beatmap)
+            if audio_cache_tokens is None:
+                audio_cache_tokens = [(None, None)] * len(audio)
 
             if (multiply_metadata or populate_metadata) and metadata is not None:
                 matched_metadata = metadata if isinstance(metadata, list) else [metadata]
@@ -335,10 +410,12 @@ class CM3PProcessor:
             new_metadata: list[Optional[Metadata]] = []
             batch_start_ms: list[float] = []
             batch_groups: list[list] = []
-            batch_audio: list[Optional[np.ndarray]] = []
+            batch_features: list[np.ndarray] = []
             batch_num_audio_tokens: list[int] = []
 
-            for b, m, audio_array in zip(beatmap, matched_metadata, audio):
+            for b, m, audio_array, (cache_token, cache_pin) in zip(
+                beatmap, matched_metadata, audio, audio_cache_tokens
+            ):
                 b = load_beatmap(b)
                 song_length = get_song_length(audio_array, sampling_rate, b)
                 beatmap_groups = self.beatmap_parser.parse_beatmap(b, speed=speed, song_length=song_length)
@@ -375,19 +452,28 @@ class CM3PProcessor:
                 if not multiply_metadata:
                     add_metadata()
 
+                # audio-only per-window work (slices -> token counts + mel),
+                # memoized across beatmaps sharing this waveform: windows
+                # derive from the audio alone, so every difficulty of a
+                # beatmapset reuses the same counts and features
+                if audio_array is not None:
+                    audio_counts, audio_feats = self._window_audio(
+                        audio_array, song_length, window_length_sec,
+                        window_stride_sec, min_window_length_sec,
+                        sampling_rate, audio_kwargs, max_source_positions,
+                        audio_features_cache, cache_token, cache_pin,
+                    )
+                    batch_features.append(audio_feats)
+                else:
+                    audio_counts = None
+
                 # sliding-window slicing (processing_cm3p.py:515-554)
                 groups_search_index = 0
-                for start_sec in np.arange(0, song_length - min_window_length_sec, window_stride_sec):
+                for wi, start_sec in enumerate(
+                    np.arange(0, song_length - min_window_length_sec, window_stride_sec)
+                ):
                     end_sec = start_sec + window_length_sec
-
-                    if audio_array is not None:
-                        start_frame = int(start_sec * sampling_rate)
-                        end_frame = int(end_sec * sampling_rate)
-                        audio_slice = audio_array[start_frame:end_frame]
-                        audio_slice, num_audio_tokens = self._encode_audio(audio_slice, **audio_kwargs)
-                    else:
-                        audio_slice = None
-                        num_audio_tokens = 0
+                    num_audio_tokens = audio_counts[wi] if audio_counts is not None else 0
 
                     start_ms = start_sec * 1000
                     end_ms = end_sec * 1000
@@ -405,7 +491,6 @@ class CM3PProcessor:
 
                     batch_start_ms.append(start_ms)
                     batch_groups.append(window_groups)
-                    batch_audio.append(audio_slice)
                     batch_num_audio_tokens.append(num_audio_tokens)
 
                     if multiply_metadata:
@@ -422,8 +507,8 @@ class CM3PProcessor:
                     **beatmap_kwargs,
                 )
                 if all(a is not None for a in audio):
-                    beatmap_encoding["input_features"] = self._retrieve_input_features(
-                        batch_audio, max_source_positions
+                    beatmap_encoding["input_features"] = np.concatenate(batch_features).astype(
+                        np.float32
                     )
             else:
                 beatmap_encoding = BatchTokens(

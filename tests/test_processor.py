@@ -56,6 +56,38 @@ class TestProcessor:
         num_audio = (out["input_ids"] == audio_id).sum(axis=1)
         assert (num_audio == 375).all()
 
+    def test_audio_features_cache_identical_and_skips_mel(self, processor, beatmap_path, monkeypatch):
+        """audio_features_cache: second call with the same waveform reuses
+        the windowed mel + token counts (the difficulty-sharing fast path)
+        and produces byte-identical output."""
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(16000 * 65) * 0.05).astype(np.float32)
+        base = processor(beatmap=beatmap_path, audio=audio, audio_sampling_rate=16000)
+
+        calls = {"n": 0}
+        orig = type(processor.audio_feature_extractor).__call__
+
+        def counting(self_, wav):
+            calls["n"] += 1
+            return orig(self_, wav)
+
+        monkeypatch.setattr(type(processor.audio_feature_extractor), "__call__", counting)
+        cache: dict = {}
+        first = processor(
+            beatmap=beatmap_path, audio=audio, audio_sampling_rate=16000,
+            audio_features_cache=cache,
+        )
+        mel_calls_first = calls["n"]
+        assert mel_calls_first > 0 and len(cache) == 1
+        second = processor(
+            beatmap=beatmap_path, audio=audio, audio_sampling_rate=16000,
+            audio_features_cache=cache,
+        )
+        assert calls["n"] == mel_calls_first  # no new mel computation
+        for key in ("input_ids", "attention_mask", "input_features"):
+            np.testing.assert_array_equal(np.asarray(first[key]), np.asarray(base[key]))
+            np.testing.assert_array_equal(np.asarray(second[key]), np.asarray(base[key]))
+
     def test_multiply_and_populate_metadata(self, processor, beatmap_path):
         out = processor(
             beatmap=beatmap_path,
