@@ -317,7 +317,8 @@ def _pallas_ln_matmul_q(x, scale, bias, w_i8, scale_w, res=None, *, eps, with_ln
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows_pad * d * n,
-            bytes_accessed=rows_pad * (d * dt.itemsize + n * dt.itemsize) + d * n,
+            bytes_accessed=rows_pad * (d * dt.itemsize + n * dt.itemsize) + d * n
+            + (rows_pad * n * dt.itemsize if res is not None else 0),
             transcendentals=0,
         ),
     )(*args)

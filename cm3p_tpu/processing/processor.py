@@ -234,8 +234,11 @@ class CM3PProcessor:
         if cache is not None and cache_token is not None:
             key = (
                 cache_token,
+                int(audio_array.shape[-1]),  # prepared length (covers resample)
                 window_length_sec, window_stride_sec, min_window_length_sec,
                 sampling_rate, max_source_positions,
+                tuple(sorted((k, v) for k, v in audio_kwargs.items()
+                             if isinstance(v, (int, float, str, bool, type(None))))),
             )
             if key in cache:
                 counts, feats, _pin = cache[key]

@@ -221,16 +221,22 @@ def main(argv=None):
             logger.info("Rounded --batch-size up to %d for the %d-device mesh", ns.batch_size, n_dev)
         logger.info("Extracting data-parallel over %d devices", n_dev)
 
-    def _shard_rows(arr):
+    def _shard_rows(arr, dtype=None):
         """Device_put a host array row-sharded over the mesh's data axis
-        (replicated when its leading dim doesn't divide)."""
-        if mesh is None or arr is None:
+        (replicated when its leading dim doesn't divide). Takes the HOST
+        array directly — one sharded transfer, no default-device hop."""
+        if arr is None:
             return arr
+        if mesh is None:
+            return jnp.asarray(arr, dtype) if dtype is not None else arr
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        arr = np.asarray(arr)
+        if dtype is not None:
+            arr = arr.astype(dtype)  # host-side cast (ml_dtypes bf16) halves transfer bytes
         lead = "data" if arr.shape[0] % n_dev == 0 else None
         spec = P(*((lead,) + (None,) * (arr.ndim - 1)))
-        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+        return jax.device_put(arr, NamedSharding(mesh, spec))
 
     @jax.jit
     def extract(params, input_ids, attention_mask, input_features=None):
@@ -257,6 +263,16 @@ def main(argv=None):
         )
 
     accumulator: dict[Any, dict[str, Any]] = {}
+
+    def _accumulate(embeds, ids):
+        """Running per-beatmap sum/count of window embeddings."""
+        for i, bid in enumerate(ids):
+            bid = tuple(bid) if isinstance(bid, list) else bid
+            if bid not in accumulator:
+                accumulator[bid] = {"sum": embeds[i].copy(), "count": 1}
+            else:
+                accumulator[bid]["sum"] += embeds[i]
+                accumulator[bid]["count"] += 1
     loader = SampleLoader(dataset_factory, num_workers=ns.num_workers)
     n_windows = 0
     t0 = time.perf_counter()
@@ -293,12 +309,11 @@ def main(argv=None):
                 features = np.zeros((w_pad,) + f0.shape, np.float32)
                 for wi, f in enumerate(feats_list):
                     features[wi] = f
-                features = jnp.asarray(features)
             with mesh_ctx:
                 dev = extract_packed(
                     params,
-                    _shard_rows(jnp.asarray(input_ids)),
-                    _shard_rows(jnp.asarray(segment_ids)),
+                    _shard_rows(input_ids),
+                    _shard_rows(segment_ids),
                     jnp.asarray(window_rows),
                     jnp.asarray(window_segments),
                     _shard_rows(features),
@@ -313,14 +328,7 @@ def main(argv=None):
 
         def _drain(item):
             dev, w, ids_list = item
-            embeds = np.asarray(dev, np.float32)[:w]
-            for i, bid in enumerate(ids_list):
-                bid = tuple(bid) if isinstance(bid, list) else bid
-                if bid not in accumulator:
-                    accumulator[bid] = {"sum": embeds[i].copy(), "count": 1}
-                else:
-                    accumulator[bid]["sum"] += embeds[i]
-                    accumulator[bid]["count"] += 1
+            _accumulate(np.asarray(dev, np.float32)[:w], ids_list)
 
         inflight: list = []
         pending: list = []
@@ -347,16 +355,9 @@ def main(argv=None):
 
     def _drain_dense(item):
         dev, n_real, beatmap_ids = item
-        embeds = np.asarray(dev, np.float32)[:n_real]
         if beatmap_ids is None:
             return
-        for i, bid in enumerate(np.asarray(beatmap_ids).tolist()):
-            bid = tuple(bid) if isinstance(bid, list) else bid
-            if bid not in accumulator:
-                accumulator[bid] = {"sum": embeds[i].copy(), "count": 1}
-            else:
-                accumulator[bid]["sum"] += embeds[i]
-                accumulator[bid]["count"] += 1
+        _accumulate(np.asarray(dev, np.float32)[:n_real], np.asarray(beatmap_ids).tolist())
 
     dense_inflight: list = []
     for batch in batched_loader(iter(loader), ns.batch_size, drop_last=False):
@@ -375,9 +376,9 @@ def main(argv=None):
         with mesh_ctx:
             dev = extract(
                 params,
-                _shard_rows(jnp.asarray(batch["input_ids"])),
-                _shard_rows(jnp.asarray(batch["attention_mask"])),
-                _shard_rows(jnp.asarray(batch["input_features"], jnp.bfloat16))
+                _shard_rows(batch["input_ids"]),
+                _shard_rows(batch["attention_mask"]),
+                _shard_rows(batch["input_features"], jnp.bfloat16)
                 if "input_features" in batch
                 else None,
             )

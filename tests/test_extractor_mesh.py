@@ -32,9 +32,11 @@ def _extract(tmp_path, tag, *extra):
     )
     df = pd.read_parquet(out)
     assert len(df) >= 1
+    df = df.sort_values("beatmap_id").reset_index(drop=True)
+    # stack AFTER sorting so the mesh/no-mesh comparison pairs the same id
     emb = np.stack([np.asarray(e, np.float32) for e in df["embedding"]])
     assert np.isfinite(emb).all()
-    return df.sort_values("beatmap_id").reset_index(drop=True), emb
+    return df, emb
 
 
 class TestExtractorMesh:
