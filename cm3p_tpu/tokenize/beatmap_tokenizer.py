@@ -87,6 +87,23 @@ class BeatmapTokenizer(JsonConfigMixin):
                 self._full_vocab[tok] = len(self._full_vocab)
         self.ids_to_tokens = {i: t for t, i in self._full_vocab.items()}
 
+        # hot-loop token memos: every emitted family has a bounded domain,
+        # so the f-string is built at most once per distinct quantized value
+        # (string hashes then cache, speeding the vocab lookup too). Keys
+        # are the post-clamp quantized ints — the clamp/round math (the
+        # tokenization CONTRACT) still runs on every call.
+        self._event_tokens = {et: f"[{et.value.upper()}]" for et in EventType}
+        self._event_nc_tokens = {
+            et: f"[{et.value.upper()}_NEW_COMBO]" for et in EVENT_TYPES_WITH_NEW_COMBO
+        }
+        self._snap_tokens = {s: f"[SNAPPING_{s}]" for s in range(0, 17)}
+        self._vol_tokens = {v: f"[VOLUME_{v}]" for v in range(101)}
+        self._memo_ts: dict[int, str] = {}
+        self._memo_dist: dict[int, str] = {}
+        self._memo_pos: dict = {}
+        self._memo_ss: dict[int, str] = {}
+        self._memo_hs: dict[tuple, str] = {}
+
     # ------------------------------------------------------------------ vocab
 
     def _build_vocab_from_config(self) -> dict[str, int]:
@@ -145,9 +162,11 @@ class BeatmapTokenizer(JsonConfigMixin):
         return dict(self._full_vocab)
 
     def convert_tokens_to_ids(self, tokens: Union[str, Sequence[str]]):
+        vocab = self._full_vocab
+        unk = vocab.get(self.unk_token)
         if isinstance(tokens, str):
-            return self._full_vocab.get(tokens, self._full_vocab.get(self.unk_token))
-        return [self._full_vocab.get(t, self._full_vocab.get(self.unk_token)) for t in tokens]
+            return vocab.get(tokens, unk)
+        return [vocab.get(t, unk) for t in tokens]
 
     def convert_ids_to_tokens(self, ids: Union[int, Sequence[int]]):
         if isinstance(ids, (int, np.integer)):
@@ -198,38 +217,60 @@ class BeatmapTokenizer(JsonConfigMixin):
 
     def _tokenize_time_shift(self, time: float) -> str:
         time = min(max(time, self.min_time), self.max_time)
-        time = round(time / self.time_step) * self.time_step
-        return f"[TIME_SHIFT_{int(time)}]"
+        t = int(round(time / self.time_step) * self.time_step)
+        tok = self._memo_ts.get(t)
+        if tok is None:
+            tok = self._memo_ts[t] = f"[TIME_SHIFT_{t}]"
+        return tok
 
     def _tokenize_distance(self, distance: int) -> str:
         distance = min(max(distance, 0), self.max_distance)
         distance = round(distance / self.distance_step) * self.distance_step
-        return f"[DISTANCE_{distance}]"
+        tok = self._memo_dist.get(distance)
+        if tok is None:
+            tok = self._memo_dist[distance] = f"[DISTANCE_{distance}]"
+        return tok
 
     def _tokenize_position(self, pos_x: int, pos_y: int):
         pos_x = min(max(pos_x, self.position_range[0]), self.position_range[1])
         pos_y = min(max(pos_y, self.position_range[2]), self.position_range[3])
-        pos_x = round(pos_x / self.position_step) * self.position_step
-        pos_y = round(pos_y / self.position_step) * self.position_step
+        pos_x = int(round(pos_x / self.position_step) * self.position_step)
+        pos_y = int(round(pos_y / self.position_step) * self.position_step)
         if self.position_split_axes:
-            yield f"[POS_X_{int(pos_x)}]"
-            yield f"[POS_Y_{int(pos_y)}]"
+            tok = self._memo_pos.get(("x", pos_x))
+            if tok is None:
+                tok = self._memo_pos[("x", pos_x)] = f"[POS_X_{pos_x}]"
+            yield tok
+            tok = self._memo_pos.get(("y", pos_y))
+            if tok is None:
+                tok = self._memo_pos[("y", pos_y)] = f"[POS_Y_{pos_y}]"
+            yield tok
         else:
-            yield f"[POS_{int(pos_x)}_{int(pos_y)}]"
+            tok = self._memo_pos.get((pos_x, pos_y))
+            if tok is None:
+                tok = self._memo_pos[(pos_x, pos_y)] = f"[POS_{pos_x}_{pos_y}]"
+            yield tok
 
     def _tokenize_mania_column(self, mania_column: int) -> str:
         return f"[MANIA_COLUMN_{int(min(max(mania_column, 1), 18))}]"
 
     def _tokenize_scroll_speed(self, scroll_speed: float) -> str:
         scroll_speed = min(max(scroll_speed, 0.0), 10.0)
-        scroll_speed = round(scroll_speed / 0.01) * 0.01
-        return f"[SCROLL_SPEED_{scroll_speed:.2f}]"
+        key = round(scroll_speed / 0.01)
+        tok = self._memo_ss.get(key)
+        if tok is None:
+            tok = self._memo_ss[key] = f"[SCROLL_SPEED_{key * 0.01:.2f}]"
+        return tok
 
     def _tokenize_hitsound(self, hitsound: int, sampleset: int, addition: int) -> str:
-        hitsound = int(min(max(hitsound >> 1, 0), 7)) << 1
-        sampleset = int(min(max(sampleset, 1), 3))
-        addition = int(min(max(addition, 1), 3))
-        return f"[HITSOUND_{hitsound}_{sampleset}_{addition}]"
+        key = (hitsound, sampleset, addition)
+        tok = self._memo_hs.get(key)
+        if tok is None:
+            h = int(min(max(hitsound >> 1, 0), 7)) << 1
+            s = int(min(max(sampleset, 1), 3))
+            a = int(min(max(addition, 1), 3))
+            tok = self._memo_hs[key] = f"[HITSOUND_{h}_{s}_{a}]"
+        return tok
 
     def tokenize_groups(self, groups: list[Group], window_start_ms: Optional[int] = None) -> list[str]:
         """Serialize one window of groups to token strings."""
@@ -245,13 +286,14 @@ class BeatmapTokenizer(JsonConfigMixin):
                 and not self.separate_new_combo_token
                 and group.event_type in EVENT_TYPES_WITH_NEW_COMBO
             ):
-                tokens.append(f"[{group.event_type.value.upper()}_NEW_COMBO]")
+                tokens.append(self._event_nc_tokens[group.event_type])
             else:
-                tokens.append(f"[{group.event_type.value.upper()}]")
+                tokens.append(self._event_tokens[group.event_type])
             if group.has_time:
                 tokens.append(self._tokenize_time_shift(group.time - window_start_ms))
                 if group.snapping is not None:
-                    tokens.append(f"[SNAPPING_{group.snapping}]")
+                    s = group.snapping
+                    tokens.append(self._snap_tokens.get(s) or f"[SNAPPING_{s}]")
             if group.distance is not None:
                 tokens.append(self._tokenize_distance(group.distance))
             if group.x is not None and group.y is not None:
@@ -264,7 +306,7 @@ class BeatmapTokenizer(JsonConfigMixin):
                 tokens.append(self._tokenize_scroll_speed(group.scroll_speed))
             for h, s, a, v in zip(group.hitsounds, group.samplesets, group.additions, group.volumes):
                 tokens.append(self._tokenize_hitsound(h, s, a))
-                tokens.append(f"[VOLUME_{v}]")
+                tokens.append(self._vol_tokens.get(v) or f"[VOLUME_{v}]")
 
         tokens.append(self.eos_token)
         return tokens

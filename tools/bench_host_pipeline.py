@@ -49,7 +49,7 @@ def main(argv=None):
         f"dataset.train_metadata_variations={ns.variations}",
         "dataset.cycle_length=4",
         f"processor.default_kwargs.beatmap_kwargs.max_length={ns.max_length}",
-    ] + (["dataset.with_audio=false"] if ns.no_audio else []))
+    ] + (["dataset.include_audio=false"] if ns.no_audio else []))
 
     from train import build_processor
 
