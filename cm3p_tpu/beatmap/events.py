@@ -47,9 +47,14 @@ EVENT_TYPES_WITH_NEW_COMBO = [
 ]
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Group:
-    """One tokenizable beatmap event with its attached attributes."""
+    """One tokenizable beatmap event with its attached attributes.
+
+    ``slots=True``: ~100k Groups are created per track on the data-loader
+    hot path; slots cut the per-instance dict allocation and speed
+    attribute access in the parser/tokenizer loops.
+    """
 
     event_type: EventType = None
     time: int = 0
