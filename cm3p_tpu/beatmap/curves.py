@@ -31,16 +31,24 @@ Point = tuple[float, float]
 _SAMPLES_PER_SEGMENT = 64
 
 
-def _polyline_position(verts: np.ndarray, req_length: float, t: float) -> Point:
+def _polyline_position(
+    verts: np.ndarray, req_length: float, t: float, tables=None
+) -> Point:
     """Position at arc-length ``t * req_length`` along a polyline.
 
     If the polyline is shorter than ``req_length`` the final segment is
     linearly extrapolated (osu! extends the last segment); degenerate
-    zero-length polylines return the last vertex.
+    zero-length polylines return the last vertex. ``tables`` optionally
+    supplies the precomputed ``(seg, seg_len, cum)`` arc-length tables —
+    a Curve is evaluated many times (head/ticks/repeats/tail), so callers
+    cache them instead of re-deriving per call.
     """
-    seg = np.diff(verts, axis=0)
-    seg_len = np.hypot(seg[:, 0], seg[:, 1])
-    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    if tables is None:
+        seg = np.diff(verts, axis=0)
+        seg_len = np.hypot(seg[:, 0], seg[:, 1])
+        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    else:
+        seg, seg_len, cum = tables
     total = cum[-1]
     target = float(t) * float(req_length)
 
@@ -128,6 +136,7 @@ class Curve:
         self.points: list[Point] = [(float(x), float(y)) for x, y in points]
         self.req_length = float(req_length)
         self._verts: np.ndarray | None = None
+        self._tables = None
 
     def _build(self) -> np.ndarray:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -135,7 +144,11 @@ class Curve:
     def __call__(self, t: float) -> Point:
         if self._verts is None:
             self._verts = np.asarray(self._build(), dtype=np.float64)
-        return _polyline_position(self._verts, self.req_length, t)
+            seg = np.diff(self._verts, axis=0)
+            seg_len = np.hypot(seg[:, 0], seg[:, 1])
+            cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+            self._tables = (seg, seg_len, cum)
+        return _polyline_position(self._verts, self.req_length, t, self._tables)
 
 
 class Linear(Curve):
