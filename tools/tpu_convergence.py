@@ -132,6 +132,8 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--variations", type=int, default=8)
     ap.add_argument("--max-length", type=int, default=2048)
+    ap.add_argument("--config", default="default",
+                    help="train recipe to run (e.g. v8_packed for the packed production recipe)")
     ap.add_argument("--cpu", action="store_true", help="tiny model on CPU (CI smoke)")
     ns = ap.parse_args(argv)
 
@@ -162,7 +164,7 @@ def main(argv=None):
         f"training.output_dir={ns.output}",
         f"processor.default_kwargs.beatmap_kwargs.max_length={ns.max_length}",
     ]
-    config = "default"
+    config = ns.config
     if ns.cpu:
         config = "smoke"
         overrides += ["dataset.synthetic=false", "attn_impl=xla", "dataset.labels=none"]
