@@ -163,7 +163,7 @@ class SelfAttention(nn.Module):
         wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
 
         if pre_norm is not None or residual is not None:
-            from ..ops.fused_ln_matmul import W8A8_ENABLED, fused_ln_matmul, fused_ln_matmul_q
+            from ..ops.fused_ln_matmul import fused_ln_matmul, fused_ln_matmul_q
 
         if pre_norm is not None:
             # fused attn_norm -> Wqkv: x arrives RAW, the pre-norm's params
@@ -178,6 +178,8 @@ class SelfAttention(nn.Module):
             )()
             # CM3P_W8A8=1 quantizes the 2304-wide QKV projection in-kernel
             # (int8 MXU; no-grad primal only — autodiff runs the bf16 path)
+            from ..ops.fused_ln_matmul import W8A8_ENABLED
+
             lnmm = fused_ln_matmul_q if W8A8_ENABLED else fused_ln_matmul
             qkv = lnmm(
                 x.astype(self.dtype), wqkv, scale=ln_scale, bias=ln_bias, eps=cfg.norm_eps
@@ -261,18 +263,23 @@ class SelfAttention(nn.Module):
 
         out = out.reshape(b, l, hidden)
         if residual is not None:
-            # fused Wo projection + residual add (one pass, no separate
-            # elementwise read/write); caller must NOT re-add the residual.
-            # CM3P_W8A8_WO runs this output projection int8 too (the gate
-            # covers both Wo-side matmuls: FFN Wo and this one)
+            # Wo projection + residual add applied here (caller must NOT
+            # re-add the residual). Three routes by gate:
+            #   CM3P_FUSED_LNMM_WO -> one Pallas pass (optionally int8 via
+            #   CM3P_W8A8_WO, which covers both Wo-side matmuls);
+            #   otherwise -> plain XLA dot + add (fuses into the matmul
+            #   epilogue; this is also the path when only the in-kernel Wo
+            #   epilogue (CM3P_FUSED_WO) is on but wo_fusable declined).
             from ..ops.fused_ffn import W8A8_WO_ENABLED
-            from ..ops.fused_ln_matmul import fused_ln_matmul_q
+            from ..ops.fused_ln_matmul import FUSED_LNMM_WO_ENABLED, fused_ln_matmul_q
 
             wo = _KernelParam(
                 (hidden, hidden), wo_std, cfg.initializer_cutoff_factor, name="Wo"
             )()
-            lnmm_wo = fused_ln_matmul_q if W8A8_WO_ENABLED else fused_ln_matmul
-            return lnmm_wo(out, wo, residual=residual)
+            if FUSED_LNMM_WO_ENABLED:
+                lnmm_wo = fused_ln_matmul_q if W8A8_WO_ENABLED else fused_ln_matmul
+                return lnmm_wo(out, wo, residual=residual)
+            return residual + jnp.dot(out, wo.astype(self.dtype))
         out = nn.Dense(
             hidden,
             use_bias=cfg.attention_bias,
@@ -414,12 +421,28 @@ class EncoderLayer(nn.Module):
         self, x, bias, cos, sin, flash_window=None, segment_ids=None, deterministic=True, fuse_rope=False
     ):
         cfg = self.config
-        from ..ops.fused_ln_matmul import lnmm_fusable
+        from ..ops.flash_attention import FUSED_WO_ENABLED
+        from ..ops.fused_ln_matmul import (
+            FUSED_LNMM_QKV_ENABLED,
+            FUSED_LNMM_WO_ENABLED,
+            lnmm_fusable,
+        )
 
+        pallas_ok = self.attn_impl == "pallas" and not cfg.attention_bias
+        # the QKV-side and Wo-side fusions gate independently (the lnmm QKV
+        # kernel measured a headline LOSS in situ despite micro-neutrality;
+        # see ops/fused_ln_matmul.py gate comment)
         fuse_attn_proj = (
-            self.attn_impl == "pallas"
-            and not cfg.attention_bias
+            pallas_ok
+            and FUSED_LNMM_QKV_ENABLED
             and lnmm_fusable(cfg.hidden_size, 3 * cfg.hidden_size, self.dtype)
+        )
+        # residual handed to SelfAttention => it applies Wo + residual itself
+        # (in-flash-kernel epilogue, lnmm kernel, or XLA dot — its choice)
+        fuse_wo = (
+            pallas_ok
+            and (FUSED_LNMM_WO_ENABLED or FUSED_WO_ENABLED)
+            and lnmm_fusable(cfg.hidden_size, cfg.hidden_size, self.dtype)
         )
         # layer 0 has an identity attention pre-norm (ModernBERT quirk)
         pre_norm = None
@@ -444,9 +467,9 @@ class EncoderLayer(nn.Module):
             deterministic,
             fuse_rope,
             pre_norm=pre_norm,
-            residual=x if fuse_attn_proj else None,
+            residual=x if fuse_wo else None,
         )
-        x = attn_out if fuse_attn_proj else x + attn_out
+        x = attn_out if fuse_wo else x + attn_out
 
         from ..ops.fused_ffn import fusable, fused_ln_ffn
 

@@ -1301,7 +1301,11 @@ def wo_fusable(window: Optional[int], block_q: int, block_k: int,
         if not block_k:
             block_k = block_q
         return _cdiv(block_q + 2 * window, block_k) + 1 <= 4
-    return True  # global routes via the seg-unrolled kernel (segments synthesized)
+    # seg-unrolled global route (segments synthesized): at lq=4096/bf16/d=768
+    # the epilogue variant exceeds the 16 MB scoped-vmem stack by ~8%
+    # (measured 17.34 MB on v5e, 2026-08-18) — decline and let the caller
+    # run the XLA Wo+residual epilogue instead.
+    return lq <= 2048
 
 
 def flash_attention(

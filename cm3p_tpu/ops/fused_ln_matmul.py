@@ -30,7 +30,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_ffn import _ln_f32
 
-FUSED_LNMM_ENABLED = os.environ.get("CM3P_FUSED_LNMM", "1") != "0"
+# Default OFF (measured): the kernel is micro-NEUTRAL vs the XLA composition
+# (15.93 vs 16.04 ms at the B123-packed QKV shape, tools/bench_lnmm_q.py) but
+# an end-to-end headline LOSS — 126.8 emb/s/chip with both halves on vs 182.3
+# off, same chip/day (tools/tpu_r2_batch.sh, 2026-08-18). In situ the
+# pallas_call boundary costs more than the saved LN round trip: XLA can no
+# longer fuse the LN/residual elementwise into neighboring ops or pick
+# layouts across the boundary. Sub-gates let each half be re-measured
+# independently.
+_LNMM_MASTER = os.environ.get("CM3P_FUSED_LNMM", "0") != "0"
+
+
+def _sub_gate(name: str) -> bool:
+    v = os.environ.get(name)
+    return _LNMM_MASTER if v is None else v != "0"
+
+
+# The two call sites gate independently (CM3P_FUSED_LNMM_QKV / _WO override
+# the master CM3P_FUSED_LNMM): the hardware headline A/B showed the kernel is
+# micro-neutral vs XLA but NOT end-to-end-neutral, so each half must be
+# measurable on its own.
+FUSED_LNMM_QKV_ENABLED = _sub_gate("CM3P_FUSED_LNMM_QKV")
+FUSED_LNMM_WO_ENABLED = _sub_gate("CM3P_FUSED_LNMM_WO")
+FUSED_LNMM_ENABLED = FUSED_LNMM_QKV_ENABLED or FUSED_LNMM_WO_ENABLED
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -221,11 +243,13 @@ def fused_ln_matmul(
 
 
 def lnmm_fusable(d_in: int, d_out: int, dtype=jnp.bfloat16) -> bool:
-    """Lane-aligned dims; fp32 gated by the same resident-weight bound that
-    crashes Mosaic for fused_ffn (10.6 MB at fp32 768/2304)."""
+    """Shape-only fusability: lane-aligned dims; fp32 gated by the same
+    resident-weight bound that crashes Mosaic for fused_ffn (10.6 MB at fp32
+    768/2304). Env gating (FUSED_LNMM_*_ENABLED) is the caller's job so the
+    smoke tool can exercise the kernel regardless of the production default."""
     if dtype == jnp.float32 and 4 * d_in * d_out > 7_000_000:
         return False
-    return FUSED_LNMM_ENABLED and d_in % 128 == 0 and d_out % 128 == 0
+    return d_in % 128 == 0 and d_out % 128 == 0
 
 
 # ---------------------------------------------------------------------------

@@ -237,6 +237,9 @@ class TestW8A8ModelWiring:
         cos = jnp.ones((640, 64), jnp.bfloat16)
         sin = jnp.zeros((640, 64), jnp.bfloat16)
         layer = EncoderLayer(cfg, 1, jnp.bfloat16, attn_impl="pallas")
+        # the QKV quant rides the lnmm kernel, whose production default is
+        # now OFF — force it on so the wiring under test actually engages
+        monkeypatch.setattr(lnmm, "FUSED_LNMM_QKV_ENABLED", True)
         params = layer.init(jax.random.PRNGKey(7), x, None, cos, sin, 64)
         fp = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
 
@@ -261,6 +264,9 @@ class TestW8A8ModelWiring:
         cos = jnp.ones((640, 64), jnp.bfloat16)
         sin = jnp.zeros((640, 64), jnp.bfloat16)
         layer = EncoderLayer(cfg, 1, jnp.bfloat16, attn_impl="pallas")
+        # the attn-Wo int8 route rides the lnmm-Wo kernel (default OFF now)
+        import cm3p_tpu.ops.fused_ln_matmul as lnmm
+        monkeypatch.setattr(lnmm, "FUSED_LNMM_WO_ENABLED", True)
         params = layer.init(jax.random.PRNGKey(8), x, None, cos, sin, 64)
         fp = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
 
@@ -270,3 +276,41 @@ class TestW8A8ModelWiring:
         assert not np.array_equal(fp, q)  # the quantized Wo paths actually ran
         cos_sim = np.sum(fp * q) / (np.linalg.norm(fp) * np.linalg.norm(q))
         assert cos_sim > 0.999, cos_sim
+
+
+class TestGateCombos:
+    """Every (LNMM_QKV, LNMM_WO, FUSED_WO) combo produces the same encoder
+    output — the sub-gates exist so the hardware A/B can measure each half
+    independently; math must be identical whichever route is active."""
+
+    def test_all_combos_match(self, monkeypatch):
+        import itertools
+
+        from cm3p_tpu.configs import MetadataConfig
+        from cm3p_tpu.models.modernbert import ModernBertEncoder
+        from cm3p_tpu.ops import flash_attention as fa
+        from cm3p_tpu.ops import fused_ln_matmul as lnmm
+
+        cfg = MetadataConfig(
+            vocab_size=128, hidden_size=128, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128, max_position_embeddings=256,
+            global_attn_every_n_layers=2, local_attention=128,
+        )
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 128)))
+        mask = jnp.ones((2, 128), jnp.int32)
+
+        def run():
+            model = ModernBertEncoder(cfg, attn_impl="pallas")
+            params = model.init(jax.random.PRNGKey(0), input_ids=ids, attention_mask=mask)
+            return np.asarray(model.apply(params, input_ids=ids, attention_mask=mask), np.float32)
+
+        base = None
+        for qkv_on, wo_on, epi_on in itertools.product([False, True], repeat=3):
+            monkeypatch.setattr(lnmm, "FUSED_LNMM_QKV_ENABLED", qkv_on)
+            monkeypatch.setattr(lnmm, "FUSED_LNMM_WO_ENABLED", wo_on)
+            monkeypatch.setattr(fa, "FUSED_WO_ENABLED", epi_on)
+            out = run()
+            if base is None:
+                base = out
+            else:
+                np.testing.assert_allclose(out, base, atol=1e-5, err_msg=f"{qkv_on} {wo_on} {epi_on}")
