@@ -21,6 +21,40 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The relay wraps EVERY compile failure — deterministic Mosaic crashes and
+# transient relay/helper hiccups alike — in the same opaque message
+# ("HTTP 500: tpu_compile_helper subprocess exit code 1"; the real cause only
+# reaches the relay's own stderr). A one-off hiccup once aborted a whole
+# multi-hour batch, so on this signature we retry once: deterministic
+# failures just fail again (~30 s extra), transients recover.
+_RETRYABLE = ("HTTP 500", "HTTP 502", "HTTP 503", "Connection refused",
+              "Socket closed", "UNAVAILABLE")
+
+
+def run_case(name, failures, fn, retries=1):
+    """Run one smoke case; fn() returns True when outputs are finite."""
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        try:
+            ok = fn()
+            status = "PASS" if ok else "NONFINITE"
+            if not ok:
+                failures.append(name)
+            print(f"{name:34s} {status}  ({time.perf_counter()-t0:5.1f}s)",
+                  flush=True)
+            return
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {str(e)[:100]}"
+            if attempt < retries and any(m in str(e) for m in _RETRYABLE):
+                attempt += 1
+                print(f"{name:34s} RETRY {msg}", flush=True)
+                time.sleep(15)
+                continue
+            failures.append(name)
+            print(f"{name:34s} FAIL  {msg}", flush=True)
+            return
+
 
 def variants():
     """(name, call_kwargs, grad, shape) for every production codepath."""
@@ -137,27 +171,19 @@ def main():
         import cm3p_tpu.ops.flash_attention as fa_mod
 
         fa_mod.FUSED_WO_Q = bool(kw.get("woq"))
-        t0 = time.perf_counter()
-        try:
+
+        def attn_case(q=q, k=k, v=v, call_kw=call_kw, grad=grad):
             if grad:
                 def loss(q, k, v):
                     return jnp.sum(flash_attention(q, k, v, **call_kw).astype(jnp.float32) ** 2)
 
                 out = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
                 vals = [float(np.asarray(jnp.sum(jnp.abs(o.astype(jnp.float32))))) for o in out]
-                ok = all(np.isfinite(v_) for v_ in vals)
-            else:
-                out = jax.jit(lambda q, k, v: flash_attention(q, k, v, **call_kw))(q, k, v)
-                val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
-                ok = np.isfinite(val)
-            dt = time.perf_counter() - t0
-            status = "PASS" if ok else "NONFINITE"
-            if not ok:
-                failures.append(name)
-            print(f"{name:34s} {status}  ({dt:5.1f}s)", flush=True)
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+                return all(np.isfinite(v_) for v_ in vals)
+            out = jax.jit(lambda q, k, v: flash_attention(q, k, v, **call_kw))(q, k, v)
+            return bool(np.isfinite(float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))))
+
+        run_case(name, failures, attn_case)
 
     from cm3p_tpu.ops.fused_ffn import _pallas_ln_ffn
     from cm3p_tpu.ops.fused_ln_matmul import _pallas_ln_matmul, lnmm_fusable
@@ -175,21 +201,16 @@ def main():
                 w = jnp.asarray(rng.standard_normal((d, n)).astype(np.float32) * 0.02)
                 res = x if kind == "wo+res" else None
                 with_ln = kind == "qkv"
-                t0 = time.perf_counter()
-                try:
+
+                def lnmm_case(x=x, scale=scale, w=w, res=res, with_ln=with_ln):
                     out = jax.jit(
                         lambda x, s, w, r: _pallas_ln_matmul(
                             x, s, None, w, r, eps=1e-5, with_ln=with_ln
                         )
                     )(x, scale, w, res)
-                    val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
-                    ok = np.isfinite(val)
-                    print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
-                    if not ok:
-                        failures.append(name)
-                except Exception as e:  # noqa: BLE001
-                    failures.append(name)
-                    print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+                    return bool(np.isfinite(float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))))
+
+                run_case(name, failures, lnmm_case)
 
     # W8A8: fused LN -> int8 quant -> int8 matmul (QKV shape) + the
     # residual Wo-side variant (CM3P_W8A8_WO attn out-projection), bf16 act
@@ -204,21 +225,16 @@ def main():
             w = jnp.asarray(rng.standard_normal((d, n)).astype(np.float32) * 0.02)
             with_ln = kind == "qkv"
             res = None if with_ln else x
-            t0 = time.perf_counter()
-            try:
+
+            def lnmm_q_case(x=x, scale=scale, w=w, res=res, with_ln=with_ln):
                 def _q(x, s, w, r, _ln=with_ln):
                     wq, sw = quantize_weight_int8(w)
                     return _pallas_ln_matmul_q(x, s, None, wq, sw, r, eps=1e-5, with_ln=_ln)
 
                 out = jax.jit(_q)(x, scale, w, res)
-                val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
-                ok = np.isfinite(val)
-                print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
-                if not ok:
-                    failures.append(name)
-            except Exception as e:  # noqa: BLE001
-                failures.append(name)
-                print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+                return bool(np.isfinite(float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))))
+
+            run_case(name, failures, lnmm_q_case)
 
     for name, d, f, dtype in ffn_variants():
         jt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
@@ -227,22 +243,16 @@ def main():
         bias = jnp.zeros((d,), jnp.float32)
         wi = jnp.asarray(rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.02)
         wo = jnp.asarray(rng.standard_normal((f, d)).astype(np.float32) * 0.02)
-        t0 = time.perf_counter()
-        try:
+
+        def ffn_case(x=x, scale=scale, bias=bias, wi=wi, wo=wo):
             out = jax.jit(
                 lambda x, s, b, wi, wo: _pallas_ln_ffn(
                     x, s, b, wi, wo, eps=1e-5, residual=True, block_rows=256
                 )
             )(x, scale, bias, wi, wo)
-            val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
-            ok = np.isfinite(val)
-            dt = time.perf_counter() - t0
-            print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({dt:5.1f}s)", flush=True)
-            if not ok:
-                failures.append(name)
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+            return bool(np.isfinite(float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))))
+
+        run_case(name, failures, ffn_case)
 
     # W8A8 FFN (int8 Wi; and the int8-Wo second stage), bf16 activations
     for wo_q in (False, True):
@@ -253,22 +263,17 @@ def main():
             bias = jnp.zeros((d,), jnp.float32)
             wi = jnp.asarray(rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.02)
             wo = jnp.asarray(rng.standard_normal((f, d)).astype(np.float32) * 0.02)
-            t0 = time.perf_counter()
-            try:
+
+            def ffn_q_case(x=x, scale=scale, bias=bias, wi=wi, wo=wo, wo_q=wo_q):
                 out = jax.jit(
                     lambda x, s, b, wi, wo, _wq=wo_q: _pallas_ln_ffn(
                         x, s, b, wi, wo, eps=1e-5, residual=True, block_rows=256,
                         w8a8=True, w8a8_wo=_wq,
                     )
                 )(x, scale, bias, wi, wo)
-                val = float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))
-                ok = np.isfinite(val)
-                print(f"{name:34s} {'PASS' if ok else 'NONFINITE'}  ({time.perf_counter()-t0:5.1f}s)", flush=True)
-                if not ok:
-                    failures.append(name)
-            except Exception as e:  # noqa: BLE001
-                failures.append(name)
-                print(f"{name:34s} FAIL  {type(e).__name__}: {str(e)[:100]}", flush=True)
+                return bool(np.isfinite(float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))))
+
+            run_case(name, failures, ffn_q_case)
 
     print(f"\n{len(failures)} failures / total {time.perf_counter()-t_start:.0f}s", flush=True)
     if failures:
