@@ -31,6 +31,14 @@ Point = tuple[float, float]
 _SAMPLES_PER_SEGMENT = 64
 
 
+def _arc_length_tables(verts: np.ndarray):
+    """Per-segment vectors/lengths + cumulative arc length of a polyline."""
+    seg = np.diff(verts, axis=0)
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    return seg, seg_len, cum
+
+
 def _polyline_position(
     verts: np.ndarray, req_length: float, t: float, tables=None
 ) -> Point:
@@ -39,16 +47,11 @@ def _polyline_position(
     If the polyline is shorter than ``req_length`` the final segment is
     linearly extrapolated (osu! extends the last segment); degenerate
     zero-length polylines return the last vertex. ``tables`` optionally
-    supplies the precomputed ``(seg, seg_len, cum)`` arc-length tables —
-    a Curve is evaluated many times (head/ticks/repeats/tail), so callers
-    cache them instead of re-deriving per call.
+    supplies the precomputed ``_arc_length_tables`` — a Curve is evaluated
+    many times (head/ticks/repeats/tail), so callers cache them instead of
+    re-deriving per call.
     """
-    if tables is None:
-        seg = np.diff(verts, axis=0)
-        seg_len = np.hypot(seg[:, 0], seg[:, 1])
-        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
-    else:
-        seg, seg_len, cum = tables
+    seg, seg_len, cum = tables if tables is not None else _arc_length_tables(verts)
     total = cum[-1]
     target = float(t) * float(req_length)
 
@@ -144,10 +147,7 @@ class Curve:
     def __call__(self, t: float) -> Point:
         if self._verts is None:
             self._verts = np.asarray(self._build(), dtype=np.float64)
-            seg = np.diff(self._verts, axis=0)
-            seg_len = np.hypot(seg[:, 0], seg[:, 1])
-            cum = np.concatenate([[0.0], np.cumsum(seg_len)])
-            self._tables = (seg, seg_len, cum)
+            self._tables = _arc_length_tables(self._verts)
         return _polyline_position(self._verts, self.req_length, t, self._tables)
 
 

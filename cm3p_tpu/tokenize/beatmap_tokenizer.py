@@ -263,12 +263,14 @@ class BeatmapTokenizer(JsonConfigMixin):
         return tok
 
     def _tokenize_hitsound(self, hitsound: int, sampleset: int, addition: int) -> str:
-        key = (hitsound, sampleset, addition)
+        # clamp BEFORE keying so the memo is bounded at 8*3*3 entries even
+        # for unclamped producers (loader workers are long-lived)
+        h = int(min(max(hitsound >> 1, 0), 7)) << 1
+        s = int(min(max(sampleset, 1), 3))
+        a = int(min(max(addition, 1), 3))
+        key = (h, s, a)
         tok = self._memo_hs.get(key)
         if tok is None:
-            h = int(min(max(hitsound >> 1, 0), 7)) << 1
-            s = int(min(max(sampleset, 1), 3))
-            a = int(min(max(addition, 1), 3))
             tok = self._memo_hs[key] = f"[HITSOUND_{h}_{s}_{a}]"
         return tok
 

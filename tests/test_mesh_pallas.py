@@ -201,12 +201,22 @@ class TestMeshFusedLnOps:
 
 
 class TestMeshModelLevel:
-    """Full EncoderLayer with attn_impl='pallas' under an ambient mesh: the
-    fused QKV lnmm, the flash kernel, the fused Wo+residual lnmm, and the
-    fused FFN all take their mesh-aware dispatch in one composition."""
+    """Full EncoderLayer with attn_impl='pallas' under an ambient mesh.
 
-    @pytest.mark.parametrize("layer_id", [0, 1])  # 0 = global layer, 1 = local
-    def test_encoder_layer_matches_unsharded(self, layer_id):
+    Two compositions since the LNMM default flip (commit 32d2d42):
+
+    - default path: XLA attn pre-LN + QKV/Wo dots around the mesh-aware
+      flash kernel + fused FFN. Under the (data, model) mesh GSPMD shards
+      the QKV/Wo contractions over `model` (Megatron-style partial sums +
+      psum), so bf16 accumulation order differs from the unsharded dot —
+      correct math, different rounding. Assert to a bf16-rounding bound
+      plus a tight mean-drift bound (a real wiring bug diverges O(1) on
+      most elements, far outside both).
+    - lnmm-forced path: the fused QKV/Wo kernels run per data shard with
+      identical per-row math, so sharded == unsharded stays exact.
+    """
+
+    def _run(self, layer_id):
         from cm3p_tpu.configs import EncoderConfig
         from cm3p_tpu.models.modernbert import EncoderLayer
 
@@ -223,6 +233,22 @@ class TestMeshModelLevel:
         base = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
         with make_mesh():
             sharded = np.asarray(layer.apply(params, x, None, cos, sin, 64), np.float32)
+        return sharded, base
+
+    @pytest.mark.parametrize("layer_id", [0, 1])  # 0 = global layer, 1 = local
+    def test_encoder_layer_matches_unsharded(self, layer_id):
+        sharded, base = self._run(layer_id)
+        np.testing.assert_allclose(sharded, base, atol=6e-2)
+        assert np.mean(np.abs(sharded - base)) < 3e-3
+
+    @pytest.mark.parametrize("layer_id", [0, 1])
+    def test_encoder_layer_matches_unsharded_lnmm(self, layer_id, monkeypatch):
+        from cm3p_tpu.ops import fused_ln_matmul as lnmm
+
+        monkeypatch.setattr(lnmm, "FUSED_LNMM_QKV_ENABLED", True)
+        monkeypatch.setattr(lnmm, "FUSED_LNMM_WO_ENABLED", True)
+        monkeypatch.setattr(lnmm, "FUSED_LNMM_ENABLED", True)
+        sharded, base = self._run(layer_id)
         np.testing.assert_allclose(sharded, base, atol=1e-5)
 
 

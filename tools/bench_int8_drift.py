@@ -33,11 +33,17 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CONFIGS = [
-    # (name, {module attr -> value})
-    ("w8a8", {"W8A8": True}),
-    ("w8a8_wo", {"W8A8": True, "W8A8_WO": True}),
+    # (name, {module attr -> value}). The int8 QKV kernel only runs when the
+    # attention pre-LN is handed to SelfAttention (FUSED_LNMM_QKV), and the
+    # int8 attn-Wo only when the residual is (FUSED_LNMM_WO / FUSED_WO) — the
+    # LNMM master default is OFF since the -30% headline A/B, so each arm
+    # must force the sub-gates its int8 path rides on.
+    ("w8a8", {"W8A8": True, "FUSED_LNMM_QKV": True}),
+    ("w8a8_wo", {"W8A8": True, "W8A8_WO": True,
+                 "FUSED_LNMM_QKV": True, "FUSED_LNMM_WO": True}),
     ("wo_q", {"FUSED_WO": True, "FUSED_WO_Q": True}),
-    ("all_int8", {"W8A8": True, "W8A8_WO": True, "FUSED_WO": True, "FUSED_WO_Q": True}),
+    ("all_int8", {"W8A8": True, "W8A8_WO": True, "FUSED_WO": True,
+                  "FUSED_WO_Q": True, "FUSED_LNMM_QKV": True}),
 ]
 
 
@@ -47,6 +53,11 @@ def set_gates(flags: dict) -> None:
     from cm3p_tpu.ops import fused_ln_matmul as lnmm
 
     lnmm.W8A8_ENABLED = flags.get("W8A8", False)
+    lnmm.FUSED_LNMM_QKV_ENABLED = flags.get("FUSED_LNMM_QKV", False)
+    lnmm.FUSED_LNMM_WO_ENABLED = flags.get("FUSED_LNMM_WO", False)
+    lnmm.FUSED_LNMM_ENABLED = (
+        lnmm.FUSED_LNMM_QKV_ENABLED or lnmm.FUSED_LNMM_WO_ENABLED
+    )
     ffn.W8A8_WO_ENABLED = flags.get("W8A8_WO", False)
     fa.FUSED_WO_ENABLED = flags.get("FUSED_WO", False)
     fa.FUSED_WO_Q = flags.get("FUSED_WO_Q", False)

@@ -63,7 +63,13 @@ def build_packed_batch(cfg, rows: int, seq_len: int, variations: int, meta_len: 
         "window_rows": jnp.asarray(window_rows),
         "window_segments": jnp.asarray(window_segments),
         "window_valid": jnp.asarray(window_valid),
-        "metadata_ids": jnp.asarray(rng.integers(0, 900, (w_pad, variations, meta_len)), jnp.int32),
+        # bounded by the config's metadata vocab — OOB embedding ids are
+        # silent NaN on TPU (CLAUDE.md) and tiny_cm3p_config has vocab 256
+        "metadata_ids": jnp.asarray(
+            rng.integers(0, cfg.metadata_config.vocab_size,
+                         (w_pad, variations, meta_len)),
+            jnp.int32,
+        ),
         "metadata_attention_mask": jnp.ones((w_pad, variations, meta_len), jnp.int32),
         "metadata_variation_classes": jnp.asarray(classes),
     }, w

@@ -47,11 +47,15 @@ def main() -> None:
         for tag, r in results:
             mfu = r.get("mfu")
             tok = r.get("tokens_per_sec")
+            # mfu/tok can be None (bench.py --tiny/--no-packed emit null);
+            # format the string BEFORE applying the width spec — None has
+            # no __format__('>6').
+            mfu_s = "-" if mfu is None else f"{mfu:.3f}"
+            tok_s = "-" if tok is None else f"{tok:,.0f}"
             print(
                 f"{tag:14s} {r.get('value', float('nan')):11.1f} "
                 f"{r.get('vs_baseline', float('nan')):8.2f} "
-                f"{mfu if mfu is None else f'{mfu:.3f}':>6} "
-                f"{tok if tok is None else f'{tok:,.0f}':>10}"
+                f"{mfu_s:>6} {tok_s:>10}"
             )
     else:
         print("no bench JSON lines found")

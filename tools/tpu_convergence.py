@@ -166,7 +166,9 @@ def main(argv=None):
     ]
     config = ns.config
     if ns.cpu:
-        config = "smoke"
+        # only default to the smoke recipe; an explicit --config wins
+        if config == "default":
+            config = "smoke"
         overrides += ["dataset.synthetic=false", "attn_impl=xla", "dataset.labels=none"]
 
     cmd = [sys.executable, str(REPO / "train.py"), "--config-name", config]

@@ -1,7 +1,9 @@
 #!/bin/bash
 # Round-2 continuation batch: per-half lnmm diagnosis + local-only Wo
-# epilogue, after the LNMM default flip (commit 32d2d42). Waits for
-# tpu_followup.sh to release the TPU, then runs as ONE background process.
+# epilogue, after the LNMM default flip (commit 32d2d42). Runs immediately
+# as ONE background process; set WAIT_FOR="pattern:file" to gate on another
+# batch's completion line (only one process may use the shared TPU at a
+# time — concurrent benches corrupt both runs' same-day A/B numbers).
 #
 # Questions this answers (see BASELINE.md round-2c table for the priors):
 #   1. Production-shape smoke: do the WO/lnmm variants compile at L=4096
