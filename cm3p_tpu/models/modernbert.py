@@ -185,14 +185,28 @@ class SelfAttention(nn.Module):
                 x.astype(self.dtype), wqkv, scale=ln_scale, bias=ln_bias, eps=cfg.norm_eps
             )
         else:
-            qkv = nn.Dense(
-                3 * hidden,
-                use_bias=cfg.attention_bias,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
-                name="Wqkv",
-            )(x)
+            from ..ops.xla_int8 import XLA_INT8_ENABLED, int8_dot
+
+            if XLA_INT8_ENABLED and not cfg.attention_bias:
+                # W8A8 on the plain XLA path (CM3P_XLA_INT8): same param
+                # path/init as the nn.Dense below (checkpoints interchange);
+                # autodiff runs the exact bf16 product (ops/xla_int8.py)
+                wqkv = _KernelParam(
+                    (hidden, 3 * hidden),
+                    cfg.initializer_range,
+                    cfg.initializer_cutoff_factor,
+                    name="Wqkv",
+                )()
+                qkv = int8_dot(x.astype(self.dtype), wqkv)
+            else:
+                qkv = nn.Dense(
+                    3 * hidden,
+                    use_bias=cfg.attention_bias,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+                    name="Wqkv",
+                )(x)
         b, l, _ = qkv.shape
         # head-minor (B, L, H, D): the layout the Pallas kernels take — no
         # (B, H, L, D) transposes anywhere on the flash path (they were real
@@ -279,7 +293,18 @@ class SelfAttention(nn.Module):
             if FUSED_LNMM_WO_ENABLED:
                 lnmm_wo = fused_ln_matmul_q if W8A8_WO_ENABLED else fused_ln_matmul
                 return lnmm_wo(out, wo, residual=residual)
+            from ..ops.xla_int8 import XLA_INT8_ENABLED, int8_dot
+
+            if XLA_INT8_ENABLED:
+                return residual + int8_dot(out.astype(self.dtype), wo)
             return residual + jnp.dot(out, wo.astype(self.dtype))
+        from ..ops.xla_int8 import XLA_INT8_ENABLED, int8_dot
+
+        if XLA_INT8_ENABLED and not cfg.attention_bias:
+            wo = _KernelParam(
+                (hidden, hidden), wo_std, cfg.initializer_cutoff_factor, name="Wo"
+            )()
+            return int8_dot(out.astype(self.dtype), wo)
         out = nn.Dense(
             hidden,
             use_bias=cfg.attention_bias,
@@ -302,18 +327,42 @@ class GeGLU(nn.Module):
         cfg = self.config
         act = ACTIVATIONS[cfg.hidden_activation]
         wo_std = cfg.initializer_range / math.sqrt(2.0 * cfg.num_hidden_layers)
-        h = nn.Dense(
-            2 * cfg.intermediate_size,
-            use_bias=cfg.mlp_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
-            name="Wi",
-        )(x)
+        from ..ops.xla_int8 import XLA_INT8_ENABLED, int8_dot
+
+        # CM3P_XLA_INT8 also covers this unfused path (it only runs when the
+        # fused FFN kernel declines — fp32 shapes, dropout; the fused kernel
+        # has its own in-kernel int8 gates). Param paths mirror the Dense
+        # branch so checkpoints interchange.
+        use_int8 = XLA_INT8_ENABLED and not cfg.mlp_bias
+        if use_int8:
+            wi = _KernelParam(
+                (cfg.hidden_size, 2 * cfg.intermediate_size),
+                cfg.initializer_range,
+                cfg.initializer_cutoff_factor,
+                name="Wi",
+            )()
+            h = int8_dot(x.astype(self.dtype), wi)
+        else:
+            h = nn.Dense(
+                2 * cfg.intermediate_size,
+                use_bias=cfg.mlp_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init(cfg.initializer_range, cfg.initializer_cutoff_factor),
+                name="Wi",
+            )(x)
         inp, gate = jnp.split(h, 2, axis=-1)
         h = act(inp) * gate
         if cfg.mlp_dropout > 0.0 and not deterministic:
             h = nn.Dropout(cfg.mlp_dropout)(h, deterministic=False)
+        if use_int8:
+            wo = _KernelParam(
+                (cfg.intermediate_size, cfg.hidden_size),
+                wo_std,
+                cfg.initializer_cutoff_factor,
+                name="Wo",
+            )()
+            return int8_dot(h.astype(self.dtype), wo)
         return nn.Dense(
             cfg.hidden_size,
             use_bias=cfg.mlp_bias,
