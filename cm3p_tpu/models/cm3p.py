@@ -304,6 +304,16 @@ class CM3PModule(nn.Module):
     remat: Any = False  # False | True (full) | "dots"
     sp_mesh: Any = None  # Mesh with a "seq" axis -> sequence-parallel beatmap tower
     sp_axis: str = "seq"
+    # Pack this many metadata sequences along the length axis per encoder row
+    # (0/1 = off). The metadata tower runs huge batches of tiny sequences
+    # (windows x variations x ~24 tokens); at L=24 the per-head attention
+    # matmuls are 24x24 tiles in a 128x128 MXU (~3.5% utilization) and
+    # measured ~50% of the tower's fwd+bwd at <3% of its FLOPs
+    # (tools/bench_meta_tower.py). Packing G sequences into one (G*L)-row
+    # with block-diagonal segment masking + per-segment restarting positions
+    # is numerically the SAME attention (independent softmax per segment,
+    # identical rope phases) computed in G-fold bigger matmuls.
+    meta_pack: int = 0
 
     def setup(self):
         cfg = self.config
@@ -531,7 +541,37 @@ class CM3PModule(nn.Module):
             if (is_3d and metadata_attention_mask is not None)
             else metadata_attention_mask
         )
-        hidden = self.metadata_model(input_ids=ids, attention_mask=mask, deterministic=deterministic)
+        n, l = ids.shape
+        g = int(self.meta_pack)
+        # keep the packed row under the encoder's flash threshold (512) so
+        # this stays on the XLA dense path, whose segment bias + explicit
+        # position_ids reproduce per-sequence attention exactly
+        if g > 1 and n > 1 and g * l <= 512:
+            n_pad = -(-n // g) * g
+            ids_p, mask_p = ids, mask
+            if n_pad != n:
+                # pad rows carry id 0 / mask 1 (NOT mask 0: an all-masked row
+                # softmaxes over -inf only -> NaN, and 0 * NaN poisons the
+                # vjp even though the rows are sliced away below)
+                ids_p = jnp.concatenate([ids, jnp.zeros((n_pad - n, l), ids.dtype)])
+                if mask is not None:
+                    mask_p = jnp.concatenate([mask, jnp.ones((n_pad - n, l), mask.dtype)])
+            rows = n_pad // g
+            seg = jnp.broadcast_to(
+                jnp.repeat(jnp.arange(g, dtype=jnp.int32), l), (rows, g * l)
+            )
+            hidden = self.metadata_model(
+                input_ids=ids_p.reshape(rows, g * l),
+                attention_mask=None if mask_p is None else mask_p.reshape(rows, g * l),
+                position_ids=jnp.tile(jnp.arange(l), g),
+                segment_ids=seg,
+                deterministic=deterministic,
+            )
+            hidden = hidden.reshape(n_pad, l, hidden.shape[-1])[:n]
+        else:
+            hidden = self.metadata_model(
+                input_ids=ids, attention_mask=mask, deterministic=deterministic
+            )
         pooled = pool_hidden(hidden, mask, self.config.metadata_config.cls_embed)
         feats = self.metadata_projection(pooled)
         if is_3d:

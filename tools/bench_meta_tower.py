@@ -175,11 +175,33 @@ def main(argv=None):
             np.asarray(jax.tree_util.tree_leaves(out)[0])
         return (time.perf_counter() - t0) / ns.iters
 
+    # -- meta_pack arms: same tower, G sequences packed per encoder row ----
+    def make_pack_grad(g):
+        m = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", meta_pack=g)
+
+        @jax.jit
+        def pack_grad(p, i, k):
+            def loss(q):
+                out = m.apply(
+                    {"params": q}, metadata_ids=i, metadata_attention_mask=k,
+                    method=CM3PModule.get_metadata_features,
+                )
+                return out.astype(jnp.float32).sum()
+
+            return jax.grad(loss)(p)
+
+        return pack_grad
+
     results = {}
     results["fwd"] = time_fn(fwd, params, ids, mask)
     print(f"fwd          {results['fwd']:.4f}s", flush=True)
     results["grad"] = time_fn(grad, params, ids, mask)
     print(f"grad         {results['grad']:.4f}s", flush=True)
+    for g in (2, 4, 8, 16):
+        if g * L > 512:
+            continue
+        results[f"grad_pack{g}"] = time_fn(make_pack_grad(g), params, ids, mask)
+        print(f"grad_pack{g:<4}{results[f'grad_pack{g}']:.4f}s", flush=True)
     results["dense_grad"] = time_fn(dense_grad, dense_params, ids2d)
     print(f"dense_grad   {results['dense_grad']:.4f}s", flush=True)
     results["attn_grad"] = time_fn(attn_grad, x0)
