@@ -543,10 +543,12 @@ class CM3PModule(nn.Module):
         )
         n, l = ids.shape
         g = int(self.meta_pack)
-        # keep the packed row under the encoder's flash threshold (512) so
-        # this stays on the XLA dense path, whose segment bias + explicit
-        # position_ids reproduce per-sequence attention exactly
-        if g > 1 and n > 1 and g * l <= 512:
+        # g*l < 512 stays on the encoder's XLA dense path (segment bias);
+        # g*l >= 512 with attn_impl="pallas" engages the segmented flash
+        # kernels — scores never reach HBM and segment block skipping
+        # bounds the overfetch (the kernel pads non-block-multiple lengths
+        # internally). Both reproduce per-sequence attention exactly.
+        if g > 1 and n > 1:
             n_pad = -(-n // g) * g
             ids_p, mask_p = ids, mask
             if n_pad != n:
@@ -557,8 +559,9 @@ class CM3PModule(nn.Module):
                 if mask is not None:
                     mask_p = jnp.concatenate([mask, jnp.ones((n_pad - n, l), mask.dtype)])
             rows = n_pad // g
+            # 1-based: the flash kernels treat segment id 0 as padding
             seg = jnp.broadcast_to(
-                jnp.repeat(jnp.arange(g, dtype=jnp.int32), l), (rows, g * l)
+                jnp.repeat(jnp.arange(1, g + 1, dtype=jnp.int32), l), (rows, g * l)
             )
             hidden = self.metadata_model(
                 input_ids=ids_p.reshape(rows, g * l),

@@ -88,11 +88,11 @@ class TestMetaPackParity:
         for a, b in zip(flat_p, flat_b):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
 
-    def test_pack_disabled_when_row_too_long(self):
-        """g * l > 512 must fall back to the unpacked path (flash threshold)."""
+    def test_long_row_xla_path_matches(self):
+        """g * l > 512 on the XLA path still reproduces unpacked exactly."""
         base, cfg = _model(0)
-        packed, _ = _model(128)  # 128 * 8 = 1024 > 512
-        ids, mask = _inputs(vocab=cfg.metadata_config.vocab_size)
+        packed, _ = _model(128)  # 128 * 8 = 1024 tokens per row
+        ids, mask = _inputs(w=16, v=16, vocab=cfg.metadata_config.vocab_size)
         params = base.init(
             jax.random.PRNGKey(0),
             metadata_ids=ids,
@@ -108,7 +108,44 @@ class TestMetaPackParity:
                 method=CM3PModule.get_metadata_features,
             )
 
-        np.testing.assert_allclose(np.asarray(feats(packed)), np.asarray(feats(base)), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(feats(packed)), np.asarray(feats(base)), atol=1e-5, rtol=1e-5
+        )
+
+    def test_flash_path_matches(self, monkeypatch):
+        """g*l >= 512 with attn_impl='pallas' routes through the segmented
+        flash kernels (interpret mode) and matches the unpacked XLA path."""
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        from cm3p_tpu.ops import flash_attention as fa
+
+        monkeypatch.setattr(
+            fa.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+        )
+        base, cfg = _model(0)
+        cfgp = tiny_cm3p_config()
+        packed = CM3PModule(cfgp, dtype=jnp.float32, attn_impl="pallas", meta_pack=64)
+        ids, mask = _inputs(w=8, v=16, vocab=cfg.metadata_config.vocab_size)  # 64*8 = 512
+        params = base.init(
+            jax.random.PRNGKey(0),
+            metadata_ids=ids,
+            metadata_attention_mask=mask,
+            method=CM3PModule.get_metadata_features,
+        )
+
+        def feats(m):
+            return m.apply(
+                params,
+                metadata_ids=ids,
+                metadata_attention_mask=mask,
+                method=CM3PModule.get_metadata_features,
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(feats(packed)), np.asarray(feats(base)), atol=2e-5, rtol=1e-5
+        )
 
     def test_full_forward_with_pack(self):
         """The contrastive forward accepts meta_pack (loss finite, matches)."""

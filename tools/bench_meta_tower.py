@@ -197,9 +197,8 @@ def main(argv=None):
     print(f"fwd          {results['fwd']:.4f}s", flush=True)
     results["grad"] = time_fn(grad, params, ids, mask)
     print(f"grad         {results['grad']:.4f}s", flush=True)
-    for g in (2, 4, 8, 16):
-        if g * L > 512:
-            continue
+    # g*L < 512 -> XLA dense seg-bias path; >= 512 -> segmented flash kernels
+    for g in (4, 16, 32, 64):
         results[f"grad_pack{g}"] = time_fn(make_pack_grad(g), params, ids, mask)
         print(f"grad_pack{g:<4}{results[f'grad_pack{g}']:.4f}s", flush=True)
     results["dense_grad"] = time_fn(dense_grad, dense_params, ids2d)

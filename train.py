@@ -338,7 +338,9 @@ def main(argv=None):
     elif args["model_cls"] == "ClassifierModule":
         model = ClassifierModule(model_cfg.beatmap_config, **common)
     else:
-        model = CM3PModule(model_cfg, **common)
+        # meta_pack: pack G metadata variations per encoder row (exact same
+        # attention via segment masks; tests/test_meta_pack.py pins parity)
+        model = CM3PModule(model_cfg, meta_pack=int(args.get("meta_pack", 0)), **common)
 
     if args["dataset"].get("synthetic"):
         train_factory = synthetic_batches(args, model_cfg, processor, test=False, seed=training["seed"])
