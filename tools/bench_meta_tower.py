@@ -9,12 +9,20 @@ over the SAME token population, so subtraction localizes the sink:
 
     fwd          get_metadata_features forward only
     grad         d(sum feats)/d params       — the decompose baseline
+    grad_packG   meta_pack=G (XLA seg-bias route < 512 tokens/row,
+                 segmented flash kernels >= 512)
     dense_grad   replica stack WITHOUT attention (same embed/LN/QKV/Wo/
                  GeGLU matmuls; v passes through where attention was)
-    attn_grad    ONLY the per-layer rope + xla_attention chain on a
-                 (B, 24, 256) activation (no dense matmuls)
     embed_grad   embedding + final norm + CLS pool + projection only
     grad_v64     grad at 64 variations        — batch-scaling anchor
+
+Measured so far (v5e, 2026-08-18, V=256 -> 196k tokens): grad 0.233 s,
+dense_grad 0.111-0.129 s => in-situ attention ~0.10-0.12 s for <3% of the
+FLOPs. An isolated "attention-only chain" arm was removed after measuring
+2.7-12.4 s: with no adjacent projection matmul, XLA has nothing to fuse
+the (B,L,H,D)->(B,H,L,D) layout moves into and the arm times layout
+thrash, not attention — in-situ cost must come from the grad-minus-dense
+subtraction, not an isolated chain.
 
 Relay-safe timing: host fetch per iteration (CLAUDE.md).
 
@@ -60,13 +68,7 @@ def main(argv=None):
 
     from cm3p_tpu.configs import CM3PConfig, tiny_cm3p_config
     from cm3p_tpu.models import CM3PModule
-    from cm3p_tpu.models.modernbert import (
-        ACTIVATIONS,
-        LayerNormF32,
-        apply_rope,
-        rope_cos_sin,
-        xla_attention,
-    )
+    from cm3p_tpu.models.modernbert import ACTIVATIONS, LayerNormF32
 
     if ns.tiny:
         cfg = tiny_cm3p_config()
@@ -131,23 +133,6 @@ def main(argv=None):
     def dense_grad(p, i):
         return jax.grad(lambda q: dense_tower.apply({"params": q}, i).astype(jnp.float32).sum())(p)
 
-    # -- ONLY the attention chain: rope + fp32-softmax xla_attention per
-    #    layer on a (B, L, H) activation, no dense matmuls ------------------
-    heads, hd = mcfg.num_attention_heads, mcfg.head_dim
-    cos, sin = rope_cos_sin(jnp.arange(L), hd, mcfg.global_rope_theta, jnp.bfloat16)
-    x0 = jnp.asarray(rng.standard_normal((W * V, L, heads * hd)), jnp.bfloat16)
-
-    def attn_chain(x):
-        for _ in range(mcfg.num_hidden_layers):
-            qkv = x.reshape(x.shape[0], L, heads, hd)
-            q, k = apply_rope(qkv, qkv, cos, sin)
-            x = x + xla_attention(q, k, qkv, None).reshape(x.shape)
-        return x.astype(jnp.float32).sum()
-
-    @jax.jit
-    def attn_grad(x):
-        return jax.grad(attn_chain)(x)
-
     # -- embedding + final norm + pool + projection only (no layers) -------
     class EmbedPool(nn.Module):
         @nn.compact
@@ -177,7 +162,10 @@ def main(argv=None):
 
     # -- meta_pack arms: same tower, G sequences packed per encoder row ----
     def make_pack_grad(g):
-        m = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", meta_pack=g)
+        # CPU (--tiny) can't run compiled Pallas; the xla fallback keeps the
+        # plumbing smoke working while TPU measures the real kernel route
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        m = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl=impl, meta_pack=g)
 
         @jax.jit
         def pack_grad(p, i, k):
@@ -203,8 +191,6 @@ def main(argv=None):
         print(f"grad_pack{g:<4}{results[f'grad_pack{g}']:.4f}s", flush=True)
     results["dense_grad"] = time_fn(dense_grad, dense_params, ids2d)
     print(f"dense_grad   {results['dense_grad']:.4f}s", flush=True)
-    results["attn_grad"] = time_fn(attn_grad, x0)
-    print(f"attn_grad    {results['attn_grad']:.4f}s", flush=True)
     results["embed_grad"] = time_fn(embed_grad, embed_params, ids2d)
     print(f"embed_grad   {results['embed_grad']:.4f}s", flush=True)
     v64 = max(V // 4, 1)
@@ -218,11 +204,8 @@ def main(argv=None):
                 "unit": "s",
                 "components": {k: round(v, 4) for k, v in results.items()},
                 "derived": {
-                    "attn_share_of_grad": round(results["attn_grad"] / results["grad"], 3),
                     "dense_share_of_grad": round(results["dense_grad"] / results["grad"], 3),
-                    "unexplained": round(
-                        results["grad"] - results["dense_grad"] - results["attn_grad"], 4
-                    ),
+                    "attn_in_situ": round(results["grad"] - results["dense_grad"], 4),
                 },
                 "detail": {
                     "windows": W,

@@ -84,6 +84,8 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--remat", default="none", choices=["full", "dots", "none"],
                         help="v8_packed ships remat: false")
+    parser.add_argument("--meta-pack", type=int, default=0,
+                        help="pack G metadata variations per encoder row (0 = off)")
     parser.add_argument("--tiny", action="store_true", help="tiny config on CPU (plumbing smoke)")
     ns = parser.parse_args(argv)
 
@@ -114,7 +116,9 @@ def main(argv=None):
         cfg = CM3PConfig()
     batch, w = build_packed_batch(cfg, ns.rows, ns.seq_len, ns.variations, ns.meta_len)
     remat = {"full": True, "dots": "dots", "none": False}[ns.remat]
-    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=remat)
+    model = CM3PModule(
+        cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=remat, meta_pack=ns.meta_pack
+    )
 
     tx = muon(4e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch, method=CM3PModule.forward_packed)
@@ -228,6 +232,7 @@ def main(argv=None):
                     "seq_len": ns.seq_len,
                     "variations": ns.variations,
                     "remat": ns.remat,
+                    "meta_pack": ns.meta_pack,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--variations", type=int, default=1000)
     ap.add_argument("--seq-len", type=int, default=4096)
     ap.add_argument("--meta-len", type=int, default=24)
+    ap.add_argument("--meta-pack", type=int, default=0,
+                    help="pack G metadata variations per encoder row (0 = off)")
     ap.add_argument("--tiny", action="store_true")
     ns = ap.parse_args()
 
@@ -53,7 +55,7 @@ def main():
     else:
         cfg = CM3PConfig()
 
-    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas")
+    model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", meta_pack=ns.meta_pack)
     rng = np.random.default_rng(0)
     B, V, L, ML = ns.batch, ns.variations, ns.seq_len, ns.meta_len
     classes = np.zeros((B, V), np.int32)
