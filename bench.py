@@ -173,7 +173,12 @@ def main():
     )
     args = parser.parse_args()
 
-    if not args.precise:
+    if args.precise:
+        # the flag is as explicit as any inherited env var — override both
+        # ways so "--precise" always means exact bf16
+        os.environ["CM3P_FUSED_WO"] = "0"
+        os.environ["CM3P_W8A8"] = "0"
+    else:
         # Production extraction config (r3f same-chip bracket A/B,
         # 2026-08-18: FUSED_WO+W8A8 204.6 emb/s vs 200.7/201.6 bf16 bracket;
         # embedding drift cos_min 0.99998 — tools/bench_int8_drift.py —

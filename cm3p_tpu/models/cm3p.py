@@ -542,7 +542,8 @@ class CM3PModule(nn.Module):
             else metadata_attention_mask
         )
         n, l = ids.shape
-        g = int(self.meta_pack)
+        # cap at n so small batches never pad-compute more than unpacked
+        g = min(int(self.meta_pack), n)
         # g*l < 512 stays on the encoder's XLA dense path (segment bias);
         # g*l >= 512 with attn_impl="pallas" engages the segmented flash
         # kernels — scores never reach HBM and segment block skipping

@@ -13,8 +13,12 @@ custom call is introduced.
 
 Covers the dense projections that stay on the XLA path in the production
 config: Wqkv (768 -> 2304) and attention Wo (768 -> 768) — together ~47%
-of the dense stack's flops (the FFN pair runs inside ops/fused_ffn.py,
-which has its own in-kernel int8 gates). Reference counterpart: the
+of the dense stack's flops (the FFN pair normally runs inside
+ops/fused_ffn.py, which has its own in-kernel int8 gates). When the fused
+FFN kernel declines — attn_impl="xla", fp32 activations at the beatmap
+shape, active mlp_dropout — the unfused GeGLU ALSO routes Wi/Wo through
+this module (models/modernbert.py GeGLU), so in those configs the gate
+covers all four projections, not 47%. Reference counterpart: the
 ModernBERT attention projections, /root/reference/cm3p/modeling_cm3p.py
 :607-619 (always bf16 there).
 

@@ -140,7 +140,11 @@ def main(argv=None):
     )
     ns = parser.parse_args(argv)
 
-    if not ns.precise:
+    if ns.precise:
+        # override inherited env too: "--precise" always means exact bf16
+        os.environ["CM3P_FUSED_WO"] = "0"
+        os.environ["CM3P_W8A8"] = "0"
+    else:
         # Production extraction gates — see bench.py for the measured A/B
         # and drift evidence. setdefault: explicit env still overrides.
         # Must run before any cm3p_tpu import (gates read at module import).
