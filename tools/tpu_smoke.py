@@ -161,26 +161,35 @@ def main():
             k = k[:, : L // 2]
             v = v[:, : L // 2]
             call_kw["key_mask"] = jnp.asarray(mask_np[:, : L // 2])
+        # wo/out_residual ride as jit ARGUMENTS, matching production where
+        # they are traced params. Closing over them bakes the (768, 768)
+        # weight as an XLA constant — an unrepresentative program that
+        # crashed the relay's tpu_compile_helper on the fp32+rope+seg
+        # combination (the argument form, like the production path and
+        # tools/tpu_repro_wofp32.py, compiles fine).
+        wo_args = ()
         if kw.get("wo"):
-            call_kw["wo"] = jnp.asarray(
-                rng.standard_normal((H * D, H * D)).astype(np.float32) * 0.05
-            )
-            call_kw["out_residual"] = jnp.asarray(
-                rng.standard_normal((B, L, H * D)).astype(np.float32), jt
+            wo_args = (
+                jnp.asarray(rng.standard_normal((H * D, H * D)).astype(np.float32) * 0.05),
+                jnp.asarray(rng.standard_normal((B, L, H * D)).astype(np.float32), jt),
             )
         import cm3p_tpu.ops.flash_attention as fa_mod
 
         fa_mod.FUSED_WO_Q = bool(kw.get("woq"))
 
-        def attn_case(q=q, k=k, v=v, call_kw=call_kw, grad=grad):
-            if grad:
-                def loss(q, k, v):
-                    return jnp.sum(flash_attention(q, k, v, **call_kw).astype(jnp.float32) ** 2)
+        def attn_case(q=q, k=k, v=v, call_kw=call_kw, grad=grad, wo_args=wo_args):
+            def call(q, k, v, *wo_res):
+                extra = dict(zip(("wo", "out_residual"), wo_res))
+                return flash_attention(q, k, v, **call_kw, **extra)
 
-                out = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+            if grad:
+                def loss(q, k, v, *wo_res):
+                    return jnp.sum(call(q, k, v, *wo_res).astype(jnp.float32) ** 2)
+
+                out = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v, *wo_args)
                 vals = [float(np.asarray(jnp.sum(jnp.abs(o.astype(jnp.float32))))) for o in out]
                 return all(np.isfinite(v_) for v_ in vals)
-            out = jax.jit(lambda q, k, v: flash_attention(q, k, v, **call_kw))(q, k, v)
+            out = jax.jit(call)(q, k, v, *wo_args)
             return bool(np.isfinite(float(np.asarray(jnp.sum(jnp.abs(out.astype(jnp.float32)))))))
 
         run_case(name, failures, attn_case)
