@@ -203,6 +203,28 @@ def main(argv=None):
     print(f"grad         {results['grad']:.4f}s", flush=True)
     results["grad_bm"] = time_fn(grad_bm, params, batch)
     print(f"grad_bm      {results['grad_bm']:.4f}s", flush=True)
+    # grad_bm with attention stubbed to a v-passthrough: the dense
+    # (embed/LN/QKV/Wo/GeGLU) share of the beatmap backward. The stub drops
+    # the kernel AND its in-path rope, so grad_bm - grad_bm_noattn =
+    # attention + rope in situ (the metadata ablation showed ISOLATED
+    # attention chains mislead via layout thrash — subtract, don't isolate).
+    from cm3p_tpu.ops import flash_attention as fa
+
+    def _stub(q_, k_, v_, **kw):
+        if kw.get("wo") is not None:
+            return kw["out_residual"] + jnp.dot(
+                v_.reshape(*v_.shape[:2], -1), kw["wo"].astype(v_.dtype)
+            )
+        return v_
+
+    _real_flash = fa.flash_attention
+    fa.flash_attention = _stub
+    try:
+        grad_bm_noattn = jax.jit(grad_bm.__wrapped__)
+        results["grad_bm_noattn"] = time_fn(grad_bm_noattn, params, batch)
+    finally:
+        fa.flash_attention = _real_flash
+    print(f"grad_bm_noat {results['grad_bm_noattn']:.4f}s", flush=True)
     results["grad_meta"] = time_fn(grad_meta, params, batch)
     print(f"grad_meta    {results['grad_meta']:.4f}s", flush=True)
     results["grad_v64"] = time_fn(grad, params, batch_v64)
@@ -218,6 +240,9 @@ def main(argv=None):
             results["grad"] - results["grad_bm"] - results["grad_meta"], 4
         ),
         "variation_scaling_v256_vs_v64": round(results["grad"] - results["grad_v64"], 4),
+        "bm_attention_and_rope_in_situ": round(
+            results["grad_bm"] - results["grad_bm_noattn"], 4
+        ),
     }
     print(
         json.dumps(
