@@ -45,8 +45,8 @@ class TestExtractorMesh:
 
         if len(jax.devices()) < 2:
             pytest.skip("needs the multi-device CPU mesh from conftest")
-        base_df, base = _extract(tmp_path, "nomesh", "--no-mesh")
-        mesh_df, mesh = _extract(tmp_path, "mesh")
+        base_df, base = _extract(tmp_path, "nomesh", "--no-pack", "--no-mesh")
+        mesh_df, mesh = _extract(tmp_path, "mesh", "--no-pack")
         assert list(base_df["beatmap_id"]) == list(mesh_df["beatmap_id"])
         np.testing.assert_allclose(mesh, base, atol=1e-5)
 
@@ -67,7 +67,7 @@ class TestExtractorMesh:
 
         if len(jax.devices()) < 2:
             pytest.skip("needs the multi-device CPU mesh from conftest")
-        base_df, base = _extract(tmp_path, "tail_nomesh", "--no-mesh", "--batch-size", "16")
-        mesh_df, mesh = _extract(tmp_path, "tail_mesh", "--batch-size", "16")
+        base_df, base = _extract(tmp_path, "tail_nomesh", "--no-pack", "--no-mesh", "--batch-size", "16")
+        mesh_df, mesh = _extract(tmp_path, "tail_mesh", "--no-pack", "--batch-size", "16")
         assert list(base_df["beatmap_id"]) == list(mesh_df["beatmap_id"])
         np.testing.assert_allclose(mesh, base, atol=1e-5)
