@@ -157,9 +157,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny config on CPU for smoke testing")
     parser.add_argument("--batch-size", type=int, default=0, help="0 = auto-scan")
-    # 128 rows amortize dispatch/pooling best with the head-minor kernels:
-    # 64 -> 174.4 emb/s, 96 -> 178.2, 128 -> 180.4 (measured 2026-08)
-    parser.add_argument("--packed-rows", type=int, default=128, help="rows for the packed headline")
+    # same-session scan under the production gates (2026-08-18): 128 ->
+    # 203.1, 160 -> 204.7, 192 -> 206.15, 256 -> 206.27, 320 -> 200.1 —
+    # plateau at 192-256; 192 keeps more HBM headroom (historical pre-gate
+    # scan: 64 -> 174.4, 96 -> 178.2, 128 -> 180.4)
+    parser.add_argument("--packed-rows", type=int, default=192, help="rows for the packed headline")
     parser.add_argument("--seq-len", type=int, default=4096)
     parser.add_argument("--mel-frames", type=int, default=1600)  # 16 s windows
     parser.add_argument("--iters", type=int, default=20)

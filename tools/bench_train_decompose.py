@@ -220,7 +220,12 @@ def main(argv=None):
     _real_flash = fa.flash_attention
     fa.flash_attention = _stub
     try:
-        grad_bm_noattn = jax.jit(grad_bm.__wrapped__)
+        # fresh lambda, NOT jax.jit(grad_bm.__wrapped__): jit keys its trace
+        # cache on function identity, so re-jitting the same function object
+        # silently reuses the already-compiled REAL graph and the patch
+        # never applies (measured: the broken form timed 0.4356 s == real,
+        # the fresh trace times 0.2004 s)
+        grad_bm_noattn = jax.jit(lambda p, b: grad_bm.__wrapped__(p, b))
         results["grad_bm_noattn"] = time_fn(grad_bm_noattn, params, batch)
     finally:
         fa.flash_attention = _real_flash
