@@ -112,7 +112,14 @@ def main(argv=None):
     parser.add_argument("--beatmap-files", action="append", default=None, help=".osu/.osz files or dirs")
     parser.add_argument("--output", required=True)
     parser.add_argument("--merge-with", default=None, help="existing embeddings parquet to merge into")
-    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument(
+        "--batch-size",
+        type=int,
+        default=0,
+        help="device batch: packed rows (default 192 — the bench-measured "
+        "amortization optimum, BASELINE.md rows scan) or dense windows "
+        "(default 32)",
+    )
     parser.add_argument("--num-workers", type=int, default=0)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
@@ -147,6 +154,11 @@ def main(argv=None):
         "0.99998, within the documented <1e-3 parity band)",
     )
     ns = parser.parse_args(argv)
+
+    if not ns.batch_size:
+        # packed rows amortize dispatch/pooling up to ~192 (BASELINE.md rows
+        # scan); dense full-length windows are memory-bound much earlier
+        ns.batch_size = 192 if ns.pack else 32
 
     if ns.precise:
         # override inherited env too: "--precise" always means exact bf16
