@@ -330,7 +330,20 @@ def main(argv=None):
             ids_list = [p[1] for p in pending]
             feats_list = [p[2] for p in pending]
             packed = pack_windows(seqs, seq_len, pad_id=processor.beatmap_tokenizer.pad_token_id)
-            row_mult = int(np.lcm(4, n_dev))  # rows must split over the mesh
+            if packed["input_ids"].shape[0] > ns.batch_size and len(pending) > 1:
+                # the token-count flush trigger under-estimates rows when
+                # first-fit fragments (windows just over seq_len/2 pack one
+                # per row) — bisect so no device batch exceeds the row
+                # budget (192 is the measured plateau; 320+ regresses and
+                # eats HBM headroom, BASELINE.md rows scan)
+                mid = len(pending) // 2
+                flush(pending[:mid])
+                flush(pending[mid:])
+                return
+            # rows must split over the mesh; the coarse multiple keeps the
+            # device shape stable across flushes (each distinct row count is
+            # a fresh 30s-10min relay compile)
+            row_mult = int(np.lcm(32, n_dev))
             rows = -(-packed["input_ids"].shape[0] // row_mult) * row_mult
             input_ids = np.zeros((rows, seq_len), np.int32)
             segment_ids = np.zeros((rows, seq_len), np.int32)

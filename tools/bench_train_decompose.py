@@ -5,12 +5,16 @@ The extraction forward has a measured component budget (docs/ROADMAP.md
 one. Each variant is a separately-jitted function over the same packed v8
 batch; subtracting bracketing variants isolates a component:
 
-    full        fwd + bwd + Muon update            (the shipped step)
-    grad        fwd + bwd, no optimizer            full - grad      = Muon
-    fwd         loss value only                    grad - fwd       = backward
-    grad_bm     bwd through the beatmap tower only (metadata tower + loss DCE'd)
-    grad_meta   bwd through the metadata tower only
-    grad_v64    full grad at 64 variations         variation-count scaling
+    full            fwd + bwd + Muon update        (the shipped step)
+    grad            fwd + bwd, no optimizer        full - grad = Muon
+    fwd             loss value only                grad - fwd  = backward
+    grad_bm         bwd through the beatmap tower only (metadata + loss DCE'd)
+    grad_bm_noattn  grad_bm with the flash kernels stubbed to a
+                    v-passthrough (drops attention AND its in-path rope);
+                    grad_bm - grad_bm_noattn = attention + rope IN SITU
+                    (derived: bm_attention_and_rope_in_situ)
+    grad_meta       bwd through the metadata tower only
+    grad_v64        full grad at 64 variations     variation-count scaling
 
 Relay-safe timing: one host fetch per iteration (block_until_ready can
 return early through the relay, CLAUDE.md).

@@ -31,15 +31,15 @@ run() {  # run <tag> <timeout_s> <cmd...>
 run micro_xla_int8 3600 python tools/bench_xla_int8.py
 
 # 1) XLA-path W8A8 on QKV + attn Wo (~47% of dense flops)
-run bench_xla_int8 5400 env CM3P_XLA_INT8=1 CM3P_FUSED_WO=0 CM3P_W8A8=0 python bench.py
+run bench_xla_int8 5400 env CM3P_XLA_INT8=1 CM3P_FUSED_WO=0 CM3P_W8A8=0 python bench.py --packed-rows 128
 
 # 2) int8 Wi inside the champion fused-FFN kernel (lnmm stays off)
-run bench_ffn_w8a8 5400 env CM3P_FUSED_WO=0 CM3P_W8A8=1 python bench.py
+run bench_ffn_w8a8 5400 env CM3P_FUSED_WO=0 CM3P_W8A8=1 python bench.py --packed-rows 128
 
 # 3) + int8 FFN Wo in-kernel
-run bench_ffn_w8a8_wo 5400 env CM3P_FUSED_WO=0 CM3P_W8A8=1 CM3P_W8A8_WO=1 python bench.py
+run bench_ffn_w8a8_wo 5400 env CM3P_FUSED_WO=0 CM3P_W8A8=1 CM3P_W8A8_WO=1 python bench.py --packed-rows 128
 
 # 4) full int8 dense stack, boundary-free (XLA QKV/Wo + in-FFN-kernel Wi/Wo)
-run bench_all_int8 5400 env CM3P_XLA_INT8=1 CM3P_FUSED_WO=0 CM3P_W8A8=1 CM3P_W8A8_WO=1 python bench.py
+run bench_all_int8 5400 env CM3P_XLA_INT8=1 CM3P_FUSED_WO=0 CM3P_W8A8=1 CM3P_W8A8_WO=1 python bench.py --packed-rows 128
 
 echo "=== r3e batch done $(date -u +%FT%TZ) ===" >> "$LOG"

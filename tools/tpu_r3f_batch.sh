@@ -23,20 +23,20 @@ run() {  # run <tag> <timeout_s> <cmd...>
 
 # bracket open: bf16 baseline (--precise: bench.py defaults the gates ON since
 # the flip this batch motivated — explicit per-arm env keeps re-runs clean)
-run bench_default_a 5400 python bench.py --precise
+run bench_default_a 5400 python bench.py --packed-rows 128 --precise
 
 # the two measured winners, standalone
-run bench_wo 5400 env CM3P_FUSED_WO=1 CM3P_W8A8=0 python bench.py
-run bench_w8a8 5400 env CM3P_FUSED_WO=0 CM3P_W8A8=1 python bench.py
+run bench_wo 5400 env CM3P_FUSED_WO=1 CM3P_W8A8=0 python bench.py --packed-rows 128
+run bench_w8a8 5400 env CM3P_FUSED_WO=0 CM3P_W8A8=1 python bench.py --packed-rows 128
 
 # the never-tested combination (complementary: epilogue fusion is the
 # attention half, W8A8 is the FFN Wi / QKV half)
-run bench_wo_w8a8 5400 env CM3P_FUSED_WO=1 CM3P_W8A8=1 python bench.py
+run bench_wo_w8a8 5400 env CM3P_FUSED_WO=1 CM3P_W8A8=1 python bench.py --packed-rows 128
 
 # + int8 inside the Wo epilogue (drift cos_min 0.999987, r3d)
-run bench_wo_q_w8a8 5400 env CM3P_FUSED_WO=1 CM3P_FUSED_WO_Q=1 CM3P_W8A8=1 python bench.py
+run bench_wo_q_w8a8 5400 env CM3P_FUSED_WO=1 CM3P_FUSED_WO_Q=1 CM3P_W8A8=1 python bench.py --packed-rows 128
 
 # bracket close: bf16 baseline again (chip-drift control)
-run bench_default_b 5400 python bench.py --precise
+run bench_default_b 5400 python bench.py --packed-rows 128 --precise
 
 echo "=== r3f batch done $(date -u +%FT%TZ) ===" >> "$LOG"

@@ -22,9 +22,11 @@ run() {  # run <tag> <timeout_s> <cmd...>
   return $rc
 }
 
-run rows128 5400 python bench.py --batch-size 16
+run rows128 5400 python bench.py --batch-size 16 --packed-rows 128
 run rows160 5400 python bench.py --batch-size 16 --packed-rows 160
 run rows192 5400 python bench.py --batch-size 16 --packed-rows 192
+run rows256 5400 python bench.py --batch-size 16 --packed-rows 256
+run rows320 5400 python bench.py --batch-size 16 --packed-rows 320
 run conv100 7200 python tools/tpu_convergence.py --steps 100 --output /tmp/conv_r4 --root /tmp/mmrs_conv_r4
 
 echo "=== r4 batch done $(date -u +%FT%TZ) ===" >> "$LOG"
