@@ -129,7 +129,7 @@ class BeatmapEventParser(JsonConfigMixin):
         """Parse a beatmap into a time-sorted list of event groups."""
         beatmap = load_beatmap(beatmap)
         hit_objects = beatmap.hit_objects(stacking=False)
-        last_pos = np.array((256.0, 192.0))
+        last_pos = (256.0, 192.0)
         groups: list[Group] = []
 
         for ho in hit_objects:
@@ -309,8 +309,8 @@ class BeatmapEventParser(JsonConfigMixin):
         return hitsound, sample_set, addition_set, volume
 
     def _get_position(
-        self, pos: np.ndarray, last_pos: np.ndarray
-    ) -> tuple[Optional[int], Optional[int], Optional[int], np.ndarray]:
+        self, pos: tuple, last_pos: tuple
+    ) -> tuple[Optional[int], Optional[int], Optional[int], tuple]:
         x = y = dist = None
         if self.add_distances:
             # same float64 ops as np.linalg.norm on a 2-vector (dx*dx+dy*dy
@@ -324,7 +324,7 @@ class BeatmapEventParser(JsonConfigMixin):
         return x, y, dist, pos
 
     @staticmethod
-    def _get_mania_column(pos: np.ndarray, columns: int) -> int:
+    def _get_mania_column(pos: tuple, columns: int) -> int:
         return int(min(max(pos[0] / 512 * columns, 0), columns - 1))
 
     def _add_group(
@@ -336,14 +336,14 @@ class BeatmapEventParser(JsonConfigMixin):
         beatmap: Beatmap = None,
         add_snap: bool = True,
         has_time: bool = True,
-        pos: Optional[np.ndarray] = None,
-        last_pos: Optional[np.ndarray] = None,
+        pos: Optional[tuple] = None,
+        last_pos: Optional[tuple] = None,
         new_combo: bool = False,
         hitsound_ref_times: Optional[list[float]] = None,
         hitsounds: Optional[list[int]] = None,
         additions: Optional[list[str]] = None,
         scroll_speed: Optional[float] = None,
-    ) -> Optional[np.ndarray]:
+    ) -> Optional[tuple]:
         group = Group(event_type=event_type, time=int(time + 1e-5))
 
         if has_time:
@@ -380,7 +380,7 @@ class BeatmapEventParser(JsonConfigMixin):
             groups,
             time=circle.time,
             beatmap=beatmap,
-            pos=np.array(circle.position),
+            pos=circle.position,
             last_pos=last_pos,
             new_combo=circle.new_combo,
             hitsound_ref_times=[circle.time],
@@ -398,7 +398,7 @@ class BeatmapEventParser(JsonConfigMixin):
             groups,
             time=slider.time,
             beatmap=beatmap,
-            pos=np.array(slider.position),
+            pos=slider.position,
             last_pos=last_pos,
             new_combo=slider.new_combo,
             hitsound_ref_times=[slider.time],
@@ -420,7 +420,7 @@ class BeatmapEventParser(JsonConfigMixin):
                 time=anchor_time,
                 beatmap=beatmap,
                 has_time=False,
-                pos=np.array(slider.curve.points[i]),
+                pos=slider.curve.points[i],
                 last_pos=last_pos,
             )
 
@@ -450,7 +450,7 @@ class BeatmapEventParser(JsonConfigMixin):
                 time=slider.time,
                 beatmap=beatmap,
                 has_time=False,
-                pos=np.array(slider.curve.points[-1]),
+                pos=slider.curve.points[-1],
                 last_pos=last_pos,
             )
 
@@ -460,7 +460,7 @@ class BeatmapEventParser(JsonConfigMixin):
             groups,
             time=slider.time + duration,
             beatmap=beatmap,
-            pos=np.array(slider.curve.points[-1]) if self.slider_version == 1 else None,
+            pos=slider.curve.points[-1] if self.slider_version == 1 else None,
             last_pos=last_pos,
             hitsound_ref_times=[slider.time + 1.0] + [slider.time + i * duration for i in range(1, slider.repeat)],
             hitsounds=[slider.hitsound]
@@ -474,7 +474,7 @@ class BeatmapEventParser(JsonConfigMixin):
             groups,
             time=slider.end_time,
             beatmap=beatmap,
-            pos=np.array(slider.curve(1)),
+            pos=slider.curve(1),
             last_pos=last_pos,
             hitsound_ref_times=[slider.end_time],
             hitsounds=[slider.edge_sounds[-1] if len(slider.edge_sounds) > 0 else 0],
@@ -492,10 +492,10 @@ class BeatmapEventParser(JsonConfigMixin):
             hitsounds=[spinner.hitsound],
             additions=[spinner.addition],
         )
-        return np.array((256.0, 192.0))
+        return (256.0, 192.0)
 
     def _parse_hold_note(self, hold_note: HoldNote, groups, beatmap: Beatmap):
-        pos = np.array(hold_note.position)
+        pos = hold_note.position
         self._add_group(
             EventType.HOLD_NOTE,
             groups,

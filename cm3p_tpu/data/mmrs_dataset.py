@@ -94,6 +94,7 @@ class MmrsDataset:
         self.process_id = process_id
         self.process_count = process_count
         self.seed = seed
+        self._epoch = 0
 
     def get_filtered_metadata(self) -> DataFrame:
         return filter_mmrs_metadata(
@@ -129,7 +130,26 @@ class MmrsDataset:
     def __iter__(self) -> Iterator[dict]:
         filtered = self.get_sharded_metadata()
 
-        rng = np.random.default_rng(self.seed)
+        epoch = self._epoch
+        self._epoch += 1
+        if self.seed is not None:
+            # Reproducible-by-config sample streams (the reference gets this
+            # from HF set_seed + DataLoader worker_init_fn seeding; our
+            # spawned loader workers otherwise draw OS entropy). One mix per
+            # (seed, shard, epoch) seeds every RNG the iteration consumes:
+            # the stdlib RNG (DT/mismatch draws), numpy's global state (MLM
+            # masking), and the processor's Generator (metadata dropout +
+            # variations). Distinct shards/epochs stay decorrelated.
+            shard = self.process_id * self.num_workers + self.worker_id
+            mix = (int(self.seed) * 1_000_003 + shard * 7919 + epoch) % (2**31 - 1)
+            random.seed(mix)
+            np.random.seed(mix)
+            self.processor.rng = np.random.default_rng(mix + 7)
+            # epoch-varying (but seeded) shuffle: the reference reshuffles
+            # beatmapset ids every epoch (mmrs_dataset.py:102-105)
+            rng = np.random.default_rng(int(self.seed) + epoch)
+        else:
+            rng = np.random.default_rng()
         if not self.test:
             subset_ids = filtered.index.get_level_values(0).unique().to_numpy().copy()
             rng.shuffle(subset_ids)

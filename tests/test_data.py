@@ -191,6 +191,53 @@ class TestMmrsDataset:
         batches = list(batched(iter(ds), batch_size=4, drop_last=True))
         assert all(b["input_ids"].shape == (4, 512) for b in batches)
 
+    def test_seeded_stream_reproducible(self, mmrs_root, processor):
+        """Same seed => bit-identical sample stream, across dataset objects
+        and regardless of ambient global-RNG state (the stochastic draws —
+        DT, mismatch, MLM masks, metadata dropout/variations — must all ride
+        the config seed, like the reference's set_seed + worker_init_fn)."""
+        import random as _random
+
+        cfg = make_config(
+            mmrs_root, dt_augment_prob=0.5, beatmap_mismatch_prob=0.3,
+            metadata_dropout_prob=0.5, labels="masked_lm",
+        )
+
+        def take(seed, scramble):
+            if scramble:  # ambient state must not leak into the stream
+                _random.seed(scramble)
+                np.random.seed(scramble)
+            ds = MmrsDataset(cfg, processor, test=False, seed=seed)
+            return [next(iter_s) for iter_s in [iter(ds)] for _ in range(8)]
+
+        a, b = take(7, scramble=1), take(7, scramble=99999)
+        for x, y in zip(a, b):
+            assert set(x) == set(y)
+            for k in x:
+                assert np.array_equal(np.asarray(x[k]), np.asarray(y[k])), k
+        # different seed -> different draws somewhere in the stream
+        c = take(8, scramble=1)
+        assert any(
+            not np.array_equal(np.asarray(x[k]), np.asarray(y[k]))
+            for x, y in zip(a, c) for k in x if k in y
+        )
+
+    def test_epoch_reshuffle_varies_but_is_seeded(self, mmrs_root, processor):
+        """Epochs see different orders (reference reshuffles every epoch),
+        but the whole multi-epoch schedule is reproducible from the seed.
+
+        The fixture's 6 maps share one token stream, so the per-sample
+        fingerprint is the metadata (year/status), which is order-sensitive."""
+        cfg = make_config(mmrs_root, include_audio=False)
+
+        def epoch_orders(n_epochs):
+            ds = MmrsDataset(cfg, processor, test=False, seed=3)
+            return [tuple(s["metadata_ids"].tobytes() for s in ds) for _ in range(n_epochs)]
+
+        first = epoch_orders(4)
+        assert len(set(first)) > 1, "every epoch iterated in the same order"
+        assert first == epoch_orders(4)
+
 
 class TestBeatmapFilesDataset:
     def test_loose_osu_files(self, tmp_path, processor):
