@@ -87,22 +87,27 @@ class BeatmapTokenizer(JsonConfigMixin):
                 self._full_vocab[tok] = len(self._full_vocab)
         self.ids_to_tokens = {i: t for t, i in self._full_vocab.items()}
 
-        # hot-loop token memos: every emitted family has a bounded domain,
-        # so the f-string is built at most once per distinct quantized value
-        # (string hashes then cache, speeding the vocab lookup too). Keys
-        # are the post-clamp quantized ints — the clamp/round math (the
-        # tokenization CONTRACT) still runs on every call.
-        self._event_tokens = {et: f"[{et.value.upper()}]" for et in EventType}
-        self._event_nc_tokens = {
-            et: f"[{et.value.upper()}_NEW_COMBO]" for et in EVENT_TYPES_WITH_NEW_COMBO
+        # hot-loop id memos: every emitted family has a bounded domain, so
+        # the f-string + vocab lookup run at most once per distinct quantized
+        # value and the serializer appends vocab IDS directly (the string
+        # stage the reference pays per token is derived only on demand, see
+        # tokenize_groups). Keys are the post-clamp quantized ints — the
+        # clamp/round math (the tokenization CONTRACT) still runs per call.
+        unk = self._full_vocab[self.unk_token]
+        self._unk_id = unk
+        vocab_get = self._full_vocab.get
+        self._event_ids = {et: vocab_get(f"[{et.value.upper()}]", unk) for et in EventType}
+        self._event_nc_ids = {
+            et: vocab_get(f"[{et.value.upper()}_NEW_COMBO]", unk)
+            for et in EVENT_TYPES_WITH_NEW_COMBO
         }
-        self._snap_tokens = {s: f"[SNAPPING_{s}]" for s in range(0, 17)}
-        self._vol_tokens = {v: f"[VOLUME_{v}]" for v in range(101)}
-        self._memo_ts: dict[int, str] = {}
-        self._memo_dist: dict[int, str] = {}
+        self._snap_ids = {s: vocab_get(f"[SNAPPING_{s}]", unk) for s in range(0, 17)}
+        self._vol_ids = {v: vocab_get(f"[VOLUME_{v}]", unk) for v in range(101)}
+        self._memo_ts: dict[int, int] = {}
+        self._memo_dist: dict[int, int] = {}
         self._memo_pos: dict = {}
-        self._memo_ss: dict[int, str] = {}
-        self._memo_hs: dict[tuple, str] = {}
+        self._memo_ss: dict[int, int] = {}
+        self._memo_hs: dict[tuple, int] = {}
 
     # ------------------------------------------------------------------ vocab
 
@@ -215,20 +220,22 @@ class BeatmapTokenizer(JsonConfigMixin):
     # tools/bench_host_pipeline.py). Bit-parity pinned by
     # tests/test_tokenizer_parity.py.
 
-    def _tokenize_time_shift(self, time: float) -> str:
+    def _tokenize_time_shift(self, time: float) -> int:
         time = min(max(time, self.min_time), self.max_time)
         t = int(round(time / self.time_step) * self.time_step)
         tok = self._memo_ts.get(t)
         if tok is None:
-            tok = self._memo_ts[t] = f"[TIME_SHIFT_{t}]"
+            tok = self._memo_ts[t] = self._full_vocab.get(f"[TIME_SHIFT_{t}]", self._unk_id)
         return tok
 
-    def _tokenize_distance(self, distance: int) -> str:
+    def _tokenize_distance(self, distance: int) -> int:
         distance = min(max(distance, 0), self.max_distance)
         distance = round(distance / self.distance_step) * self.distance_step
         tok = self._memo_dist.get(distance)
         if tok is None:
-            tok = self._memo_dist[distance] = f"[DISTANCE_{distance}]"
+            tok = self._memo_dist[distance] = self._full_vocab.get(
+                f"[DISTANCE_{distance}]", self._unk_id
+            )
         return tok
 
     def _tokenize_position(self, pos_x: int, pos_y: int):
@@ -236,33 +243,39 @@ class BeatmapTokenizer(JsonConfigMixin):
         pos_y = min(max(pos_y, self.position_range[2]), self.position_range[3])
         pos_x = int(round(pos_x / self.position_step) * self.position_step)
         pos_y = int(round(pos_y / self.position_step) * self.position_step)
+        vocab = self._full_vocab
         if self.position_split_axes:
             tok = self._memo_pos.get(("x", pos_x))
             if tok is None:
-                tok = self._memo_pos[("x", pos_x)] = f"[POS_X_{pos_x}]"
+                tok = self._memo_pos[("x", pos_x)] = vocab.get(f"[POS_X_{pos_x}]", self._unk_id)
             yield tok
             tok = self._memo_pos.get(("y", pos_y))
             if tok is None:
-                tok = self._memo_pos[("y", pos_y)] = f"[POS_Y_{pos_y}]"
+                tok = self._memo_pos[("y", pos_y)] = vocab.get(f"[POS_Y_{pos_y}]", self._unk_id)
             yield tok
         else:
             tok = self._memo_pos.get((pos_x, pos_y))
             if tok is None:
-                tok = self._memo_pos[(pos_x, pos_y)] = f"[POS_{pos_x}_{pos_y}]"
+                tok = self._memo_pos[(pos_x, pos_y)] = vocab.get(
+                    f"[POS_{pos_x}_{pos_y}]", self._unk_id
+                )
             yield tok
 
-    def _tokenize_mania_column(self, mania_column: int) -> str:
-        return f"[MANIA_COLUMN_{int(min(max(mania_column, 1), 18))}]"
+    def _tokenize_mania_column(self, mania_column: int) -> int:
+        c = int(min(max(mania_column, 1), 18))
+        return self._full_vocab.get(f"[MANIA_COLUMN_{c}]", self._unk_id)
 
-    def _tokenize_scroll_speed(self, scroll_speed: float) -> str:
+    def _tokenize_scroll_speed(self, scroll_speed: float) -> int:
         scroll_speed = min(max(scroll_speed, 0.0), 10.0)
         key = round(scroll_speed / 0.01)
         tok = self._memo_ss.get(key)
         if tok is None:
-            tok = self._memo_ss[key] = f"[SCROLL_SPEED_{key * 0.01:.2f}]"
+            tok = self._memo_ss[key] = self._full_vocab.get(
+                f"[SCROLL_SPEED_{key * 0.01:.2f}]", self._unk_id
+            )
         return tok
 
-    def _tokenize_hitsound(self, hitsound: int, sampleset: int, addition: int) -> str:
+    def _tokenize_hitsound(self, hitsound: int, sampleset: int, addition: int) -> int:
         # clamp BEFORE keying so the memo is bounded at 8*3*3 entries even
         # for unclamped producers (loader workers are long-lived)
         h = int(min(max(hitsound >> 1, 0), 7)) << 1
@@ -271,47 +284,76 @@ class BeatmapTokenizer(JsonConfigMixin):
         key = (h, s, a)
         tok = self._memo_hs.get(key)
         if tok is None:
-            tok = self._memo_hs[key] = f"[HITSOUND_{h}_{s}_{a}]"
+            tok = self._memo_hs[key] = self._full_vocab.get(
+                f"[HITSOUND_{h}_{s}_{a}]", self._unk_id
+            )
         return tok
 
-    def tokenize_groups(self, groups: list[Group], window_start_ms: Optional[int] = None) -> list[str]:
-        """Serialize one window of groups to token strings."""
+    def encode_groups(self, groups: list[Group], window_start_ms: Optional[int] = None) -> list[int]:
+        """Serialize one window of groups straight to vocab ids.
+
+        This is the authoritative serializer (the string form in
+        ``tokenize_groups`` derives from it): emitting ids directly skips
+        the reference's per-token string stage + second vocab lookup
+        (``tokenization_cm3p.py:166-207`` builds strings, then
+        ``convert_tokens_to_ids`` maps them), which measured ~35% of the
+        tokenizer's host time."""
         window_start_ms = window_start_ms or 0
-        tokens: list[str] = []
+        vocab = self._full_vocab
+        ids: list[int] = []
+        append = ids.append
         if self.add_cls_token:
-            tokens.append(self.cls_token)
-        tokens.append(self.bos_token)
+            append(vocab[self.cls_token])
+        append(vocab[self.bos_token])
+
+        event_ids = self._event_ids
+        event_nc_ids = self._event_nc_ids
+        snap_ids = self._snap_ids
+        vol_ids = self._vol_ids
+        unk = self._unk_id
+        sep_nc = self.separate_new_combo_token
+        nc_id = vocab.get("[NEW_COMBO]", unk) if sep_nc else None
 
         for group in groups:
             if (
                 group.new_combo
-                and not self.separate_new_combo_token
+                and not sep_nc
                 and group.event_type in EVENT_TYPES_WITH_NEW_COMBO
             ):
-                tokens.append(self._event_nc_tokens[group.event_type])
+                append(event_nc_ids[group.event_type])
             else:
-                tokens.append(self._event_tokens[group.event_type])
+                append(event_ids[group.event_type])
             if group.has_time:
-                tokens.append(self._tokenize_time_shift(group.time - window_start_ms))
+                append(self._tokenize_time_shift(group.time - window_start_ms))
                 if group.snapping is not None:
                     s = group.snapping
-                    tokens.append(self._snap_tokens.get(s) or f"[SNAPPING_{s}]")
+                    tok = snap_ids.get(s)
+                    append(vocab.get(f"[SNAPPING_{s}]", unk) if tok is None else tok)
             if group.distance is not None:
-                tokens.append(self._tokenize_distance(group.distance))
+                append(self._tokenize_distance(group.distance))
             if group.x is not None and group.y is not None:
-                tokens.extend(self._tokenize_position(group.x, group.y))
+                ids.extend(self._tokenize_position(group.x, group.y))
             if group.mania_column is not None:
-                tokens.append(self._tokenize_mania_column(group.mania_column))
-            if group.new_combo and self.separate_new_combo_token:
-                tokens.append("[NEW_COMBO]")
+                append(self._tokenize_mania_column(group.mania_column))
+            if group.new_combo and sep_nc:
+                append(nc_id)
             if group.scroll_speed is not None:
-                tokens.append(self._tokenize_scroll_speed(group.scroll_speed))
+                append(self._tokenize_scroll_speed(group.scroll_speed))
             for h, s, a, v in zip(group.hitsounds, group.samplesets, group.additions, group.volumes):
-                tokens.append(self._tokenize_hitsound(h, s, a))
-                tokens.append(self._vol_tokens.get(v) or f"[VOLUME_{v}]")
+                append(self._tokenize_hitsound(h, s, a))
+                tok = vol_ids.get(v)
+                append(vocab.get(f"[VOLUME_{v}]", unk) if tok is None else tok)
 
-        tokens.append(self.eos_token)
-        return tokens
+        append(vocab[self.eos_token])
+        return ids
+
+    def tokenize_groups(self, groups: list[Group], window_start_ms: Optional[int] = None) -> list[str]:
+        """Serialize one window of groups to token strings.
+
+        Derived from :meth:`encode_groups` (ids are authoritative); any
+        out-of-vocab family value therefore renders as ``[UNK]`` rather than
+        the raw formatted string — identical to what the id stream encodes."""
+        return self.convert_ids_to_tokens(self.encode_groups(groups, window_start_ms))
 
     def _encode_single(
         self,
@@ -319,10 +361,15 @@ class BeatmapTokenizer(JsonConfigMixin):
         window_start_ms: Optional[int] = None,
         num_audio_tokens: Optional[int] = None,
     ) -> list[int]:
-        token_ids = self.convert_tokens_to_ids(self.tokenize_groups(groups, window_start_ms))
+        token_ids = self.encode_groups(groups, window_start_ms)
         if num_audio_tokens is not None and num_audio_tokens > 0:
-            audio_tokens = [self.audio_bos_token] + [self.audio_token] * num_audio_tokens + [self.audio_eos_token]
-            token_ids = self.convert_tokens_to_ids(audio_tokens) + token_ids
+            vocab = self._full_vocab
+            token_ids = (
+                [vocab[self.audio_bos_token]]
+                + [vocab[self.audio_token]] * num_audio_tokens
+                + [vocab[self.audio_eos_token]]
+                + token_ids
+            )
         return token_ids
 
     def __call__(

@@ -39,19 +39,31 @@ class TestBeatmapTokenizer:
         assert bt.vocab["[DENDEN_END]"] == 22
 
     def test_time_shift_quantization(self, bt):
-        assert bt._tokenize_time_shift(123) == "[TIME_SHIFT_120]"
-        assert bt._tokenize_time_shift(125) == "[TIME_SHIFT_120]"  # banker's rounding
-        assert bt._tokenize_time_shift(126) == "[TIME_SHIFT_130]"
-        assert bt._tokenize_time_shift(-50) == "[TIME_SHIFT_0]"
-        assert bt._tokenize_time_shift(99999) == "[TIME_SHIFT_30000]"
+        # the quantizers emit vocab ids directly (encode_groups is the
+        # authoritative serializer); assert via the inverse vocab
+        tok = lambda i: bt.convert_ids_to_tokens(i)
+        assert tok(bt._tokenize_time_shift(123)) == "[TIME_SHIFT_120]"
+        assert tok(bt._tokenize_time_shift(125)) == "[TIME_SHIFT_120]"  # banker's rounding
+        assert tok(bt._tokenize_time_shift(126)) == "[TIME_SHIFT_130]"
+        assert tok(bt._tokenize_time_shift(-50)) == "[TIME_SHIFT_0]"
+        assert tok(bt._tokenize_time_shift(99999)) == "[TIME_SHIFT_30000]"
 
     def test_position_quantization(self, bt):
-        toks = list(bt._tokenize_position(101, 1000))
+        toks = bt.convert_ids_to_tokens(list(bt._tokenize_position(101, 1000)))
         assert toks == ["[POS_X_100]", "[POS_Y_640]"]
 
+    def test_encode_groups_matches_string_path(self, bt):
+        g = Group(
+            event_type=EventType.CIRCLE, time=720, has_time=True, snapping=4,
+            distance=100, x=256, y=192, new_combo=True,
+            hitsounds=[2], samplesets=[1], additions=[2], volumes=[50],
+        )
+        ids = bt.encode_groups([g], window_start_ms=500)
+        assert bt.convert_tokens_to_ids(bt.tokenize_groups([g], window_start_ms=500)) == ids
+
     def test_hitsound_tokens(self, bt):
-        assert bt._tokenize_hitsound(14, 2, 3) == "[HITSOUND_14_2_3]"
-        assert bt._tokenize_hitsound(1, 0, 9) == "[HITSOUND_0_1_3]"
+        assert bt.convert_ids_to_tokens(bt._tokenize_hitsound(14, 2, 3)) == "[HITSOUND_14_2_3]"
+        assert bt.convert_ids_to_tokens(bt._tokenize_hitsound(1, 0, 9)) == "[HITSOUND_0_1_3]"
 
     def test_group_serialization(self, bt):
         g = Group(
