@@ -154,10 +154,14 @@ def main(argv=None):
         "0.99998, within the documented <1e-3 parity band)",
     )
     ns = parser.parse_args(argv)
-
-    if not ns.batch_size:
+    auto_batch = not ns.batch_size
+    if auto_batch:
         # packed rows amortize dispatch/pooling up to ~192 (BASELINE.md rows
-        # scan); dense full-length windows are memory-bound much earlier
+        # scan); dense full-length windows are memory-bound much earlier.
+        # The packed default is finalized once max_length is known (below):
+        # the 192-row plateau was measured at 4096 tokens/row, and the same
+        # TOKEN budget is what fits HBM (192 rows x 8000 tokens needs ~18 GB
+        # and fails to compile on a 16 GB v5e).
         ns.batch_size = 192 if ns.pack else 32
 
     if ns.precise:
@@ -199,6 +203,11 @@ def main(argv=None):
     )
     if ns.max_length:
         processor.default_kwargs["beatmap_kwargs"]["max_length"] = ns.max_length
+    if auto_batch and ns.pack:
+        # keep the measured 192x4096 token budget at any row length
+        # (row count capped at the 256 the rows scan actually measured)
+        row_len = processor.default_kwargs["beatmap_kwargs"].get("max_length", 4000)
+        ns.batch_size = min(256, max(32, (192 * 4096 // row_len) // 32 * 32))
     if ns.tiny_model:
         import jax
 
@@ -368,7 +377,9 @@ def main(argv=None):
                     _shard_rows(segment_ids),
                     jnp.asarray(window_rows),
                     jnp.asarray(window_segments),
-                    _shard_rows(features),
+                    # bf16 on the wire like the dense path: the tower runs
+                    # bf16 anyway, and features dominate host->device bytes
+                    _shard_rows(features, jnp.bfloat16),
                 )
             # double-buffer: leave this batch in flight (jax dispatch is
             # async) and drain the previous one — host-side packing of the
