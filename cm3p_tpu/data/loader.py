@@ -78,8 +78,25 @@ class SampleLoader:
             )
             for i in range(self.num_workers)
         ]
-        for p in procs:
-            p.start()
+        # Data workers are host-only (parser/tokenizer/mel — no jax anywhere
+        # in cm3p_tpu.data/processing): strip the axon TPU plugin trigger so
+        # each spawned child skips sitecustomize's jax import + backend
+        # registration (measured 2.7 s -> 0.84 s interpreter boot per child,
+        # serialized across children by spawn's blocking pipe write). Point
+        # any accidental jax use at CPU — with the plugin unregistered,
+        # JAX_PLATFORMS=axon inherited from the parent would make it raise.
+        saved_env = {k: os.environ.get(k) for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            for p in procs:
+                p.start()
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
         done: set[int] = set()
         idle = 0.0

@@ -281,7 +281,9 @@ def main(argv=None):
 
         arr = np.asarray(arr)
         if dtype is not None:
-            arr = arr.astype(dtype)  # host-side cast (ml_dtypes bf16) halves transfer bytes
+            # host-side cast (ml_dtypes bf16) halves transfer bytes; no-op
+            # copy skipped when the buffer was built in the wire dtype
+            arr = arr.astype(dtype, copy=False)
         lead = "data" if arr.shape[0] % n_dev == 0 else None
         spec = P(*((lead,) + (None,) * (arr.ndim - 1)))
         return jax.device_put(arr, NamedSharding(mesh, spec))
@@ -321,6 +323,18 @@ def main(argv=None):
             else:
                 accumulator[bid]["sum"] += embeds[i]
                 accumulator[bid]["count"] += 1
+    # More worker processes than cores only adds spawn/IPC cost (they
+    # timeshare the same CPUs); extraction is order-independent so the
+    # shard-count change is safe (training keeps the exact requested count
+    # for stream reproducibility).
+    try:
+        n_cores = len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover - non-linux
+        n_cores = os.cpu_count() or 1
+    if ns.num_workers > n_cores:
+        logger.info("Capping --num-workers %d to the %d available core(s)", ns.num_workers, n_cores)
+        ns.num_workers = n_cores
+
     loader = SampleLoader(dataset_factory, num_workers=ns.num_workers)
     n_windows = 0
     t0 = time.perf_counter()
@@ -329,7 +343,13 @@ def main(argv=None):
         from cm3p_tpu.processing.packing import pack_windows
 
         seq_len = processor.default_kwargs["beatmap_kwargs"].get("max_length", 4000)
-        window_pad = 16  # pad window count to a multiple to bound recompiles
+        # Each distinct (rows, windows) pair is a fresh jit trace + lower
+        # (~40 s of single-core Python per shape, on top of the XLA compile
+        # the persistent cache avoids) — coarse buckets make a whole job
+        # converge on one or two shapes. The padding it buys is bounded
+        # (<=63 zero rows of dense compute, <=127 zero mel windows of
+        # transfer) and only the tail flush pays it at steady state.
+        window_pad = 128  # pad window count to a multiple to bound retraces
 
         def flush(pending):
             nonlocal n_windows
@@ -352,7 +372,7 @@ def main(argv=None):
             # rows must split over the mesh; the coarse multiple keeps the
             # device shape stable across flushes (each distinct row count is
             # a fresh 30s-10min relay compile)
-            row_mult = int(np.lcm(32, n_dev))
+            row_mult = int(np.lcm(64, n_dev))
             rows = -(-packed["input_ids"].shape[0] // row_mult) * row_mult
             input_ids = np.zeros((rows, seq_len), np.int32)
             segment_ids = np.zeros((rows, seq_len), np.int32)
@@ -367,7 +387,10 @@ def main(argv=None):
             features = None
             if feats_list[0] is not None:
                 f0 = np.asarray(feats_list[0])
-                features = np.zeros((w_pad,) + f0.shape, np.float32)
+                # build straight in the bf16 wire dtype: per-window assignment
+                # casts fp32 mel rows as they land, skipping a second
+                # full-buffer cast pass in _shard_rows
+                features = np.zeros((w_pad,) + f0.shape, jnp.bfloat16)
                 for wi, f in enumerate(feats_list):
                     features[wi] = f
             with mesh_ctx:
