@@ -1230,17 +1230,34 @@ def _counter_rotate(g, theta, d):
     return g4.reshape(b, l, hd)
 
 
+@functools.lru_cache(maxsize=512)
+def _jitted_fa_bwd(window, block_q, block_k, heads, _key):
+    from .flash_attention_bwd import flash_attention_bwd
+
+    def call(q, k, v, qseg, kseg, out, lse, g):
+        return flash_attention_bwd(
+            q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads
+        )
+
+    return jax.jit(call, inline=True)
+
+
 def _bwd(window, block_q, block_k, heads, rope_theta, res, g):
     # residuals hold ROTATED q/k (see _fwd); only the cotangents need to be
     # pulled back through the rotation
     q, k, v, qseg, kseg, out, lse = res
     d = q.shape[-1] // heads
     if BACKWARD_MODE == "pallas":
-        from .flash_attention_bwd import flash_attention_bwd
+        if JIT_DISPATCH:
+            dq, dk, dv = _jitted_fa_bwd(window, block_q, block_k, heads, _dispatch_key())(
+                q, k, v, qseg, kseg, out, lse, g
+            )
+        else:
+            from .flash_attention_bwd import flash_attention_bwd
 
-        dq, dk, dv = flash_attention_bwd(
-            q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads
-        )
+            dq, dk, dv = flash_attention_bwd(
+                q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads
+            )
     else:
         # dense recompute fallback (materializes O(L²) scores)
         _, vjp = jax.vjp(
@@ -1285,6 +1302,77 @@ def _wo_bwd(window, block_q, block_k, heads, rope_theta, vjp, g):
 
 
 _flash_attention_wo.defvjp(_wo_fwd, _wo_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Memoized inline-jit dispatch.
+#
+# JAX has no cache around Pallas kernel tracing: every ``pallas_call`` bind
+# re-traces the kernel body, so a 22-layer tower pays 22 identical kernel
+# traces per outer jit trace (~0.17 s each on this 1-core host — measured
+# 23.5 s of the warm extraction wall, /tmp profile 2026-08-19). Routing the
+# custom_vjp ops through a memoized ``jax.jit(..., inline=True)`` wrapper
+# gives each static configuration a stable function identity, so pjit's
+# jaxpr cache collapses the per-layer re-traces into one. ``inline=True``
+# splices the cached jaxpr into the outer trace — the lowered HLO is the
+# same program as the direct call.
+#
+# The cache key carries every module-level flag the traced body reads
+# (tests monkeypatch them) plus the live ``pl.pallas_call`` object (tests
+# patch it to interpret mode): a patched flag lands in a fresh cache slot
+# instead of silently reusing a stale jaxpr (the jit-trace-cache gotcha in
+# CLAUDE.md, one layer down).
+JIT_DISPATCH = os.environ.get("CM3P_JIT_DISPATCH", "1") != "0"
+
+
+def _dispatch_key():
+    from . import flash_attention_bwd as _fab
+
+    return (
+        pl.pallas_call, ONLINE_MAX, BACKWARD_MODE, FUSED_WO_Q,
+        UNROLL, _fab.BWD_EXP2, _fab.UNROLL,
+    )
+
+
+@functools.lru_cache(maxsize=512)
+def _jitted_fa(window, block_q, block_k, heads, rope_theta, _key):
+    def call(q, k, v, qseg, kseg):
+        return _flash_attention(
+            q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta
+        )
+
+    return jax.jit(call, inline=True)
+
+
+@functools.lru_cache(maxsize=512)
+def _jitted_fa_wo(window, block_q, block_k, heads, rope_theta, _key):
+    def call(q, k, v, qseg, kseg, wo, out_res):
+        return _flash_attention_wo(
+            q, k, v, qseg, kseg, wo, out_res,
+            window, block_q, block_k, heads, rope_theta,
+        )
+
+    return jax.jit(call, inline=True)
+
+
+def _fa(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta):
+    if not JIT_DISPATCH:
+        return _flash_attention(
+            q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta
+        )
+    return _jitted_fa(window, block_q, block_k, heads, rope_theta, _dispatch_key())(
+        q, k, v, qseg, kseg
+    )
+
+
+def _fa_wo(q, k, v, qseg, kseg, wo, out_res, window, block_q, block_k, heads, rope_theta):
+    if not JIT_DISPATCH:
+        return _flash_attention_wo(
+            q, k, v, qseg, kseg, wo, out_res, window, block_q, block_k, heads, rope_theta
+        )
+    return _jitted_fa_wo(window, block_q, block_k, heads, rope_theta, _dispatch_key())(
+        q, k, v, qseg, kseg, wo, out_res
+    )
 
 
 def wo_fusable(window: Optional[int], block_q: int, block_k: int,
@@ -1401,7 +1489,7 @@ def flash_attention(
         dm = wo.shape[1]
         if not wo_fusable(window, block_q, block_k, heads * d, dm, lq, lk):
             # XLA epilogue fallback keeps the API uniform
-            out = _flash_attention(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads, rope_theta)
+            out = _fa(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads, rope_theta)
             return out_residual + jnp.dot(out, wo.astype(out.dtype))
         mesh = active_mesh()
         if mesh is not None:
@@ -1415,7 +1503,7 @@ def flash_attention(
                 has_seg = qseg is not None
 
                 def _call_wo(q_, k_, v_, qs_, ks_, wo_, r_):
-                    return _flash_attention_wo(
+                    return _fa_wo(
                         q_, k_, v_,
                         qs_ if has_seg else None, ks_ if has_seg else None,
                         wo_, r_,
@@ -1434,7 +1522,7 @@ def flash_attention(
                     out_specs=P("data", None, None),
                     check_vma=False,
                 )(qf, kf, vf, qseg if has_seg else dummy, kseg if has_seg else dummy, wo, out_residual)
-        return _flash_attention_wo(
+        return _fa_wo(
             qf, kf, vf, qseg, kseg, wo, out_residual,
             window, block_q, block_k, heads, rope_theta,
         )
@@ -1465,7 +1553,7 @@ def flash_attention(
             has_seg = qseg is not None
 
             def _call(q_, k_, v_, qs_, ks_):
-                return _flash_attention(
+                return _fa(
                     q_, k_, v_,
                     qs_ if has_seg else None, ks_ if has_seg else None,
                     window, block_q, block_k, local_heads, rope_theta,
@@ -1481,5 +1569,5 @@ def flash_attention(
             )(qf, kf, vf, qseg if has_seg else dummy, kseg if has_seg else dummy)
             return out.reshape(b, lq, heads, d)
 
-    out = _flash_attention(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads, rope_theta)
+    out = _fa(qf, kf, vf, qseg, kseg, window, block_q, block_k, heads, rope_theta)
     return out.reshape(b, lq, heads, d)

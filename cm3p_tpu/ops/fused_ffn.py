@@ -245,15 +245,38 @@ def _pallas_ln_ffn(
 # -------------------------------------------------------------- custom vjp
 
 
+# Memoized inline-jit dispatch: pallas_call has no kernel-trace cache, so
+# 22 FFN layers would re-trace the identical kernel 22 times per outer jit
+# trace. A stable jitted function per static config makes layers 2..22 hit
+# pjit's jaxpr cache; inline=True keeps the lowered HLO identical. The key
+# carries the live pl.pallas_call (tests monkeypatch it to interpret mode).
+# See the longer rationale in ops/flash_attention.py.
+JIT_DISPATCH = os.environ.get("CM3P_JIT_DISPATCH", "1") != "0"
+
+
+@functools.lru_cache(maxsize=256)
+def _jitted_pallas_ffn(eps, residual, block_rows, w8a8, w8a8_wo, _key):
+    def call(x, scale, bias, wi, wo):
+        return _pallas_ln_ffn(
+            x, scale, bias, wi, wo, eps=eps, residual=residual,
+            block_rows=block_rows, w8a8=w8a8, w8a8_wo=w8a8_wo,
+        )
+
+    return jax.jit(call, inline=True)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _ln_ffn(x, scale, bias, wi, wo, eps, residual, block_rows, w8a8, w8a8_wo):
     from ..utils.platform import active_mesh, dp_rows_ok, dp_shard_rows
 
-    def call(x_, scale_, bias_, wi_, wo_):
-        return _pallas_ln_ffn(
-            x_, scale_, bias_, wi_, wo_, eps=eps, residual=residual,
-            block_rows=block_rows, w8a8=w8a8, w8a8_wo=w8a8_wo,
-        )
+    if JIT_DISPATCH:
+        call = _jitted_pallas_ffn(eps, residual, block_rows, w8a8, w8a8_wo, pl.pallas_call)
+    else:
+        def call(x_, scale_, bias_, wi_, wo_):
+            return _pallas_ln_ffn(
+                x_, scale_, bias_, wi_, wo_, eps=eps, residual=residual,
+                block_rows=block_rows, w8a8=w8a8, w8a8_wo=w8a8_wo,
+            )
 
     # mesh-aware no-grad primal: run per data-shard (rows are independent);
     # GSPMD would otherwise all-gather the opaque pallas_call's operands

@@ -153,6 +153,17 @@ def main(argv=None):
         "(in-kernel Wo epilogue + int8 FFN Wi; embedding drift cos_min "
         "0.99998, within the documented <1e-3 parity band)",
     )
+    parser.add_argument(
+        "--aot-cache",
+        default=os.path.join(os.path.expanduser("~"), ".cache", "cm3p_tpu", "aot"),
+        help="directory for serialized compiled executables — warm starts "
+        "skip the ~60s single-core trace+lower entirely (keyed on code, "
+        "config, shapes, and device topology; auto-invalidates)",
+    )
+    parser.add_argument(
+        "--no-aot-cache", dest="aot_cache", action="store_const", const="",
+        help="disable the AOT executable cache (always trace+lower)",
+    )
     ns = parser.parse_args(argv)
     auto_batch = not ns.batch_size
     if auto_batch:
@@ -311,6 +322,35 @@ def main(argv=None):
             input_features=input_features,
             normalize=True,
         )
+
+    if ns.aot_cache:
+        # Warm starts deserialize the compiled executable instead of paying
+        # the ~60 s single-core trace+lower per flush shape (utils/aot.py).
+        import hashlib
+        import json
+
+        from cm3p_tpu.configs import config_to_dict
+        from cm3p_tpu.utils.aot import AotFunctionCache
+
+        extra = hashlib.sha256(
+            json.dumps(
+                {
+                    "config": config_to_dict(model.config),
+                    "dtype": ns.dtype,
+                    "attn_impl": ns.attn_impl,
+                    "gates": {k: os.environ.get(k, "") for k in
+                              ("CM3P_FUSED_WO", "CM3P_W8A8", "CM3P_FUSED_WO_Q",
+                               "CM3P_W8A8_WO", "CM3P_FUSED_LNMM", "CM3P_XLA_INT8",
+                               "CM3P_FA_UNROLL", "CM3P_FA_ONLINE_MAX", "CM3P_BWD_EXP2",
+                               "CM3P_MESH_PALLAS")},
+                    "entry": hashlib.sha256(Path(__file__).read_bytes()).hexdigest(),
+                },
+                sort_keys=True, default=str,
+            ).encode()
+        ).hexdigest()[:16]
+        aot = AotFunctionCache(ns.aot_cache, extra_key=extra)
+        extract = aot.wrap(extract, "extract_dense")
+        extract_packed = aot.wrap(extract_packed, "extract_packed")
 
     accumulator: dict[Any, dict[str, Any]] = {}
 
