@@ -11,6 +11,8 @@ Runs host-side in data workers; the arrays it emits feed the TPU audio tower.
 from __future__ import annotations
 
 
+from typing import Optional
+
 import numpy as np
 
 from ..utils.io import JsonConfigMixin
@@ -136,11 +138,33 @@ class LogMelExtractor(JsonConfigMixin):
         spec = rfft(frames * self.window, axis=1)
         return spec.real**2 + spec.imag**2
 
-    def __call__(self, waveform: np.ndarray) -> np.ndarray:
-        """waveform (T,) float -> log-mel (feature_size, T // hop_length)."""
+    def __call__(self, waveform: np.ndarray, total_samples: Optional[int] = None) -> np.ndarray:
+        """waveform (T,) float -> log-mel (feature_size, T // hop_length).
+
+        ``total_samples``: treat ``waveform`` as zero-padded on the right to
+        this length WITHOUT materializing the zeros. Frames fully inside the
+        zero tail have power exactly 0 (zeros through Hann/FFT/filterbank stay
+        zero), so their log-mel is the constant ``log10(1e-10)`` pre-clamp —
+        only frames whose n_fft span touches a real sample are FFT'd, and the
+        tail is filled with the clamped constant. Bit-identical to padding
+        (asserted by tests/test_audio_parity.py::test_sparse_mel_bit_exact);
+        skips ~half the STFT work for 16 s windows in 30 s chunks plus the
+        480 k-sample pad copy per window (processor._window_audio).
+        """
+        waveform = np.asarray(waveform)
+        R = waveform.shape[-1]
+        if total_samples is not None and total_samples > R:
+            # Fall back to dense padding when the zero tail is too short for
+            # the kept frames to be provably all-zero (right reflect-padding
+            # would mirror real samples back in), or when dithering would
+            # draw noise over the padded region too.
+            if total_samples - R < self.n_fft or self.dither or R == 0:
+                waveform = np.pad(waveform, (0, total_samples - R))
+            else:
+                return self._sparse_logmel(waveform, total_samples)
         if self.dither:
             waveform = waveform + self.dither * np.random.randn(*waveform.shape)
-        power = self._stft_power(np.asarray(waveform))
+        power = self._stft_power(waveform)
         mel = (power @ self._filters32).T
         log_spec = np.log10(np.maximum(mel, np.float32(1e-10)))
         log_spec = log_spec[:, :-1]  # Whisper drops the final frame
@@ -148,3 +172,35 @@ class LogMelExtractor(JsonConfigMixin):
         log_spec += 4.0
         log_spec /= 4.0
         return log_spec
+
+    def _sparse_logmel(self, real: np.ndarray, total_samples: int) -> np.ndarray:
+        """Log-mel of ``real`` + an implicit zero tail to ``total_samples``.
+
+        Preconditions (enforced by the caller): 0 < len(real) and
+        ``total_samples - len(real) >= n_fft``, which guarantees (a) no kept
+        frame of the implicit dense array touches its right reflect-pad
+        region with real samples in it, and (b) every frame not touching a
+        real sample is exactly zero.
+        """
+        pad = self.n_fft // 2
+        hop = self.hop_length
+        R = real.shape[-1]
+        n_full = 1 + (total_samples + 2 * pad - self.n_fft) // hop
+        n_out = n_full - 1  # Whisper drops the final frame
+        # frame i spans unpadded samples [i*hop - pad, i*hop - pad + n_fft):
+        # it touches a real sample iff i*hop - pad < R
+        n_real = min(n_out, -(-(R + pad) // hop))
+        # a short zero extension so frame n_real-1's span stays inside the
+        # buffer and the buffer's own right reflect-pad (of zeros) is valid
+        buf = np.zeros(R + self.n_fft, dtype=np.float32)
+        buf[:R] = real
+        power = self._stft_power(buf)[:n_real]
+        mel = (power @ self._filters32).T  # (n_mels, n_real)
+        log_real = np.log10(np.maximum(mel, np.float32(1e-10)))
+        zval = np.log10(np.float32(1e-10))  # pre-clamp value of an all-zero frame
+        max_val = log_real.max() if n_real > 0 else zval  # zval never exceeds real maxima
+        floor = max_val - np.float32(8.0)
+        out = np.empty((mel.shape[0], n_out), dtype=np.float32)
+        out[:, :n_real] = (np.maximum(log_real, floor) + np.float32(4.0)) / np.float32(4.0)
+        out[:, n_real:] = (np.maximum(zval, floor) + np.float32(4.0)) / np.float32(4.0)
+        return out

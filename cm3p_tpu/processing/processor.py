@@ -177,18 +177,18 @@ class CM3PProcessor:
     # ----------------------------------------------------------------- audio
 
     @staticmethod
-    def _pad_audio(
-        audio_array: np.ndarray,
+    def _pad_target(
+        length: int,
         window_size: int = 400,
         pad_to_multiple_of: Optional[int] = 480000,
         **_,
-    ) -> np.ndarray:
+    ) -> int:
+        """Length the window's waveform zero-pads to (reference semantics:
+        a multiple of ``pad_to_multiple_of``, `processing_cm3p.py:239-282`) —
+        computed without materializing the padded array."""
         if pad_to_multiple_of:
-            target = math.ceil(audio_array.shape[-1] / pad_to_multiple_of) * pad_to_multiple_of
-            audio_array = np.pad(audio_array, (0, target - audio_array.shape[-1]))
-        elif audio_array.shape[-1] < window_size:
-            audio_array = np.pad(audio_array, (0, window_size - audio_array.shape[-1]))
-        return audio_array
+            return math.ceil(length / pad_to_multiple_of) * pad_to_multiple_of
+        return max(length, window_size)
 
     def _encode_audio(
         self,
@@ -196,16 +196,22 @@ class CM3PProcessor:
         hop_length: int = 160,
         audio_length_per_tok: int = 8,
         **kwargs,
-    ) -> tuple[np.ndarray, int]:
-        """Pad the waveform and count the audio placeholder tokens."""
-        audio = self._pad_audio(audio, **kwargs)
-        signal_length = audio.shape[0]
+    ) -> tuple[np.ndarray, int, int]:
+        """Audio-token count + target (padded) length for one window slice.
+
+        Returns the waveform UNPADDED together with the length it pads to —
+        the log-mel extractor handles the implicit zero tail analytically
+        (``LogMelExtractor.__call__(total_samples=...)``), so the 480 k-sample
+        zero pad is never materialized per window.
+        """
+        target = self._pad_target(audio.shape[-1], **kwargs)
+        signal_length = target
         if signal_length % hop_length != 0:
             signal_length = math.ceil(signal_length / hop_length - 1)
         else:
             signal_length = signal_length // hop_length
         num_audio_tokens = math.ceil(signal_length / audio_length_per_tok)
-        return audio, num_audio_tokens
+        return audio, target, num_audio_tokens
 
     def _window_audio(
         self,
@@ -244,15 +250,15 @@ class CM3PProcessor:
                 counts, feats, _pin = cache[key]
                 return counts, feats
         counts: list[int] = []
-        slices: list[np.ndarray] = []
+        slices: list[tuple[np.ndarray, int]] = []
         for start_sec in np.arange(0, song_length - min_window_length_sec, window_stride_sec):
             start_frame = int(start_sec * sampling_rate)
             end_frame = int((start_sec + window_length_sec) * sampling_rate)
-            audio_slice, num_audio_tokens = self._encode_audio(
+            audio_slice, target, num_audio_tokens = self._encode_audio(
                 audio_array[start_frame:end_frame], **audio_kwargs
             )
             counts.append(num_audio_tokens)
-            slices.append(audio_slice)
+            slices.append((audio_slice, target))
         if slices:
             feats = self._retrieve_input_features(slices, max_source_positions)
         else:
@@ -264,11 +270,18 @@ class CM3PProcessor:
             cache[key] = (counts, feats, cache_pin)
         return counts, feats
 
-    def _retrieve_input_features(self, audio_list: list[np.ndarray], max_source_positions: int, **_) -> np.ndarray:
-        """Log-mel per window, chunked to (chunks, n_mels, max_source_positions)."""
+    def _retrieve_input_features(
+        self, audio_list: list[tuple[np.ndarray, int]], max_source_positions: int, **_
+    ) -> np.ndarray:
+        """Log-mel per window, chunked to (chunks, n_mels, max_source_positions).
+
+        Each entry is ``(waveform, target_len)``: the unpadded window slice and
+        the length it zero-pads to (the mel extractor handles the implicit
+        tail without materializing it).
+        """
         features = []
-        for audio_array in audio_list:
-            mel = self.audio_feature_extractor(audio_array)  # (80, frames)
+        for audio_array, target in audio_list:
+            mel = self.audio_feature_extractor(audio_array, total_samples=target)  # (80, frames)
             chunks = mel.reshape(self.audio_feature_extractor.feature_size, -1, max_source_positions)
             features.append(chunks.swapaxes(0, 1))
         return np.concatenate(features).astype(np.float32, copy=False)

@@ -204,6 +204,13 @@ def main(argv=None):
 
     enable_compilation_cache()
     ns.attn_impl = resolve_attn_impl(ns.attn_impl)
+    # On the CPU backend (--cpu smoke/verification runs) compiles are cheap
+    # but compute/memory are not: the canonical flush shapes below, sized to
+    # bound 30s-10min TPU relay recompiles, would pad a 9-window map to 64
+    # rows x L of dense attention (hundreds of GB at L=4096 on the XLA
+    # fallback path). Shrink the padding grain and the auto row budget there;
+    # packing row count never changes embedding values (tests/test_packing.py).
+    cpu_backend = jax.default_backend() == "cpu"
 
     from cm3p_tpu.data import BeatmapFilesDataset, DatasetConfig, MmrsDataset, SampleLoader, batched_loader
     from cm3p_tpu.models import CM3PModule
@@ -219,6 +226,8 @@ def main(argv=None):
         # (row count capped at the 256 the rows scan actually measured)
         row_len = processor.default_kwargs["beatmap_kwargs"].get("max_length", 4000)
         ns.batch_size = min(256, max(32, (192 * 4096 // row_len) // 32 * 32))
+    if cpu_backend and auto_batch:
+        ns.batch_size = min(ns.batch_size, 16)
     if ns.tiny_model:
         import jax
 
@@ -389,7 +398,9 @@ def main(argv=None):
         # converge on one or two shapes. The padding it buys is bounded
         # (<=63 zero rows of dense compute, <=127 zero mel windows of
         # transfer) and only the tail flush pays it at steady state.
-        window_pad = 128  # pad window count to a multiple to bound retraces
+        # pad window count to a multiple to bound retraces (CPU: retraces are
+        # cheap; keep padding tiny so smoke runs stay feasible)
+        window_pad = 16 if cpu_backend else 128
 
         def flush(pending):
             nonlocal n_windows
@@ -412,7 +423,7 @@ def main(argv=None):
             # rows must split over the mesh; the coarse multiple keeps the
             # device shape stable across flushes (each distinct row count is
             # a fresh 30s-10min relay compile)
-            row_mult = int(np.lcm(64, n_dev))
+            row_mult = int(np.lcm(8 if cpu_backend else 64, n_dev))
             rows = -(-packed["input_ids"].shape[0] // row_mult) * row_mult
             input_ids = np.zeros((rows, seq_len), np.int32)
             segment_ids = np.zeros((rows, seq_len), np.int32)

@@ -60,6 +60,25 @@ class TestMelParity:
         assert ours.shape == ref.shape, (ours.shape, ref.shape)
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=0)
 
+    @pytest.mark.parametrize("real_len", [256_000, 100_000, 479_599, 479_601, 400, 1, 123_457])
+    def test_sparse_mel_bit_exact(self, real_len):
+        """total_samples= (implicit zero tail, STFT skipped over the zeros)
+        is BIT-identical to materializing the pad — incl. lengths within
+        n_fft of the target, which must take the dense fallback."""
+        fe = LogMelExtractor(feature_size=80, sampling_rate=16000, hop_length=160)
+        waveform = _waveforms(480_000)["noise"][:real_len]
+        dense = fe(np.pad(waveform, (0, 480_000 - real_len)))
+        sparse = fe(waveform, total_samples=480_000)
+        assert sparse.shape == dense.shape
+        np.testing.assert_array_equal(sparse, dense)
+
+    def test_sparse_mel_all_silence(self):
+        fe = LogMelExtractor(feature_size=80, sampling_rate=16000, hop_length=160)
+        waveform = np.zeros(160_000, dtype=np.float32)
+        dense = fe(np.pad(waveform, (0, 320_000)))
+        sparse = fe(waveform, total_samples=480_000)
+        np.testing.assert_array_equal(sparse, dense)
+
     def test_processor_chunking_matches_reference_pipeline(self):
         """_retrieve_input_features == WhisperFE + reshape-to-chunks
         (processing_cm3p.py:284-304)."""
@@ -68,7 +87,7 @@ class TestMelParity:
         waveform = _waveforms(960_000)["sines"]  # two 30 s chunks
         proc = CM3PProcessor()
         max_source_positions = 3000
-        ours = proc._retrieve_input_features([waveform], max_source_positions)
+        ours = proc._retrieve_input_features([(waveform, 960_000)], max_source_positions)
 
         ref_fe = WhisperFeatureExtractor(
             feature_size=80, sampling_rate=16000, hop_length=160, chunk_length=30, n_fft=400

@@ -67,9 +67,9 @@ class TestProcessor:
         calls = {"n": 0}
         orig = type(processor.audio_feature_extractor).__call__
 
-        def counting(self_, wav):
+        def counting(self_, wav, *args, **kwargs):
             calls["n"] += 1
-            return orig(self_, wav)
+            return orig(self_, wav, *args, **kwargs)
 
         monkeypatch.setattr(type(processor.audio_feature_extractor), "__call__", counting)
         cache: dict = {}
