@@ -95,6 +95,14 @@ class AotFunctionCache:
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.extra_key = extra_key
+        # Read-only seed directories (colon-separated env), consulted on a
+        # primary-cache miss before building: lets a deploy ship pre-built
+        # executables (``extract_beatmap_embeddings.py --prewarm`` output)
+        # so the FIRST run on a fresh machine is already warm. Keys include
+        # the package source fingerprint, so stale seeds are clean misses.
+        self.seed_dirs = [
+            Path(p) for p in os.environ.get("CM3P_AOT_SEED", "").split(":") if p
+        ]
         # XLA:CPU AOT executables record compile-machine tuning features
         # (+prefer-no-scatter/-gather) that a fresh process's loader can't
         # match — the deserialized program then HANGS on real graphs
@@ -137,23 +145,29 @@ class AotFunctionCache:
     def _load_or_build(self, jitted_fn, name, path: Path, args):
         from jax.experimental import serialize_executable as se
 
-        if path.exists():
+        candidates = [path] + [d / path.name for d in self.seed_dirs]
+        for cand in candidates:
+            if not cand.exists():
+                continue
             try:
                 t0 = time.perf_counter()
-                with open(path, "rb") as f:
+                with open(cand, "rb") as f:
                     payload, in_tree, out_tree = pickle.load(f)
                 exe = se.deserialize_and_load(payload, in_tree, out_tree)
                 logger.info(
-                    "AOT cache hit for %s (%.2fs deserialize, skips trace+lower)",
-                    name, time.perf_counter() - t0,
+                    "AOT cache hit for %s at %s (%.2fs deserialize, skips trace+lower)",
+                    name, cand, time.perf_counter() - t0,
                 )
                 return exe
             except Exception as err:
-                logger.warning("AOT cache load for %s failed (%s); rebuilding", name, err)
-                try:
-                    path.unlink()
-                except OSError:
-                    pass
+                logger.warning("AOT cache load for %s at %s failed (%s); %s",
+                               name, cand, err,
+                               "rebuilding" if cand == path else "trying next")
+                if cand == path:
+                    try:
+                        path.unlink()
+                    except OSError:
+                        pass
         try:
             t0 = time.perf_counter()
             compiled = jitted_fn.lower(*args).compile()

@@ -110,7 +110,7 @@ def main(argv=None):
     parser.add_argument("--processor-dir", default=None, help="saved processor dir")
     parser.add_argument("--dataset-path", action="append", default=None, help="MMRS dataset root(s)")
     parser.add_argument("--beatmap-files", action="append", default=None, help=".osu/.osz files or dirs")
-    parser.add_argument("--output", required=True)
+    parser.add_argument("--output", default=None, help="output parquet (required unless --prewarm)")
     parser.add_argument("--merge-with", default=None, help="existing embeddings parquet to merge into")
     parser.add_argument(
         "--batch-size",
@@ -164,7 +164,26 @@ def main(argv=None):
         "--no-aot-cache", dest="aot_cache", action="store_const", const="",
         help="disable the AOT executable cache (always trace+lower)",
     )
+    parser.add_argument(
+        "--prewarm",
+        nargs="?",
+        const="default",
+        default=None,
+        metavar="ROWS:WPAD,...",
+        help="build the AOT executables for the canonical packed flush "
+        "shapes and exit (no dataset needed) — a one-time install/deploy "
+        "step that makes every later cold start deserialize in seconds "
+        "instead of paying the first-run trace+lower+compile (~10 min "
+        "through the TPU relay). Default shapes: the steady-state flush "
+        "(batch rows x window capacity 256) plus the 64:128 tail. "
+        "Artifacts land in --aot-cache; ship them read-only via "
+        "CM3P_AOT_SEED (utils/aot.py)",
+    )
     ns = parser.parse_args(argv)
+    if ns.output is None and not ns.prewarm:
+        parser.error("--output is required (unless --prewarm)")
+    if ns.prewarm and not ns.aot_cache:
+        parser.error("--prewarm needs an AOT cache directory (drop --no-aot-cache)")
     auto_batch = not ns.batch_size
     if auto_batch:
         # packed rows amortize dispatch/pooling up to ~192 (BASELINE.md rows
@@ -264,6 +283,8 @@ def main(argv=None):
 
         dataset_factory = MmrsExtractFactory(ds_cfg, processor)
         metadata = MmrsDataset(ds_cfg, processor).get_filtered_metadata()
+    elif ns.prewarm:
+        dataset_factory = metadata = None  # prewarm compiles and exits below
     else:
         parser.error("Provide --dataset-path or --beatmap-files")
         return
@@ -360,6 +381,50 @@ def main(argv=None):
         aot = AotFunctionCache(ns.aot_cache, extra_key=extra)
         extract = aot.wrap(extract, "extract_dense")
         extract_packed = aot.wrap(extract_packed, "extract_packed")
+
+    if ns.prewarm:
+        # Build (or refresh) the AOT executables for the canonical packed
+        # flush shapes, then exit. Calls ride the SAME wrapped functions,
+        # mesh context, and sharding helpers as a real job, so the cache
+        # keys are identical to what production flushes compute.
+        seq_len = processor.default_kwargs["beatmap_kwargs"].get("max_length", 4000)
+        msp = processor.default_kwargs["audio_kwargs"].get("max_source_positions", 3000)
+        n_mels = processor.audio_feature_extractor.feature_size
+        if ns.prewarm == "default":
+            shapes = [(ns.batch_size, 256)]
+            if ns.batch_size > 64:
+                shapes.append((64, 128))  # tail flush
+        else:
+            shapes = [tuple(int(v) for v in part.split(":")) for part in ns.prewarm.split(",")]
+        for rows, w_pad in shapes:
+            rows = -(-rows // n_dev) * n_dev
+            t_shape = time.perf_counter()
+            ids = np.zeros((rows, seq_len), np.int32)
+            segs = np.zeros((rows, seq_len), np.int32)
+            segs[:, : seq_len // 2] = 1
+            segs[:, seq_len // 2 :] = 2
+            window_rows = np.zeros(w_pad, np.int32)
+            window_segments = np.ones(w_pad, np.int32)
+            features = (
+                None if ns.no_audio else np.zeros((w_pad, n_mels, msp), jnp.bfloat16)
+            )
+            with mesh_ctx:
+                out = extract_packed(
+                    params,
+                    _shard_rows(ids),
+                    _shard_rows(segs),
+                    jnp.asarray(window_rows),
+                    jnp.asarray(window_segments),
+                    _shard_rows(features, jnp.bfloat16),
+                )
+            np.asarray(out)  # host fetch: the relay can ack before executing
+            logger.info(
+                "Prewarmed packed shape rows=%d wpad=%d L=%d audio=%s in %.1fs",
+                rows, w_pad, seq_len, features is not None,
+                time.perf_counter() - t_shape,
+            )
+        logger.info("Prewarm done: %s", ns.aot_cache)
+        return
 
     accumulator: dict[Any, dict[str, Any]] = {}
 

@@ -79,6 +79,32 @@ class TestAotCache:
         np.asarray(wrapped(W, X))
         assert not list(tmp_path.glob("*.aotx"))
 
+    def test_seed_dir_hit(self, tmp_path, caplog, monkeypatch):
+        """A pre-built artifact shipped in a read-only seed dir (CM3P_AOT_SEED)
+        must serve a fresh empty primary cache without rebuilding."""
+        seed = tmp_path / "seed"
+        AotFunctionCache(seed, extra_key="k", allow_cpu=True).wrap(_fn(), "f")(W, X)
+        if not list(seed.glob("f-*.aotx")):
+            pytest.skip("backend does not support executable serialization")
+        primary = tmp_path / "primary"
+        monkeypatch.setenv("CM3P_AOT_SEED", str(seed))
+        cache = AotFunctionCache(primary, extra_key="k", allow_cpu=True)
+        with caplog.at_level(logging.INFO, logger="cm3p_tpu.utils.aot"):
+            out = np.asarray(cache.wrap(_fn(), "f")(W, X))
+        assert any("AOT cache hit" in r.message and "seed" in r.message for r in caplog.records)
+        assert not list(primary.glob("*.aotx"))  # served read-only, no rebuild
+        np.testing.assert_allclose(out, np.asarray(_fn()(W, X)))
+
+    def test_seed_corrupt_falls_through_to_build(self, tmp_path, monkeypatch):
+        seed = tmp_path / "seed"
+        seed.mkdir()
+        monkeypatch.setenv("CM3P_AOT_SEED", str(seed))
+        primary = tmp_path / "primary"
+        cache = AotFunctionCache(primary, extra_key="k", allow_cpu=True)
+        (seed / cache._path("f", (W, X)).name).write_bytes(b"junk")
+        out = np.asarray(cache.wrap(_fn(), "f")(W, X))
+        np.testing.assert_allclose(out, np.asarray(_fn()(W, X)))
+
     def test_source_fingerprint_stable(self):
         assert source_fingerprint() == source_fingerprint()
         assert len(source_fingerprint()) == 16
