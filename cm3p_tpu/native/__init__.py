@@ -27,13 +27,27 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _LIB_FAILED:
         return _LIB
     so = _NATIVE_DIR / "libcm3p_analytics.so"
-    if not so.exists():
+    stale = not so.exists() or any(
+        cpp.stat().st_mtime > so.stat().st_mtime
+        for cpp in _NATIVE_DIR.glob("*.cpp")
+    )
+    if stale:
         try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True, timeout=120)
+            # serialize concurrent builds (data-loader spawn workers all
+            # import this module; parallel `make` into one .so corrupts it)
+            import fcntl
+
+            with open(_NATIVE_DIR / ".build.lock", "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True, timeout=120
+                )
         except Exception as e:
-            logger.warning("native analytics build failed (%s); using numpy fallbacks", e)
-            _LIB_FAILED = True
-            return None
+            if not so.exists():
+                logger.warning("native analytics build failed (%s); using numpy fallbacks", e)
+                _LIB_FAILED = True
+                return None
+            logger.warning("native analytics rebuild failed (%s); using the existing binary", e)
     try:
         lib = ctypes.CDLL(str(so))
     except OSError as e:

@@ -149,6 +149,42 @@ def get_metadata(
     }
 
 
+class _NativeUnsupported(Exception):
+    """Input/config the native front end doesn't cover; use the python path."""
+
+
+def _metadata_from_summary(summary, song_length, song_position):
+    """get_metadata(beatmap=...) equivalent from a native CtSummary.
+
+    Field-for-field identical to :func:`get_metadata` with ``beatmap_metadata``
+    None (the processor's populate path): the summary carries the same
+    mode/cs/sv scalars and the hold/scroll/hitsounded scans run in C++ with
+    the same arithmetic (beatmap_fast.cpp:ct_beatmap_summary).
+    """
+    import math
+
+    mode = summary.mode
+    no_notes = summary.n_hit_objects == 0
+    return {
+        "difficulty": None,
+        "year": None,
+        "mode": mode,
+        "status": None,
+        "mapper": None,
+        "cs": summary.circle_size if mode in (0, 2) else None,
+        "hitsounded": bool(summary.hitsounded),
+        "song_length": song_length,
+        "song_position": song_position,
+        "global_sv": summary.slider_multiplier if mode in (0, 2) else None,
+        "mania_keycount": int(summary.circle_size) if mode == 3 else None,
+        "hold_note_ratio": (None if no_notes or math.isnan(summary.hold_note_ratio)
+                            else summary.hold_note_ratio) if mode == 3 else None,
+        "scroll_speed_ratio": (None if no_notes or math.isnan(summary.scroll_speed_ratio)
+                               else summary.scroll_speed_ratio) if mode in (1, 3) else None,
+        "tags": None,
+    }
+
+
 # ------------------------------------------------------------------ processor
 
 
@@ -337,6 +373,163 @@ class CM3PProcessor:
 
     # ------------------------------------------------------------------ call
 
+    # --------------------------------------------------- beatmap batch paths
+
+    def _native_parse_enabled(self) -> bool:
+        """Native C++ parse+tokenize fast path gate (CM3P_NATIVE_PARSE=0 to
+        disable). Bit-parity with the python path is asserted by
+        tests/test_native_beatmap.py; any unsupported input or native error
+        falls back to python per call."""
+        import os
+
+        if os.environ.get("CM3P_NATIVE_PARSE", "1") == "0":
+            return False
+        try:
+            from ..native import beatmap as native_beatmap
+
+            return native_beatmap.available()
+        except Exception:
+            return False
+
+    def _native_tables(self):
+        if getattr(self, "_native_tables_cache", None) is None:
+            from ..native.beatmap import TokTables
+
+            self._native_tables_cache = TokTables(self.beatmap_tokenizer)
+        return self._native_tables_cache
+
+    def _process_beatmaps_native(
+        self, beatmap, matched_metadata, audio, audio_cache_tokens, speed,
+        multiply_metadata, populate_metadata, window_length_sec,
+        window_stride_sec, min_window_length_sec, sampling_rate, audio_kwargs,
+        max_source_positions, beatmap_kwargs, audio_features_cache,
+    ):
+        """C++ parse -> lower -> window-tokenize (beatmap_fast.cpp), one call
+        per beatmap. Mirrors :meth:`_process_beatmaps` exactly; raises
+        :class:`_NativeUnsupported` for anything it does not cover."""
+        from pathlib import Path as _Path
+
+        from ..native.beatmap import NativeBeatmap
+
+        max_length = beatmap_kwargs.get("max_length")
+        padding = beatmap_kwargs.get("padding", "longest")
+        truncation = beatmap_kwargs.get("truncation", True)
+        pad_to_multiple_of = beatmap_kwargs.get("pad_to_multiple_of")
+        if not truncation or max_length is None or padding not in ("longest", "max_length"):
+            raise _NativeUnsupported
+        if any(not isinstance(b, (str, _Path)) for b in beatmap):
+            raise _NativeUnsupported
+
+        tables = self._native_tables()
+        pad_id = self.beatmap_tokenizer.pad_token_id
+        new_metadata: list[Optional[Metadata]] = []
+        batch_ids: list[np.ndarray] = []
+        batch_masks: list[np.ndarray] = []
+        batch_lens: list[np.ndarray] = []
+        batch_features: list[np.ndarray] = []
+
+        for b, m, audio_array, (cache_token, cache_pin) in zip(
+            beatmap, matched_metadata, audio, audio_cache_tokens
+        ):
+            try:
+                nb = NativeBeatmap.from_path(b)
+            except (OSError, RuntimeError):
+                raise _NativeUnsupported  # python path raises the real error
+            summary = nb.summary()
+            if summary.parse_error:
+                raise _NativeUnsupported
+            # get_song_length semantics (parser.py:37-60)
+            if audio_array is not None:
+                song_length = len(audio_array) / sampling_rate
+            elif summary.n_hit_objects > 0:
+                song_length = summary.last_ho_for_length / 1000.0 + 0.000999
+            elif not np.isnan(summary.last_tp_offset):
+                song_length = summary.last_tp_offset / 1000.0 + 0.01
+            else:
+                song_length = 0
+            try:
+                events = nb.parse_events(self.beatmap_parser, speed, song_length)
+            except RuntimeError:
+                raise _NativeUnsupported
+            last_ms = events.last_time()
+            if audio_array is not None and last_ms is not None:
+                if last_ms > song_length * 1000 + 2000:
+                    logger.warning(
+                        "beatmap extends %.1fs past its %.1fs audio; "
+                        "%d ms of objects will not appear in any window",
+                        last_ms / 1000 - song_length, song_length,
+                        int(last_ms - song_length * 1000),
+                    )
+
+            def add_metadata(song_position: Optional[float] = None):
+                if populate_metadata:
+                    new_metadata.append(
+                        merge_metadata_dicts(
+                            m, _metadata_from_summary(summary, song_length, song_position)
+                        )
+                    )
+                else:
+                    new_metadata.append(m)
+
+            if not multiply_metadata:
+                add_metadata()
+
+            if audio_array is not None:
+                audio_counts, audio_feats = self._window_audio(
+                    audio_array, song_length, window_length_sec,
+                    window_stride_sec, min_window_length_sec,
+                    sampling_rate, audio_kwargs, max_source_positions,
+                    audio_features_cache, cache_token, cache_pin,
+                )
+                batch_features.append(audio_feats)
+            else:
+                audio_counts = None
+
+            starts = np.arange(0, song_length - min_window_length_sec, window_stride_sec)
+            if len(starts) == 0:
+                continue
+            start_ms = starts * 1000.0
+            end_ms = (starts + window_length_sec) * 1000.0
+            next_ms = (starts + window_stride_sec) * 1000.0
+            nats = (np.asarray(audio_counts[: len(starts)], np.int32)
+                    if audio_counts is not None else np.zeros(len(starts), np.int32))
+            res = events.tokenize_windows(
+                tables, start_ms, end_ms, next_ms, nats, max_length, max_length, pad_id
+            )
+            if res is None:
+                raise _NativeUnsupported
+            ids, mask, lens = res
+            batch_ids.append(ids)
+            batch_masks.append(mask)
+            batch_lens.append(lens)
+            if multiply_metadata:
+                for start_sec in starts:
+                    add_metadata(start_sec / song_length)
+
+        if not batch_ids:
+            raise _NativeUnsupported  # zero-window edge; python path builds it
+
+        ids = np.concatenate(batch_ids)
+        mask = np.concatenate(batch_masks)
+        lens = np.concatenate(batch_lens)
+        # pack_sequences target arithmetic (beatmap_tokenizer.py:442-467)
+        target = max_length if padding == "max_length" else int(lens.max())
+        if pad_to_multiple_of:
+            target = -(-target // pad_to_multiple_of) * pad_to_multiple_of
+        if target <= max_length:
+            ids = np.ascontiguousarray(ids[:, :target])
+            mask = np.ascontiguousarray(mask[:, :target])
+        else:
+            extra = target - max_length
+            ids = np.pad(ids, ((0, 0), (0, extra)), constant_values=pad_id)
+            mask = np.pad(mask, ((0, 0), (0, extra)))
+        beatmap_encoding = BatchTokens(input_ids=ids, attention_mask=mask)
+        if all(a is not None for a in audio):
+            beatmap_encoding["input_features"] = np.concatenate(batch_features).astype(
+                np.float32, copy=False
+            )
+        return beatmap_encoding, new_metadata
+
     def __call__(
         self,
         metadata: Optional[Union[Metadata, list[Metadata]]] = None,
@@ -378,9 +571,7 @@ class CM3PProcessor:
         sampling_rate = audio_kwargs["sampling_rate"]
         max_source_positions = audio_kwargs.get("max_source_positions", 3000)
 
-        metadata_encoding = None
         beatmap_encoding = None
-        metadata_variation_classes = None
 
         if metadata is None and beatmap is None:
             raise ValueError("You have to specify either metadata or beatmap. Both cannot be none.")
@@ -422,6 +613,27 @@ class CM3PProcessor:
                     )
             else:
                 matched_metadata = [{} for _ in beatmap] if populate_metadata else [None] * len(beatmap)
+
+            beatmap_encoding = None
+            if self._native_parse_enabled():
+                try:
+                    beatmap_encoding, new_metadata = self._process_beatmaps_native(
+                        beatmap, matched_metadata, audio, audio_cache_tokens,
+                        speed, multiply_metadata, populate_metadata,
+                        window_length_sec, window_stride_sec,
+                        min_window_length_sec, sampling_rate, audio_kwargs,
+                        max_source_positions, beatmap_kwargs,
+                        audio_features_cache,
+                    )
+                except _NativeUnsupported:
+                    beatmap_encoding = None
+            if beatmap_encoding is not None:
+                if populate_metadata or multiply_metadata:
+                    metadata = new_metadata
+                return self._finish_call(
+                    beatmap_encoding, metadata, metadata_dropout_prob,
+                    metadata_variations, metadata_kwargs, metadata_max_length,
+                )
 
             new_metadata: list[Optional[Metadata]] = []
             batch_start_ms: list[float] = []
@@ -536,6 +748,19 @@ class CM3PProcessor:
                         (0, self.audio_feature_extractor.feature_size, max_source_positions), dtype=np.float32
                     )
 
+        return self._finish_call(
+            beatmap_encoding, metadata, metadata_dropout_prob,
+            metadata_variations, metadata_kwargs, metadata_max_length,
+        )
+
+    def _finish_call(
+        self, beatmap_encoding, metadata, metadata_dropout_prob,
+        metadata_variations, metadata_kwargs, metadata_max_length,
+    ):
+        """Metadata encoding + output assembly, shared by the python and
+        native beatmap paths (the tail of the reference __call__)."""
+        metadata_encoding = None
+        metadata_variation_classes = None
         if metadata is not None and not (isinstance(metadata, list) and any(m is None for m in metadata)):
             if not isinstance(metadata, list):
                 metadata = [metadata]

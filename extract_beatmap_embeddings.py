@@ -391,9 +391,11 @@ def main(argv=None):
         msp = processor.default_kwargs["audio_kwargs"].get("max_source_positions", 3000)
         n_mels = processor.audio_feature_extractor.feature_size
         if ns.prewarm == "default":
+            # steady-state flush + the tail row counts a real job ends on
             shapes = [(ns.batch_size, 256)]
-            if ns.batch_size > 64:
-                shapes.append((64, 128))  # tail flush
+            for tail in (128, 64):
+                if ns.batch_size > tail:
+                    shapes.append((tail, 128))
         else:
             shapes = [tuple(int(v) for v in part.split(":")) for part in ns.prewarm.split(",")]
         for rows, w_pad in shapes:
