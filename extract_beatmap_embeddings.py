@@ -454,6 +454,22 @@ def main(argv=None):
     loader = SampleLoader(dataset_factory, num_workers=ns.num_workers)
     n_windows = 0
     t0 = time.perf_counter()
+    # Wall-time decomposition of the extraction loop (logged at the end):
+    #   loader   — blocked waiting on the sample stream (host pipeline +
+    #              worker IPC; with 0 workers this IS the host pipeline)
+    #   pack     — first-fit packing + flush-buffer assembly (main process)
+    #   dispatch — _shard_rows device_put (host->device transfer) + the
+    #              async jit dispatch
+    #   drain    — blocking fetch of finished embeddings (device compute
+    #              that the double-buffer could not hide, + relay latency)
+    stage = {"loader": 0.0, "pack": 0.0, "dispatch": 0.0, "drain": 0.0}
+
+    def _log_stages(total: float) -> None:
+        parts = ", ".join(f"{k} {v:.1f}s" for k, v in stage.items())
+        logger.info(
+            "Stage breakdown: %s (accounted %.1fs of %.1fs wall)",
+            parts, sum(stage.values()), total,
+        )
 
     if ns.pack:
         from cm3p_tpu.processing.packing import pack_windows
@@ -473,6 +489,7 @@ def main(argv=None):
             nonlocal n_windows
             if not pending:
                 return
+            t_flush = time.perf_counter()
             seqs = [p[0] for p in pending]
             ids_list = [p[1] for p in pending]
             feats_list = [p[2] for p in pending]
@@ -483,6 +500,7 @@ def main(argv=None):
                 # per row) — bisect so no device batch exceeds the row
                 # budget (192 is the measured plateau; 320+ regresses and
                 # eats HBM headroom, BASELINE.md rows scan)
+                stage["pack"] += time.perf_counter() - t_flush
                 mid = len(pending) // 2
                 flush(pending[:mid])
                 flush(pending[mid:])
@@ -511,6 +529,8 @@ def main(argv=None):
                 features = np.zeros((w_pad,) + f0.shape, jnp.bfloat16)
                 for wi, f in enumerate(feats_list):
                     features[wi] = f
+            t_dispatch = time.perf_counter()
+            stage["pack"] += t_dispatch - t_flush
             with mesh_ctx:
                 dev = extract_packed(
                     params,
@@ -522,6 +542,7 @@ def main(argv=None):
                     # bf16 anyway, and features dominate host->device bytes
                     _shard_rows(features, jnp.bfloat16),
                 )
+            stage["dispatch"] += time.perf_counter() - t_dispatch
             # double-buffer: leave this batch in flight (jax dispatch is
             # async) and drain the previous one — host-side packing of the
             # next batch overlaps the device compute of this one
@@ -532,13 +553,22 @@ def main(argv=None):
 
         def _drain(item):
             dev, w, ids_list = item
-            _accumulate(np.asarray(dev, np.float32)[:w], ids_list)
+            t_drain = time.perf_counter()
+            embeds = np.asarray(dev, np.float32)[:w]
+            stage["drain"] += time.perf_counter() - t_drain
+            _accumulate(embeds, ids_list)
 
         inflight: list = []
         pending: list = []
         capacity = ns.batch_size * seq_len
         filled = 0
-        for sample in loader:
+        sample_it = iter(loader)
+        while True:
+            t_wait = time.perf_counter()
+            sample = next(sample_it, None)
+            stage["loader"] += time.perf_counter() - t_wait
+            if sample is None:
+                break
             length = int(np.asarray(sample["attention_mask"]).sum())
             seq = np.asarray(sample["input_ids"])[:length]
             if filled + len(seq) > capacity and pending:
@@ -554,6 +584,7 @@ def main(argv=None):
             "Packed-extracted %d window embeddings in %.1fs (%.1f windows/s)",
             n_windows, dt, n_windows / max(dt, 1e-9),
         )
+        _log_stages(dt)
         _write_output(accumulator, metadata, ns)
         return
 
@@ -561,10 +592,19 @@ def main(argv=None):
         dev, n_real, beatmap_ids = item
         if beatmap_ids is None:
             return
-        _accumulate(np.asarray(dev, np.float32)[:n_real], np.asarray(beatmap_ids).tolist())
+        t_drain = time.perf_counter()
+        embeds = np.asarray(dev, np.float32)[:n_real]
+        stage["drain"] += time.perf_counter() - t_drain
+        _accumulate(embeds, np.asarray(beatmap_ids).tolist())
 
     dense_inflight: list = []
-    for batch in batched_loader(iter(loader), ns.batch_size, drop_last=False):
+    batch_it = batched_loader(iter(loader), ns.batch_size, drop_last=False)
+    while True:
+        t_wait = time.perf_counter()
+        batch = next(batch_it, None)
+        stage["loader"] += time.perf_counter() - t_wait
+        if batch is None:
+            break
         beatmap_ids = batch.pop("beatmap_id", None)
         for drop in ("metadata_ids", "metadata_attention_mask", "metadata_variation_classes", "labels"):
             batch.pop(drop, None)
@@ -577,6 +617,7 @@ def main(argv=None):
                 batch[key] = np.concatenate(
                     [batch[key], np.repeat(batch[key][:1], pad, axis=0)], axis=0
                 )
+        t_dispatch = time.perf_counter()
         with mesh_ctx:
             dev = extract(
                 params,
@@ -586,6 +627,7 @@ def main(argv=None):
                 if "input_features" in batch
                 else None,
             )
+        stage["dispatch"] += time.perf_counter() - t_dispatch
         n_windows += n_real
         # double-buffer: drain the previous batch while this one computes
         dense_inflight.append((dev, n_real, beatmap_ids))
@@ -595,6 +637,7 @@ def main(argv=None):
         _drain_dense(dense_inflight.pop(0))
     dt = time.perf_counter() - t0
     logger.info("Extracted %d window embeddings in %.1fs (%.1f windows/s)", n_windows, dt, n_windows / max(dt, 1e-9))
+    _log_stages(dt)
     _write_output(accumulator, metadata, ns)
 
 
