@@ -398,6 +398,16 @@ class CM3PProcessor:
             self._native_tables_cache = TokTables(self.beatmap_tokenizer)
         return self._native_tables_cache
 
+    def __getstate__(self):
+        """Drop the ctypes token-table handle: ctypes structures with
+        pointers cannot cross a pickle boundary, and a processor that has
+        parsed one beatmap natively would otherwise crash every spawn
+        dataset-worker start (the loader pickles the dataset factory, which
+        carries the processor). The tables rebuild lazily on first use."""
+        state = self.__dict__.copy()
+        state.pop("_native_tables_cache", None)
+        return state
+
     def _process_beatmaps_native(
         self, beatmap, matched_metadata, audio, audio_cache_tokens, speed,
         multiply_metadata, populate_metadata, window_length_sec,

@@ -212,6 +212,23 @@ class TestMetadataTokenizer:
         # first four items cycle through the four workers
         assert [c for _, c in pairs[:4]] == [1, 2, 3, 4]
 
+    def test_variations_do_not_alias_base_or_each_other(self, mt):
+        # variations are shallow copies for speed — the mutable tags list
+        # must still be independent per variation (and of the base metadata)
+        m = {"year": 2015, "status": "ranked", "mapper": "peppy", "tags": ["jump", "stream"]}
+        pairs = list(mt.metadata_variations(m, 60, rng=np.random.default_rng(0)))
+        tag_vars = [v for v, c in pairs if c == 3]
+        assert len(tag_vars) >= 2
+        before = [list(v["tags"]) for v in tag_vars]
+        tag_vars[0]["tags"].append("__mutated__")
+        assert m["tags"] == ["jump", "stream"]
+        assert [list(v["tags"]) for v in tag_vars[1:]] == before[1:]
+        # non-tag variations share the (unmutated) base tags by identity or
+        # value — either way their contents must equal the base
+        for v, c in pairs:
+            if c in (1, 2, 4):
+                assert v["tags"] == ["jump", "stream"]
+
     def test_batch_encoding_shapes(self, mt):
         enc = mt([{}, {"year": 2010}], padding="max_length", max_length=32)
         assert enc.input_ids.shape == (2, 32)
