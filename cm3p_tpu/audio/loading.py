@@ -8,7 +8,9 @@ present. Resampling is polyphase (scipy) — same role as soxr-HQ.
 from __future__ import annotations
 
 import functools
+import logging
 import math
+import os
 import shutil
 import subprocess
 from fractions import Fraction
@@ -17,6 +19,8 @@ from pathlib import Path
 from typing import Optional, Union
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 @functools.lru_cache(maxsize=64)
@@ -38,12 +42,9 @@ def _resample_filter(up: int, down: int) -> np.ndarray:
     return firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0)).astype(np.float32)
 
 
-def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
-    """High-quality polyphase resampling to ``target_rate``."""
-    if orig_rate == target_rate:
-        return np.asarray(audio, dtype=np.float32)
-    from scipy.signal import resample_poly
-
+def _resample_plan(orig_rate: int, target_rate: int) -> Fraction:
+    """The (possibly capped) up/down fraction shared by the scipy and native
+    resample paths."""
     frac = Fraction(target_rate, orig_rate)
     if max(frac.numerator, frac.denominator) > 512:
         # Huge exact rationals (e.g. 7619/8000 for a 1.05x DT draw) need a
@@ -53,6 +54,16 @@ def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
         # TRUE expected length below either way. Common pairs (44.1k/48k ->
         # 16k) stay exact: their design is cheap and cached.
         frac = frac.limit_denominator(128)
+    return frac
+
+
+def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
+    """High-quality polyphase resampling to ``target_rate``."""
+    if orig_rate == target_rate:
+        return np.asarray(audio, dtype=np.float32)
+    from scipy.signal import resample_poly
+
+    frac = _resample_plan(orig_rate, target_rate)
     out = resample_poly(
         np.asarray(audio, dtype=np.float32),
         frac.numerator,
@@ -84,7 +95,10 @@ def _load_wav(path: Union[str, PathLike]) -> tuple[np.ndarray, int]:
     at ~20 MB/s — a 0.4-0.5 s tax per track that dominated the audio host
     path. One ``read_bytes`` + one numpy pass decodes the same file in ~50 ms.
     """
-    buf = Path(path).read_bytes()
+    return _load_wav_bytes(Path(path).read_bytes(), str(path))
+
+
+def _load_wav_bytes(buf: bytes, path: str = "<bytes>") -> tuple[np.ndarray, int]:
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError(f"Not a RIFF/WAVE file: {path}")
     fmt = data = None
@@ -169,6 +183,29 @@ def _load_via_ffmpeg(path: Union[str, PathLike], sampling_rate: int) -> np.ndarr
     return np.frombuffer(out, dtype=np.float32).copy()
 
 
+def _native_wav(buf: bytes, target_rate: int) -> Optional[np.ndarray]:
+    """One-call native decode+downmix+resample (audio_fast.cpp), bit-identical
+    to ``_load_wav_bytes`` + ``to_mono`` + ``resample``; None -> fall back."""
+    try:
+        from ..native.audio import decode, probe
+    except Exception:
+        return None
+    info = probe(buf)
+    if info is None:
+        return None
+    rate, frames, _ = info
+    if rate <= 0 or frames <= 0:
+        return None
+    if rate == target_rate:
+        return decode(buf, 1, 1, None, frames)
+    frac = _resample_plan(rate, target_rate)
+    up, down = frac.numerator, frac.denominator
+    # scipy's `h *= up` on the float32 window, replicated elementwise
+    h_scaled = np.multiply(_resample_filter(up, down), np.float32(up), dtype=np.float32)
+    expected = int(math.ceil(frames * target_rate / rate))
+    return decode(buf, up, down, h_scaled, expected)
+
+
 def load_audio_file(path: Union[str, PathLike], sampling_rate: int, speed: float = 1.0) -> np.ndarray:
     """Decode an audio file to a mono float32 waveform at ``sampling_rate``.
 
@@ -178,7 +215,16 @@ def load_audio_file(path: Union[str, PathLike], sampling_rate: int, speed: float
     target = int(sampling_rate // speed)
     path = str(path)
     if path.lower().endswith(".wav"):
-        data, rate = _load_wav(path)
+        buf = Path(path).read_bytes()
+        if os.environ.get("CM3P_NATIVE_AUDIO", "1") != "0":
+            try:
+                out = _native_wav(buf, target)
+            except Exception as e:  # pragma: no cover - fall back, never fail
+                logger.warning("native audio decode failed (%s); python path", e)
+                out = None
+            if out is not None:
+                return out
+        data, rate = _load_wav_bytes(buf, path)
         return resample(to_mono(data), rate, target)
     return _load_via_ffmpeg(path, target)
 
