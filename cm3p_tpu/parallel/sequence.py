@@ -66,7 +66,7 @@ def sequence_sharded_attention(
     window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Attention over head-minor (B, L, H, D) with L sharded across ``seq_axis``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     qkv_spec = P(None, seq_axis, None, None)
     mask_spec = P(None, seq_axis)
@@ -77,7 +77,7 @@ def sequence_sharded_attention(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=qkv_spec,
-        check_rep=False,
+        check_vma=False,
     )
     mask_arg = key_mask if key_mask is not None else jnp.zeros((), jnp.int32)
     return sharded(q, k, v, mask_arg)
