@@ -781,27 +781,34 @@ class CM3PProcessor:
                         if value is not None and self.rng.random() < metadata_dropout_prob:
                             m[key] = None
 
-            if metadata_variations > 1:
-                extended = []
+            variation_sequences = None
+            if metadata_variations > 1 and len(metadata) > 0:
+                # base-splice fast path: tokenize each base once, overwrite
+                # only the varied field's token per variation (identical ids
+                # + rng stream to expanding the dicts and re-tokenizing)
+                variation_sequences = []
                 metadata_variation_classes = []
                 for m in metadata:
-                    pairs = list(
-                        self.metadata_tokenizer.metadata_variations(m, metadata_variations - 1, rng=self.rng)
+                    seqs, m_classes = self.metadata_tokenizer.encode_variations(
+                        m, metadata_variations - 1, rng=self.rng
                     )
-                    m_vars = [p[0] for p in pairs]
-                    m_classes = [p[1] for p in pairs]
-                    extended.append(m)
-                    extended.extend(m_vars)
-                    metadata_variation_classes.append([0] + m_classes)
-                assert len(extended) == len(metadata) * metadata_variations
-                metadata = extended
+                    variation_sequences.extend(seqs)
+                    metadata_variation_classes.append(m_classes)
+                assert len(variation_sequences) == len(metadata) * metadata_variations
 
             if len(metadata) > 0:
-                metadata_encoding = self.metadata_tokenizer(metadata, **metadata_kwargs)
+                if variation_sequences is not None:
+                    metadata_encoding = self.metadata_tokenizer.pack_ids(
+                        variation_sequences, **metadata_kwargs
+                    )
+                else:
+                    metadata_encoding = self.metadata_tokenizer(metadata, **metadata_kwargs)
                 if metadata_variations > 1:
+                    # metadata still holds the B bases (the fast path never
+                    # materializes the expanded dict list)
                     for k, v in metadata_encoding.items():
                         metadata_encoding[k] = v.reshape(
-                            len(metadata) // metadata_variations, metadata_variations, -1
+                            len(metadata), metadata_variations, -1
                         )
                 if metadata_variation_classes is not None:
                     metadata_encoding["metadata_variation_classes"] = np.asarray(

@@ -247,3 +247,76 @@ class TestMetadataTokenizer:
         assert merged["year"] == 2010  # m1 wins when set
         assert merged["mode"] == "osu"  # m2 fills None
         assert merged["cs"] == 4.0
+
+
+class TestEncodeVariations:
+    """The base-splice fast path must be id-identical to expanding the
+    variation dicts and re-tokenizing each in full (same rng stream)."""
+
+    CASES = [
+        {"year": 2015, "status": "ranked", "mapper": "peppy", "tags": ["jump", "stream"],
+         "difficulty": 5.25, "mode": 0, "cs": 4.2, "hitsounded": True,
+         "song_length": 213.0, "song_position": 0.4, "global_sv": 1.4},
+        {"year": 2015, "status": "ranked", "mapper": "peppy", "tags": ["jump"]},
+        {"status": "loved", "tags": ["tech", "jump", "stream"]},  # no year/mapper workers
+        {"year": 2010, "mapper": "nobody-known", "tags": []},      # unknown mapper, empty tags
+        {"mode": 3, "mania_keycount": 7, "hold_note_ratio": 0.35, "scroll_speed_ratio": 0.8},
+        {},                                                         # all workers empty -> all -1 pads
+    ]
+
+    @pytest.mark.parametrize("case", range(len(CASES)))
+    @pytest.mark.parametrize("seed", [0, 7])
+    @pytest.mark.parametrize("v", [5, 64])
+    def test_matches_full_tokenize(self, mt, case, seed, v):
+        md = dict(self.CASES[case])
+        if "tags" in md:
+            md["tags"] = list(md["tags"])
+        pairs = list(mt.metadata_variations(md, v, rng=np.random.default_rng(seed)))
+        slow = [mt.convert_tokens_to_ids(mt.tokenize_metadata(md))]
+        slow += [mt.convert_tokens_to_ids(mt.tokenize_metadata(m)) for m, _ in pairs]
+        fast, classes = mt.encode_variations(md, v, rng=np.random.default_rng(seed))
+        assert classes == [0] + [c for _, c in pairs]
+        assert fast == slow
+
+    def test_with_cls_token(self):
+        mt_cls = MetadataTokenizer(
+            modes={0: "osu"}, statuses={1: "ranked", 4: "loved"},
+            mappers={0: "OliBomby", 1: "peppy"}, tags={1: {"name": "jump"}, 2: {"name": "stream"}},
+            add_cls_token=True,
+        )
+        md = {"year": 2015, "status": "ranked", "mapper": "peppy", "tags": ["jump"]}
+        pairs = list(mt_cls.metadata_variations(md, 32, rng=np.random.default_rng(3)))
+        slow = [mt_cls.convert_tokens_to_ids(mt_cls.tokenize_metadata(md))]
+        slow += [mt_cls.convert_tokens_to_ids(mt_cls.tokenize_metadata(m)) for m, _ in pairs]
+        fast, _ = mt_cls.encode_variations(md, 32, rng=np.random.default_rng(3))
+        assert fast == slow
+
+    def test_processor_fast_path_matches_manual_expansion(self):
+        from cm3p_tpu.processing import CM3PProcessor
+
+        proc = CM3PProcessor()
+        proc.metadata_tokenizer = MetadataTokenizer(
+            modes={0: "osu"}, statuses={1: "ranked", 4: "loved"},
+            mappers={0: "OliBomby", 1: "peppy"}, tags={1: {"name": "jump"}, 2: {"name": "stream"}},
+        )
+        mt = proc.metadata_tokenizer
+        md = [{"year": 2012, "status": "ranked", "mapper": "peppy", "tags": ["jump"]},
+              {"year": 2020, "status": "loved", "mapper": "OliBomby", "tags": ["stream", "jump"]}]
+        proc.rng = np.random.default_rng(11)
+        out = proc(metadata=[dict(m) for m in md], metadata_variations=9)
+        # manual slow expansion with the same rng stream
+        rng = np.random.default_rng(11)
+        expanded, classes = [], []
+        for m in md:
+            pairs = list(mt.metadata_variations(m, 8, rng=rng))
+            expanded.append(m); expanded.extend(p[0] for p in pairs)
+            classes.append([0] + [p[1] for p in pairs])
+        enc = mt(expanded)
+        # metadata-only call: the processor returns the metadata encoding
+        # directly under input_ids/attention_mask keys
+        np.testing.assert_array_equal(
+            out["input_ids"], enc["input_ids"].reshape(2, 9, -1))
+        np.testing.assert_array_equal(
+            out["attention_mask"], enc["attention_mask"].reshape(2, 9, -1))
+        np.testing.assert_array_equal(
+            out["metadata_variation_classes"], np.asarray(classes, np.int32))
