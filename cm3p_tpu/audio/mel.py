@@ -174,19 +174,44 @@ class LogMelExtractor(JsonConfigMixin):
         return log_spec
 
     def _sparse_logmel(self, real: np.ndarray, total_samples: int) -> np.ndarray:
-        """Log-mel of ``real`` + an implicit zero tail to ``total_samples``.
+        dense, tail, n_out = self.logmel_parts(real, total_samples)
+        out = np.empty((dense.shape[0], n_out), dtype=np.float32)
+        out[:, : dense.shape[1]] = dense
+        out[:, dense.shape[1] :] = tail
+        return out
 
-        Preconditions (enforced by the caller): 0 < len(real) and
+    def max_real_frames(self, samples: int) -> int:
+        """Upper bound on ``logmel_parts``'s dense width for ``samples``
+        real samples (frame i touches a real sample iff i*hop - n_fft/2 <
+        samples)."""
+        return -(-(samples + self.n_fft // 2) // self.hop_length)
+
+    def logmel_parts(
+        self, real: np.ndarray, total_samples: int
+    ) -> tuple[np.ndarray, np.float32, int]:
+        """Log-mel of ``real`` + an implicit zero tail to ``total_samples``,
+        as ``(dense (n_mels, n_real), tail_value, n_out)`` — the full
+        (n_mels, n_out) array equals ``dense`` extended with the constant
+        ``tail_value``. This is the compact wire form: the tail never has to
+        be materialized, pickled across the loader boundary, or transferred
+        to the device (the device broadcasts the scalar back).
+
+        Preconditions (enforced by the caller):
         ``total_samples - len(real) >= n_fft``, which guarantees (a) no kept
         frame of the implicit dense array touches its right reflect-pad
         region with real samples in it, and (b) every frame not touching a
-        real sample is exactly zero.
+        real sample is exactly zero. ``len(real) == 0`` is handled (all
+        frames take the tail constant).
         """
         pad = self.n_fft // 2
         hop = self.hop_length
         R = real.shape[-1]
         n_full = 1 + (total_samples + 2 * pad - self.n_fft) // hop
         n_out = n_full - 1  # Whisper drops the final frame
+        if R == 0:
+            zval = np.log10(np.float32(1e-10))
+            tail = (np.maximum(zval, zval - np.float32(8.0)) + np.float32(4.0)) / np.float32(4.0)
+            return np.zeros((self.feature_size, 0), np.float32), np.float32(tail), n_out
         # frame i spans unpadded samples [i*hop - pad, i*hop - pad + n_fft):
         # it touches a real sample iff i*hop - pad < R
         n_real = min(n_out, -(-(R + pad) // hop))
@@ -200,7 +225,6 @@ class LogMelExtractor(JsonConfigMixin):
         zval = np.log10(np.float32(1e-10))  # pre-clamp value of an all-zero frame
         max_val = log_real.max() if n_real > 0 else zval  # zval never exceeds real maxima
         floor = max_val - np.float32(8.0)
-        out = np.empty((mel.shape[0], n_out), dtype=np.float32)
-        out[:, :n_real] = (np.maximum(log_real, floor) + np.float32(4.0)) / np.float32(4.0)
-        out[:, n_real:] = (np.maximum(zval, floor) + np.float32(4.0)) / np.float32(4.0)
-        return out
+        dense = (np.maximum(log_real, floor) + np.float32(4.0)) / np.float32(4.0)
+        tail = (np.maximum(zval, floor) + np.float32(4.0)) / np.float32(4.0)
+        return dense, np.float32(tail), n_out

@@ -15,7 +15,7 @@ import logging
 import math
 from os import PathLike
 from pathlib import Path
-from typing import IO, Optional, Union
+from typing import IO, NamedTuple, Optional, Union
 
 import numpy as np
 
@@ -58,7 +58,21 @@ DEFAULT_KWARGS = {
 # flat kwargs routed to their modality dict (processing_cm3p.py:362-419)
 _BEATMAP_KEYS = set(DEFAULT_KWARGS["beatmap_kwargs"]) | {"pad_to_multiple_of"}
 _METADATA_KEYS = set(DEFAULT_KWARGS["metadata_kwargs"])
-_AUDIO_KEYS = set(DEFAULT_KWARGS["audio_kwargs"])
+_AUDIO_KEYS = set(DEFAULT_KWARGS["audio_kwargs"]) | {"compact_tail"}
+
+
+class CompactFeatures(NamedTuple):
+    """Compact log-mel wire form: ``dense`` (chunks, n_mels, f_cap) holds the
+    frames that can differ between windows; every frame past ``dense``'s
+    width up to ``max_source_positions`` equals the per-window constant
+    ``tail`` (chunks,) — the analytic value of a fully-zero-padded frame
+    (audio/mel.py logmel_parts). Consumers reconstruct the exact full
+    features with a broadcast; producers never materialize, pickle, or
+    transfer the ~47% constant tail of a 16 s window in a 30 s chunk.
+    Opt-in via the ``compact_tail`` audio kwarg."""
+
+    dense: np.ndarray
+    tail: np.ndarray
 
 
 # ------------------------------------------------------- metadata derivation
@@ -295,7 +309,18 @@ class CM3PProcessor:
             )
             counts.append(num_audio_tokens)
             slices.append((audio_slice, target))
-        if slices:
+        if audio_kwargs.get("compact_tail"):
+            f_cap = self._compact_frames(window_length_sec, sampling_rate)
+            if slices:
+                feats = self._retrieve_input_features_compact(
+                    slices, max_source_positions, f_cap
+                )
+            else:
+                feats = CompactFeatures(
+                    np.zeros((0, self.audio_feature_extractor.feature_size, f_cap), np.float32),
+                    np.zeros((0,), np.float32),
+                )
+        elif slices:
             feats = self._retrieve_input_features(slices, max_source_positions)
         else:
             feats = np.zeros(
@@ -305,6 +330,50 @@ class CM3PProcessor:
         if key is not None:
             cache[key] = (counts, feats, cache_pin)
         return counts, feats
+
+    def _compact_frames(self, window_length_sec: float, sampling_rate: int) -> int:
+        """Dense width of the compact feature wire form for this window
+        config: enough frames for the longest possible window slice, rounded
+        up to a multiple of 8 (the round-up region still carries the exact
+        tail constant)."""
+        cap = self.audio_feature_extractor.max_real_frames(
+            int(math.ceil(window_length_sec * sampling_rate)) + 1
+        )
+        return -(-cap // 8) * 8
+
+    def _retrieve_input_features_compact(
+        self, audio_list: list[tuple[np.ndarray, int]], max_source_positions: int, f_cap: int
+    ) -> CompactFeatures:
+        """Compact log-mel per window: ``(dense (chunks, n_mels, f_cap),
+        tail (chunks,))`` where the full features equal ``dense`` extended
+        with the per-window ``tail`` constant to ``max_source_positions``
+        frames. Requires single-chunk windows whose zero tail is at least
+        ``n_fft`` samples (every 16 s-window-in-30 s-chunk configuration);
+        raises ``ValueError`` otherwise so callers opt in deliberately."""
+        fe = self.audio_feature_extractor
+        chunk_samples = fe.chunk_length * fe.sampling_rate
+        dense = np.empty((len(audio_list), fe.feature_size, f_cap), np.float32)
+        tails = np.empty((len(audio_list),), np.float32)
+        for i, (audio_array, target) in enumerate(audio_list):
+            real = int(np.asarray(audio_array).shape[-1])
+            if target != chunk_samples or fe.dither or (real > 0 and target - real < fe.n_fft):
+                raise ValueError(
+                    "compact_tail requires single-chunk windows with a >= n_fft "
+                    f"zero tail (window target {target}, chunk {chunk_samples}, "
+                    f"real samples {real}); disable compact_tail for this "
+                    "window configuration"
+                )
+            d, tail, n_out = fe.logmel_parts(np.asarray(audio_array), target)
+            if n_out != max_source_positions or d.shape[1] > f_cap:
+                raise ValueError(
+                    f"compact_tail frame mismatch: chunk has {n_out} frames "
+                    f"(expected {max_source_positions}), dense {d.shape[1]} "
+                    f"(cap {f_cap})"
+                )
+            dense[i, :, : d.shape[1]] = d
+            dense[i, :, d.shape[1] :] = tail
+            tails[i] = tail
+        return CompactFeatures(dense, tails)
 
     def _retrieve_input_features(
         self, audio_list: list[tuple[np.ndarray, int]], max_source_positions: int, **_
@@ -535,10 +604,25 @@ class CM3PProcessor:
             mask = np.pad(mask, ((0, 0), (0, extra)))
         beatmap_encoding = BatchTokens(input_ids=ids, attention_mask=mask)
         if all(a is not None for a in audio):
-            beatmap_encoding["input_features"] = np.concatenate(batch_features).astype(
+            self._set_input_features(beatmap_encoding, batch_features)
+        return beatmap_encoding, new_metadata
+
+    @staticmethod
+    def _set_input_features(encoding: BatchTokens, batch_features: list) -> None:
+        """Concatenate per-beatmap window features into the encoding —
+        full (chunks, n_mels, max_source_positions) arrays, or the compact
+        dense+tail pair (``input_features`` + ``input_features_tail``)."""
+        if batch_features and isinstance(batch_features[0], CompactFeatures):
+            encoding["input_features"] = np.concatenate(
+                [f.dense for f in batch_features]
+            ).astype(np.float32, copy=False)
+            encoding["input_features_tail"] = np.concatenate(
+                [f.tail for f in batch_features]
+            ).astype(np.float32, copy=False)
+        else:
+            encoding["input_features"] = np.concatenate(batch_features).astype(
                 np.float32, copy=False
             )
-        return beatmap_encoding, new_metadata
 
     def __call__(
         self,
@@ -745,18 +829,22 @@ class CM3PProcessor:
                     **beatmap_kwargs,
                 )
                 if all(a is not None for a in audio):
-                    beatmap_encoding["input_features"] = np.concatenate(batch_features).astype(
-                        np.float32, copy=False
-                    )
+                    self._set_input_features(beatmap_encoding, batch_features)
             else:
                 beatmap_encoding = BatchTokens(
                     input_ids=np.zeros((0, max_length), dtype=np.int32),
                     attention_mask=np.zeros((0, max_length), dtype=np.int32),
                 )
                 if all(a is not None for a in audio):
-                    beatmap_encoding["input_features"] = np.zeros(
-                        (0, self.audio_feature_extractor.feature_size, max_source_positions), dtype=np.float32
-                    )
+                    n_mels = self.audio_feature_extractor.feature_size
+                    if audio_kwargs.get("compact_tail"):
+                        f_cap = self._compact_frames(window_length_sec, sampling_rate)
+                        beatmap_encoding["input_features"] = np.zeros((0, n_mels, f_cap), np.float32)
+                        beatmap_encoding["input_features_tail"] = np.zeros((0,), np.float32)
+                    else:
+                        beatmap_encoding["input_features"] = np.zeros(
+                            (0, n_mels, max_source_positions), dtype=np.float32
+                        )
 
         return self._finish_call(
             beatmap_encoding, metadata, metadata_dropout_prob,

@@ -26,6 +26,7 @@ import hashlib
 import logging
 import os
 import pickle
+import threading
 import time
 from pathlib import Path
 from typing import Any, Callable
@@ -111,10 +112,104 @@ class AotFunctionCache:
         # CPU defaults to the plain jitted fn. ``allow_cpu`` exists for
         # unit tests exercising the mechanics on toy programs.
         self.allow_cpu = allow_cpu
+        # Preload state: a manifest of the artifact filenames this exact
+        # (environment, extra_key) configuration loaded or built before lets
+        # ``preload()`` start deserializing them on a background thread at
+        # job start — a warm extraction otherwise pays the ~10 s/executable
+        # deserialize serially inside its first flush (r8 e2e: 21.5 s of the
+        # 47 s warm wall), while the loader/relay waits it could hide behind
+        # sit idle. Filenames already hash env+extra+shapes, so a manifest
+        # entry can never resolve to a stale program — at worst a renamed
+        # or deleted file is skipped.
+        # keyed by artifact FILENAME (the content hash) — a preloaded seed-dir
+        # artifact must serve a primary-dir lookup for the same program
+        self._preloaded: dict[str, Any] = {}
+        self._pending: dict[str, threading.Event] = {}
+        self._plock = threading.Lock()
 
     def _path(self, name: str, args: tuple) -> Path:
         blob = "|".join([_environment_key(), self.extra_key, name, _args_signature(args)])
         return self.dir / f"{name}-{hashlib.sha256(blob.encode()).hexdigest()[:24]}.aotx"
+
+    # ----------------------------------------------------------- manifest
+    def _manifest_path(self) -> Path:
+        key = hashlib.sha256(f"{_environment_key()}|{self.extra_key}".encode()).hexdigest()[:16]
+        return self.dir / f"manifest-{key}.txt"
+
+    def _manifest_record(self, path: Path) -> None:
+        """Append ``path`` to the manifest (most-recent-last, unique, capped)."""
+        try:
+            mp = self._manifest_path()
+            names = []
+            if mp.exists():
+                names = [n for n in mp.read_text().split() if n]
+            names = [n for n in names if n != path.name] + [path.name]
+            mp.write_text("\n".join(names[-8:]) + "\n")
+        except OSError:  # manifest is an optimization, never an error source
+            pass
+
+    def preload(self) -> None:
+        """Deserialize this configuration's previously used executables on a
+        daemon thread, so the first ``wrap()`` call per shape finds them
+        in memory instead of paying the deserialize on the critical path.
+        Call after the backend is initialized (any ``jax.devices()`` works).
+        No-op when there is no manifest yet or the backend is CPU-gated.
+        """
+        import jax
+
+        if jax.default_backend() == "cpu" and not self.allow_cpu:
+            return
+        try:
+            names = [n for n in self._manifest_path().read_text().split() if n]
+        except OSError:
+            return
+        paths = []
+        with self._plock:
+            for name in reversed(names):  # most recent first
+                for base in [self.dir] + self.seed_dirs:
+                    p = base / name
+                    if p.exists() and p.name not in self._pending and p.name not in self._preloaded:
+                        self._pending[p.name] = threading.Event()
+                        paths.append(p)
+                        break
+        if not paths:
+            return
+
+        def run():
+            from jax.experimental import serialize_executable as se
+
+            for p in paths:
+                exe = None
+                try:
+                    t0 = time.perf_counter()
+                    with open(p, "rb") as f:
+                        payload, in_tree, out_tree = pickle.load(f)
+                    exe = se.deserialize_and_load(payload, in_tree, out_tree)
+                    logger.info(
+                        "AOT preloaded %s (%.2fs, background)", p.name,
+                        time.perf_counter() - t0,
+                    )
+                except Exception as err:
+                    logger.warning("AOT preload of %s failed (%s); on-demand load will retry", p.name, err)
+                with self._plock:
+                    if exe is not None:
+                        self._preloaded[p.name] = exe
+                    self._pending.pop(p.name).set()
+
+        threading.Thread(target=run, name="aot-preload", daemon=True).start()
+
+    def _take_preloaded(self, path: Path):
+        """Return a preloaded executable for ``path``'s program (keyed by
+        filename, so a seed-dir preload serves a primary-dir lookup), waiting
+        out an in-flight background deserialize of it; None on miss."""
+        with self._plock:
+            exe = self._preloaded.get(path.name)
+            event = self._pending.get(path.name)
+        if exe is not None or event is None:
+            return exe
+        event.wait()
+        with self._plock:
+            return self._preloaded.get(path.name)
 
     def wrap(self, jitted_fn: Callable, name: str) -> Callable:
         """Return a drop-in callable for ``jitted_fn`` (positional args only)."""
@@ -129,7 +224,11 @@ class AotFunctionCache:
             path = self._path(name, args)
             exe = loaded.get(path)
             if exe is None:
-                exe = self._load_or_build(jitted_fn, name, path, args)
+                exe = self._take_preloaded(path)
+                if exe is not None:
+                    self._manifest_record(path)
+                else:
+                    exe = self._load_or_build(jitted_fn, name, path, args)
                 loaded[path] = exe
             if exe is False:  # this signature is uncacheable; plain jit
                 return jitted_fn(*args)
@@ -158,6 +257,7 @@ class AotFunctionCache:
                     "AOT cache hit for %s at %s (%.2fs deserialize, skips trace+lower)",
                     name, cand, time.perf_counter() - t0,
                 )
+                self._manifest_record(path)
                 return exe
             except Exception as err:
                 logger.warning("AOT cache load for %s at %s failed (%s); %s",
@@ -180,6 +280,7 @@ class AotFunctionCache:
                 "AOT cached %s (%.1fs build, %.1f MB)",
                 name, time.perf_counter() - t0, len(payload) / 1e6,
             )
+            self._manifest_record(path)
             return compiled
         except Exception as err:
             logger.warning("AOT build for %s failed (%s); using plain jit", name, err)

@@ -126,6 +126,13 @@ def main(argv=None):
     parser.add_argument("--no-audio", action="store_true")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--max-length", type=int, default=None, help="override beatmap token max_length")
+    parser.add_argument(
+        "--window-length", type=float, default=None,
+        help="override window_length_sec (production embeddings are published "
+        "at 16 s granularity, reference README:34; the bare processor default "
+        "is 30 s). Stride follows unless --window-stride is given.",
+    )
+    parser.add_argument("--window-stride", type=float, default=None, help="override window_stride_sec")
     parser.add_argument("--tiny-model", action="store_true", help="random tiny model (smoke tests)")
     parser.add_argument(
         "--pack",
@@ -240,6 +247,33 @@ def main(argv=None):
     )
     if ns.max_length:
         processor.default_kwargs["beatmap_kwargs"]["max_length"] = ns.max_length
+    if ns.window_length:
+        processor.default_kwargs["beatmap_kwargs"]["window_length_sec"] = ns.window_length
+        processor.default_kwargs["beatmap_kwargs"]["window_stride_sec"] = (
+            ns.window_stride or ns.window_length
+        )
+    elif ns.window_stride:
+        processor.default_kwargs["beatmap_kwargs"]["window_stride_sec"] = ns.window_stride
+
+    # Compact mel wire form (CM3P_COMPACT_MEL=0 opts out): a 16 s window in
+    # a 30 s chunk is ~47% constant tail (audio/mel.py logmel_parts) — ship
+    # only the dense frames + the per-window tail scalar through worker IPC
+    # and the host->device transfer, and broadcast the tail back on device.
+    # Bit-exact (tests/test_extractor_compact.py); packed path only.
+    compact_mel = False
+    include_audio = not ns.no_audio
+    if ns.pack and include_audio and os.environ.get("CM3P_COMPACT_MEL", "1") != "0":
+        fe = processor.audio_feature_extractor
+        ak = processor.default_kwargs["audio_kwargs"]
+        wls = processor.default_kwargs["beatmap_kwargs"].get("window_length_sec", 30.0)
+        chunk_samples = fe.chunk_length * fe.sampling_rate
+        if (
+            not fe.dither
+            and ak.get("pad_to_multiple_of", 480000) == chunk_samples
+            and wls * ak.get("sampling_rate", fe.sampling_rate) + fe.n_fft <= chunk_samples
+        ):
+            ak["compact_tail"] = True
+            compact_mel = True
     if auto_batch and ns.pack:
         # keep the measured 192x4096 token budget at any row length
         # (row count capped at the 256 the rows scan actually measured)
@@ -267,7 +301,6 @@ def main(argv=None):
     else:
         model, params = build_model_and_params(ns.model_dir, processor, ns.dtype, ns.attn_impl)
 
-    include_audio = not ns.no_audio
     if ns.beatmap_files:
         dataset_factory = BeatmapFilesDatasetFactory(ns.beatmap_files, processor, include_audio)
         metadata = BeatmapFilesDataset(ns.beatmap_files, processor, include_audio=False).metadata
@@ -353,6 +386,37 @@ def main(argv=None):
             normalize=True,
         )
 
+    msp = processor.default_kwargs["audio_kwargs"].get("max_source_positions", 3000)
+
+    @jax.jit
+    def extract_packed_compact(
+        params, input_ids, segment_ids, window_rows, window_segments, features_dense, features_tail
+    ):
+        # rebuild the exact full mel: dense frames + the per-window constant
+        # tail broadcast to max_source_positions (an on-device HBM write at
+        # ~1 GB/ms vs the same bytes over the host link)
+        w, n_mels, f_cap = features_dense.shape
+        full = jnp.concatenate(
+            [
+                features_dense,
+                jnp.broadcast_to(
+                    features_tail[:, None, None].astype(features_dense.dtype),
+                    (w, n_mels, msp - f_cap),
+                ),
+            ],
+            axis=2,
+        )
+        return model.apply(
+            params,
+            method=CM3PModule.get_packed_beatmap_features,
+            input_ids=input_ids,
+            segment_ids=segment_ids,
+            window_rows=window_rows,
+            window_segments=window_segments,
+            input_features=full,
+            normalize=True,
+        )
+
     if ns.aot_cache:
         # Warm starts deserialize the compiled executable instead of paying
         # the ~60 s single-core trace+lower per flush shape (utils/aot.py).
@@ -381,6 +445,13 @@ def main(argv=None):
         aot = AotFunctionCache(ns.aot_cache, extra_key=extra)
         extract = aot.wrap(extract, "extract_dense")
         extract_packed = aot.wrap(extract_packed, "extract_packed")
+        extract_packed_compact = aot.wrap(extract_packed_compact, "extract_packed_compact")
+        if not ns.prewarm:
+            # background-deserialize the executables this exact config used
+            # last time (manifest) while the loader/processor pipeline runs —
+            # the serial per-flush deserialize was 21.5 s of the 47 s warm
+            # e2e wall (r8 batch, BASELINE.md)
+            aot.preload()
 
     if ns.prewarm:
         # Build (or refresh) the AOT executables for the canonical packed
@@ -407,22 +478,36 @@ def main(argv=None):
             segs[:, seq_len // 2 :] = 2
             window_rows = np.zeros(w_pad, np.int32)
             window_segments = np.ones(w_pad, np.int32)
-            features = (
-                None if ns.no_audio else np.zeros((w_pad, n_mels, msp), jnp.bfloat16)
-            )
             with mesh_ctx:
-                out = extract_packed(
-                    params,
-                    _shard_rows(ids),
-                    _shard_rows(segs),
-                    jnp.asarray(window_rows),
-                    jnp.asarray(window_segments),
-                    _shard_rows(features, jnp.bfloat16),
-                )
+                if compact_mel:
+                    wls = processor.default_kwargs["beatmap_kwargs"].get("window_length_sec", 30.0)
+                    sr = processor.default_kwargs["audio_kwargs"].get("sampling_rate", 16000)
+                    f_cap = processor._compact_frames(wls, sr)
+                    out = extract_packed_compact(
+                        params,
+                        _shard_rows(ids),
+                        _shard_rows(segs),
+                        jnp.asarray(window_rows),
+                        jnp.asarray(window_segments),
+                        _shard_rows(np.zeros((w_pad, n_mels, f_cap), jnp.bfloat16), jnp.bfloat16),
+                        jnp.asarray(np.zeros(w_pad, jnp.bfloat16)),
+                    )
+                else:
+                    features = (
+                        None if ns.no_audio else np.zeros((w_pad, n_mels, msp), jnp.bfloat16)
+                    )
+                    out = extract_packed(
+                        params,
+                        _shard_rows(ids),
+                        _shard_rows(segs),
+                        jnp.asarray(window_rows),
+                        jnp.asarray(window_segments),
+                        _shard_rows(features, jnp.bfloat16),
+                    )
             np.asarray(out)  # host fetch: the relay can ack before executing
             logger.info(
-                "Prewarmed packed shape rows=%d wpad=%d L=%d audio=%s in %.1fs",
-                rows, w_pad, seq_len, features is not None,
+                "Prewarmed packed shape rows=%d wpad=%d L=%d audio=%s compact=%s in %.1fs",
+                rows, w_pad, seq_len, not ns.no_audio, compact_mel,
                 time.perf_counter() - t_shape,
             )
         logger.info("Prewarm done: %s", ns.aot_cache)
@@ -493,6 +578,7 @@ def main(argv=None):
             seqs = [p[0] for p in pending]
             ids_list = [p[1] for p in pending]
             feats_list = [p[2] for p in pending]
+            tails_list = [p[3] for p in pending]
             packed = pack_windows(seqs, seq_len, pad_id=processor.beatmap_tokenizer.pad_token_id)
             if packed["input_ids"].shape[0] > ns.batch_size and len(pending) > 1:
                 # the token-count flush trigger under-estimates rows when
@@ -521,6 +607,7 @@ def main(argv=None):
             window_rows[:w] = packed["window_to_row"]
             window_segments[:w] = packed["window_segment"]
             features = None
+            tails = None
             if feats_list[0] is not None:
                 f0 = np.asarray(feats_list[0])
                 # build straight in the bf16 wire dtype: per-window assignment
@@ -529,19 +616,38 @@ def main(argv=None):
                 features = np.zeros((w_pad,) + f0.shape, jnp.bfloat16)
                 for wi, f in enumerate(feats_list):
                     features[wi] = f
+                if compact_mel:
+                    tails = np.zeros((w_pad,), jnp.bfloat16)
+                    for wi, t in enumerate(tails_list):
+                        tails[wi] = t
             t_dispatch = time.perf_counter()
             stage["pack"] += t_dispatch - t_flush
+            logger.info(
+                "flush: rows=%d windows=%d wpad=%d%s", rows, w, w_pad,
+                f" f_cap={features.shape[-1]}" if compact_mel and features is not None else "",
+            )
             with mesh_ctx:
-                dev = extract_packed(
-                    params,
-                    _shard_rows(input_ids),
-                    _shard_rows(segment_ids),
-                    jnp.asarray(window_rows),
-                    jnp.asarray(window_segments),
-                    # bf16 on the wire like the dense path: the tower runs
-                    # bf16 anyway, and features dominate host->device bytes
-                    _shard_rows(features, jnp.bfloat16),
-                )
+                if compact_mel and features is not None:
+                    dev = extract_packed_compact(
+                        params,
+                        _shard_rows(input_ids),
+                        _shard_rows(segment_ids),
+                        jnp.asarray(window_rows),
+                        jnp.asarray(window_segments),
+                        _shard_rows(features, jnp.bfloat16),
+                        jnp.asarray(tails),
+                    )
+                else:
+                    dev = extract_packed(
+                        params,
+                        _shard_rows(input_ids),
+                        _shard_rows(segment_ids),
+                        jnp.asarray(window_rows),
+                        jnp.asarray(window_segments),
+                        # bf16 on the wire like the dense path: the tower runs
+                        # bf16 anyway, and features dominate host->device bytes
+                        _shard_rows(features, jnp.bfloat16),
+                    )
             stage["dispatch"] += time.perf_counter() - t_dispatch
             # double-buffer: leave this batch in flight (jax dispatch is
             # async) and drain the previous one — host-side packing of the
@@ -574,7 +680,14 @@ def main(argv=None):
             if filled + len(seq) > capacity and pending:
                 flush(pending)
                 pending, filled = [], 0
-            pending.append((seq, sample.get("beatmap_id"), sample.get("input_features")))
+            pending.append(
+                (
+                    seq,
+                    sample.get("beatmap_id"),
+                    sample.get("input_features"),
+                    sample.get("input_features_tail"),
+                )
+            )
             filled += len(seq)
         flush(pending)
         while inflight:

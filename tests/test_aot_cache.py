@@ -108,3 +108,38 @@ class TestAotCache:
     def test_source_fingerprint_stable(self):
         assert source_fingerprint() == source_fingerprint()
         assert len(source_fingerprint()) == 16
+
+    def test_manifest_preload_round_trip(self, tmp_path, caplog):
+        """A prior run's loads land in the manifest; preload() deserializes
+        them in the background and wrap() consumes without a disk load."""
+        cache = AotFunctionCache(tmp_path, extra_key="k", allow_cpu=True)
+        np.asarray(cache.wrap(_fn(), "f")(W, X))
+        if not list(tmp_path.glob("f-*.aotx")):
+            pytest.skip("backend does not support executable serialization")
+        manifest = list(tmp_path.glob("manifest-*.txt"))
+        assert manifest and manifest[0].read_text().strip()
+
+        fresh = AotFunctionCache(tmp_path, extra_key="k", allow_cpu=True)
+        fresh.preload()
+        path = fresh._path("f", (W, X))
+        exe = fresh._take_preloaded(path)  # joins the background thread
+        assert exe is not None
+        with caplog.at_level(logging.INFO, logger="cm3p_tpu.utils.aot"):
+            caplog.clear()
+            out = np.asarray(fresh.wrap(_fn(), "f")(W, X))
+        assert not any("AOT cache hit" in r.message for r in caplog.records)
+        np.testing.assert_allclose(out, np.asarray(_fn()(W, X)))
+
+    def test_preload_missing_manifest_is_noop(self, tmp_path):
+        cache = AotFunctionCache(tmp_path, extra_key="nothing", allow_cpu=True)
+        cache.preload()  # must not raise
+        assert cache._take_preloaded(cache._path("f", (W, X))) is None
+
+    def test_manifest_caps_and_dedups(self, tmp_path):
+        cache = AotFunctionCache(tmp_path, extra_key="k", allow_cpu=True)
+        for i in range(12):
+            cache._manifest_record(tmp_path / f"f-{i:03d}.aotx")
+        cache._manifest_record(tmp_path / "f-011.aotx")  # re-use keeps one entry
+        names = cache._manifest_path().read_text().split()
+        assert len(names) == 8
+        assert names[-1] == "f-011.aotx" and names.count("f-011.aotx") == 1

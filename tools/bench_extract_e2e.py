@@ -49,6 +49,13 @@ def main(argv=None):
         "--dataset-path", str(root),
         "--output", str(out),
         "--num-workers", str(ns.workers),
+        # production extraction granularity: embeddings are published at one
+        # per 16 s window (reference README:34); rows at the headline length.
+        # Protocol change 2026-08-20 — earlier BASELINE rows ran the bare
+        # 30 s-window processor default, so windows/s are not comparable
+        # across the change (beatmaps/s is).
+        "--window-length", "16",
+        "--max-length", "4096",
     ]
     if ns.no_audio:
         args.append("--no-audio")
