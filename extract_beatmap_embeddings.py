@@ -437,6 +437,11 @@ def main(argv=None):
                                "CM3P_W8A8_WO", "CM3P_FUSED_LNMM", "CM3P_XLA_INT8",
                                "CM3P_FA_UNROLL", "CM3P_FA_ONLINE_MAX", "CM3P_BWD_EXP2",
                                "CM3P_MESH_PALLAS")},
+                    # separates the preload MANIFESTS per mel wire mode: a
+                    # compact-off run must not background-deserialize the
+                    # compact executables (r9 arm C starved its 1-core
+                    # loader with 105 s of useless preloads)
+                    "compact_mel": compact_mel,
                     "entry": hashlib.sha256(Path(__file__).read_bytes()).hexdigest(),
                 },
                 sort_keys=True, default=str,
