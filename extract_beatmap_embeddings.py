@@ -120,6 +120,18 @@ def main(argv=None):
         "amortization optimum, BASELINE.md rows scan) or dense windows "
         "(default 32)",
     )
+    parser.add_argument(
+        "--flush-rows",
+        type=int,
+        default=0,
+        help="packed-row flush quantum (default min(64, --batch-size)): a "
+        "device batch is dispatched as soon as this many rows have packed, "
+        "so its host->device transfer and compute overlap the loader's CPU "
+        "work on later windows. The r9 e2e breakdown showed one giant "
+        "end-of-loader flush serializing the whole mel transfer + compute "
+        "after the loader (BASELINE.md). --batch-size stays the device "
+        "row CAP (memory bound); this is only the eagerness knob.",
+    )
     parser.add_argument("--num-workers", type=int, default=0)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
@@ -181,8 +193,8 @@ def main(argv=None):
         "shapes and exit (no dataset needed) — a one-time install/deploy "
         "step that makes every later cold start deserialize in seconds "
         "instead of paying the first-run trace+lower+compile (~10 min "
-        "through the TPU relay). Default shapes: the steady-state flush "
-        "(batch rows x window capacity 256) plus the 64:128 tail. "
+        "through the TPU relay). Default shapes: the steady-state eager "
+        "flush (--flush-rows rows x window pads 384/256/128). "
         "Artifacts land in --aot-cache; ship them read-only via "
         "CM3P_AOT_SEED (utils/aot.py)",
     )
@@ -442,6 +454,10 @@ def main(argv=None):
                     # compact executables (r9 arm C starved its 1-core
                     # loader with 105 s of useless preloads)
                     "compact_mel": compact_mel,
+                    # ...and per flush quantum: eager-64 and legacy-192 jobs
+                    # produce disjoint shape sets; a shared manifest would
+                    # background-deserialize the other mode's executables
+                    "flush_rows": ns.flush_rows or min(64, ns.batch_size),
                     "entry": hashlib.sha256(Path(__file__).read_bytes()).hexdigest(),
                 },
                 sort_keys=True, default=str,
@@ -467,11 +483,10 @@ def main(argv=None):
         msp = processor.default_kwargs["audio_kwargs"].get("max_source_positions", 3000)
         n_mels = processor.audio_feature_extractor.feature_size
         if ns.prewarm == "default":
-            # steady-state flush + the tail row counts a real job ends on
-            shapes = [(ns.batch_size, 256)]
-            for tail in (128, 64):
-                if ns.batch_size > tail:
-                    shapes.append((tail, 128))
+            # steady-state eager flushes (flush_rows x the window-count pads
+            # real jobs land on) — the tail flush reuses one of these shapes
+            fr = ns.flush_rows or min(64, ns.batch_size)
+            shapes = [(fr, 384), (fr, 256), (fr, 128)]
         else:
             shapes = [tuple(int(v) for v in part.split(":")) for part in ns.prewarm.split(",")]
         for rows, w_pad in shapes:
@@ -671,8 +686,19 @@ def main(argv=None):
 
         inflight: list = []
         pending: list = []
-        capacity = ns.batch_size * seq_len
-        filled = 0
+        # Eager flushing: dispatch a device batch as soon as `flush_rows`
+        # packed rows are ready instead of accumulating the full row budget.
+        # Through the relay the dispatch is async, so the flush's
+        # host->device mel transfer and device compute then overlap the
+        # loader's CPU work on the NEXT windows; only the small tail flush
+        # is left un-overlapped (r9 warm e2e: one end-of-loader flush made
+        # the 264 MB transfer + compute fully serial after the 17 s loader —
+        # drain was 8.1 s of the 30 s wall). First-fit is simulated
+        # incrementally in arrival order; the flush itself still packs FFD,
+        # which does not exceed the arrival-order row count in practice
+        # (the bisect guard in flush() bounds any pathology at batch_size).
+        flush_rows = ns.flush_rows or min(64, ns.batch_size)
+        sim_space: list[int] = []  # free tokens per simulated packed row
         sample_it = iter(loader)
         while True:
             t_wait = time.perf_counter()
@@ -682,9 +708,19 @@ def main(argv=None):
                 break
             length = int(np.asarray(sample["attention_mask"]).sum())
             seq = np.asarray(sample["input_ids"])[:length]
-            if filled + len(seq) > capacity and pending:
-                flush(pending)
-                pending, filled = [], 0
+            need = min(len(seq), seq_len)
+            placed = False
+            for r, free in enumerate(sim_space):
+                if free >= need:
+                    sim_space[r] = free - need
+                    placed = True
+                    break
+            if not placed:
+                if len(sim_space) >= flush_rows and pending:
+                    flush(pending)
+                    pending = []
+                    sim_space = []
+                sim_space.append(seq_len - need)
             pending.append(
                 (
                     seq,
@@ -693,7 +729,6 @@ def main(argv=None):
                     sample.get("input_features_tail"),
                 )
             )
-            filled += len(seq)
         flush(pending)
         while inflight:
             _drain(inflight.pop(0))

@@ -178,3 +178,29 @@ class TestExtractorCompact:
         compact = self._extract(fixture_dir, "compact", compact=True)
         assert np.isfinite(full).all()
         np.testing.assert_array_equal(compact, full)
+
+    def test_eager_flush_quantum_identical(self, fixture_dir):
+        """--flush-rows 1 forces one device flush per packed row (the eager
+        overlap path); embeddings must match the single-flush job exactly —
+        flush boundaries only change dispatch timing, never values."""
+        import extract_beatmap_embeddings as ex
+
+        outs = {}
+        for tag, flush_rows in (("one_flush", 64), ("eager", 1)):
+            out = fixture_dir / f"emb_fr_{tag}.parquet"
+            ex.main(
+                [
+                    "--beatmap-files", str(fixture_dir / "map.osu"),
+                    "--output", str(out),
+                    "--tiny-model", "--cpu",
+                    "--max-length", "512",
+                    "--window-length", "16",
+                    "--batch-size", "8",
+                    "--flush-rows", str(flush_rows),
+                    "--no-mesh",
+                ]
+            )
+            df = pd.read_parquet(out)
+            outs[tag] = np.stack([np.asarray(e, np.float32) for e in df["embedding"]])
+        assert np.isfinite(outs["one_flush"]).all()
+        np.testing.assert_array_equal(outs["eager"], outs["one_flush"])

@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--root", default="/tmp/mmrs_extract_bench")
     ap.add_argument("--no-audio", action="store_true", help="skip the audio tower")
     ap.add_argument("--tiny", action="store_true", help="tiny model on CPU (plumbing smoke)")
+    ap.add_argument(
+        "--flush-rows", type=int, default=0,
+        help="forwarded to the extractor (0 = its default eager quantum); "
+        "pass the row budget (192) to reproduce the legacy single-flush job",
+    )
     ns = ap.parse_args(argv)
 
     from tpu_convergence import build_dataset
@@ -59,6 +64,8 @@ def main(argv=None):
     ]
     if ns.no_audio:
         args.append("--no-audio")
+    if ns.flush_rows:
+        args += ["--flush-rows", str(ns.flush_rows)]
     if ns.tiny:
         args += ["--tiny-model", "--cpu", "--max-length", "512"]
 
