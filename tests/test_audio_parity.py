@@ -72,6 +72,51 @@ class TestMelParity:
         assert sparse.shape == dense.shape
         np.testing.assert_array_equal(sparse, dense)
 
+    def test_torch_stft_backend_matches_scipy(self, monkeypatch):
+        """CM3P_TORCH_MEL=1 swaps the STFT backend (MKL batched FFT via
+        torch.stft); outputs must stay ~1e-6 of the scipy path (100x inside
+        the 1e-4 Whisper budget) and sparse==dense bit-exactness must hold
+        WITHIN the backend (same frames, different batch sizes)."""
+        import cm3p_tpu.audio.mel as mel_mod
+
+        fe = LogMelExtractor(feature_size=80, sampling_rate=16000, hop_length=160)
+        waveform = _waveforms(480_000)["noise"][:256_000]
+
+        monkeypatch.setattr(mel_mod, "_TORCH", False)
+        scipy_out = fe(waveform, total_samples=480_000)
+
+        monkeypatch.setenv("CM3P_TORCH_MEL", "1")
+        monkeypatch.setattr(mel_mod, "_TORCH", None)
+        try:
+            torch_sparse = fe(waveform, total_samples=480_000)
+            assert mel_mod._TORCH is not False, "torch backend did not engage"
+            torch_dense = fe(np.pad(waveform, (0, 480_000 - 256_000)))
+        finally:
+            monkeypatch.setattr(mel_mod, "_TORCH", None)
+
+        np.testing.assert_allclose(torch_sparse, scipy_out, atol=1e-5, rtol=0)
+        np.testing.assert_array_equal(torch_sparse, torch_dense)
+
+    def test_torch_stft_backend_vs_whisper(self, monkeypatch):
+        """The torch backend independently meets the Whisper parity budget."""
+        import cm3p_tpu.audio.mel as mel_mod
+
+        waveform = _waveforms(480_000)["sines"]
+        ref_fe = WhisperFeatureExtractor(
+            feature_size=80, sampling_rate=16000, hop_length=160, chunk_length=30, n_fft=400
+        )
+        ref = ref_fe(
+            waveform, sampling_rate=16000, return_tensors="np", padding="max_length"
+        )["input_features"][0]
+
+        monkeypatch.setenv("CM3P_TORCH_MEL", "1")
+        monkeypatch.setattr(mel_mod, "_TORCH", None)
+        try:
+            ours = LogMelExtractor(feature_size=80, sampling_rate=16000, hop_length=160)(waveform)
+        finally:
+            monkeypatch.setattr(mel_mod, "_TORCH", None)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=0)
+
     def test_sparse_mel_all_silence(self):
         fe = LogMelExtractor(feature_size=80, sampling_rate=16000, hop_length=160)
         waveform = np.zeros(160_000, dtype=np.float32)
