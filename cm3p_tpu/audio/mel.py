@@ -22,9 +22,12 @@ from ..utils.io import JsonConfigMixin
 # FFT with fused windowing vs the scipy pipeline. Numerics: same float32
 # rFFT math, |logmel diff| ~1e-6 vs the scipy path — 100x inside the 1e-4
 # Whisper-parity budget (tests/test_audio_parity.py covers both), and
-# sparse==dense bit-exactness holds within the backend. Contended A/Bs on
-# this host disagree on which is faster (2.2 vs 4.8 ms one session, 5.7 vs
-# 3.1 the next) — default stays scipy until a quiet-machine A/B settles it.
+# sparse==dense bit-exactness holds within the backend. Quiet-machine A/B
+# (2026-08-20, loadavg 0.02, 3 process-isolated alternated runs at the
+# production shape R=256k/total=480k): scipy median 4.0-5.6 ms vs torch
+# 4.9-5.9 ms, global min scipy 3.74 vs torch 4.65 — torch shows no win, so
+# scipy STAYS the default; the gate remains as an escape hatch for hosts
+# where MKL's batched FFT does win.
 # torch is imported lazily on first use so loader workers that never touch
 # audio keep their fast boot (~1 s import on this host).
 _TORCH = None  # None = not yet probed, False = unavailable/disabled
