@@ -8,6 +8,7 @@ semantics, mirroring the reference visualizer's JS fallbacks
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import subprocess
 from pathlib import Path
@@ -22,32 +23,67 @@ _LIB: Optional[ctypes.CDLL] = None
 _LIB_FAILED = False
 
 
+def _source_fingerprint(native_dir: Path) -> str:
+    """sha256 over the build inputs (sources + Makefile), content-based.
+
+    mtime comparisons are unreliable here: a ``git checkout`` stamps every
+    file with the checkout time, so an edited ``.cpp`` restored from git can
+    look *older* than a stale ``.so`` and silently run old native code.
+    """
+    h = hashlib.sha256()
+    for src in sorted(list(native_dir.glob("*.cpp")) + [native_dir / "Makefile"]):
+        if src.exists():
+            h.update(src.name.encode())
+            h.update(src.read_bytes())
+    return h.hexdigest()
+
+
+def _is_stale(native_dir: Path) -> bool:
+    so = native_dir / "libcm3p_analytics.so"
+    if not so.exists():
+        return True
+    fp_file = native_dir / ".build.fingerprint"
+    if not fp_file.exists():
+        return True
+    return fp_file.read_text().strip() != _source_fingerprint(native_dir)
+
+
+def _build(native_dir: Path) -> None:
+    """Run ``make`` under an exclusive lock and record the source fingerprint."""
+    # serialize concurrent builds (data-loader spawn workers all
+    # import this module; parallel `make` into one .so corrupts it)
+    import fcntl
+
+    with open(native_dir / ".build.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if not _is_stale(native_dir):  # another process built while we waited
+            return
+        fp = _source_fingerprint(native_dir)  # hash BEFORE the build: no TOCTOU
+        subprocess.run(
+            ["make", "-C", str(native_dir)], check=True, capture_output=True, timeout=240
+        )
+        (native_dir / ".build.fingerprint").write_text(fp + "\n")
+
+
 def _load_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
     so = _NATIVE_DIR / "libcm3p_analytics.so"
-    stale = not so.exists() or any(
-        cpp.stat().st_mtime > so.stat().st_mtime
-        for cpp in _NATIVE_DIR.glob("*.cpp")
-    )
-    if stale:
+    if _is_stale(_NATIVE_DIR):
         try:
-            # serialize concurrent builds (data-loader spawn workers all
-            # import this module; parallel `make` into one .so corrupts it)
-            import fcntl
-
-            with open(_NATIVE_DIR / ".build.lock", "w") as lock:
-                fcntl.flock(lock, fcntl.LOCK_EX)
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True, timeout=120
-                )
+            _build(_NATIVE_DIR)
         except Exception as e:
             if not so.exists():
                 logger.warning("native analytics build failed (%s); using numpy fallbacks", e)
                 _LIB_FAILED = True
                 return None
-            logger.warning("native analytics rebuild failed (%s); using the existing binary", e)
+            logger.warning(
+                "native analytics rebuild failed (%s); the existing binary does NOT match "
+                "the current sources — using numpy fallbacks to avoid running stale code", e
+            )
+            _LIB_FAILED = True
+            return None
     try:
         lib = ctypes.CDLL(str(so))
     except OSError as e:

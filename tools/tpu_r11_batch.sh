@@ -8,7 +8,7 @@ LOG=${1:-/tmp/tpu_r11_batch.log}
 {
   echo "=== r11 batch start $(date -u +%FT%TZ) ==="
   git rev-parse HEAD
-  git status --short cm3p_tpu bench.py | head -5
+  git status --short cm3p_tpu bench.py tools | head -5
   echo "--- arm A: headline bench ---"
   timeout 3600 python bench.py
   echo "--- arm B: kernel-variant smoke, L=4096 ---"
