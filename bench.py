@@ -126,22 +126,43 @@ BEATMAP_FIXTURE = (
 )
 
 
-def real_window_sequences(n_windows: int) -> tuple:
-    """Unpadded token sequences for 16s windows of the bundled beatmap,
-    tiled to n_windows, plus the tokenizer vocab size (the model config MUST
-    adopt it: out-of-range ids are NaN-producing OOB gathers on TPU)."""
+def real_window_sequences(n_windows: int, corpus: str | None = None) -> tuple:
+    """Unpadded token sequences for 16s windows, tiled to n_windows, plus the
+    tokenizer vocab size (the model config MUST adopt it: out-of-range ids
+    are NaN-producing OOB gathers on TPU).
+
+    Default: windows of the bundled beatmap. ``corpus``: a directory of .osu
+    files (resources/perf_corpus — 16 maps spanning modes, densities, and
+    lengths, VERDICT r2 next #7); windows from every map are interleaved
+    deterministically so the packed batch mixes the full distribution."""
     from cm3p_tpu.processing import CM3PProcessor
 
     proc = CM3PProcessor()
-    out = proc(beatmap=BEATMAP_FIXTURE, window_length_sec=16.0, window_stride_sec=16.0, padding="longest")
-    ids = np.asarray(out["input_ids"])
-    lengths = np.asarray(out["attention_mask"]).sum(axis=1)
-    seqs = [ids[i, : lengths[i]] for i in range(len(ids))]
+    if corpus:
+        import pathlib
+
+        maps = sorted(pathlib.Path(corpus).glob("*.osu"))
+        if not maps:
+            raise FileNotFoundError(f"no .osu files in corpus dir {corpus}")
+    else:
+        maps = [BEATMAP_FIXTURE]
+    seqs = []
+    for m in maps:
+        out = proc(beatmap=str(m), window_length_sec=16.0, window_stride_sec=16.0, padding="longest")
+        ids = np.asarray(out["input_ids"])
+        lengths = np.asarray(out["attention_mask"]).sum(axis=1)
+        seqs.extend(ids[i, : lengths[i]] for i in range(len(ids)))
+    if corpus:
+        rng = np.random.default_rng(0)
+        order = rng.permutation(len(seqs))
+        seqs = [seqs[i] for i in order]
     reps = -(-n_windows // len(seqs))
     return (seqs * reps)[:n_windows], proc.beatmap_tokenizer.vocab_size
 
 
-def bench_packed(model, params, extract_packed, seq_len: int, rows: int, iters: int) -> tuple[float, dict]:
+def bench_packed(
+    model, params, extract_packed, seq_len: int, rows: int, iters: int, corpus: str | None = None
+) -> tuple[float, dict]:
     """Packed real-window extraction: embeddings/sec across the packed batch."""
     import jax
     import jax.numpy as jnp
@@ -149,7 +170,7 @@ def bench_packed(model, params, extract_packed, seq_len: int, rows: int, iters: 
     from cm3p_tpu.processing.packing import pack_windows
 
     # oversupply windows, then trim to what fits in `rows` rows
-    seqs, _ = real_window_sequences(rows * 16)
+    seqs, _ = real_window_sequences(rows * 16, corpus=corpus)
     packed = pack_windows(seqs, seq_len, pad_id=0)
     while packed["input_ids"].shape[0] > rows:
         seqs = seqs[: int(len(seqs) * 0.95)]
@@ -171,9 +192,12 @@ def bench_packed(model, params, extract_packed, seq_len: int, rows: int, iters: 
     fill = float((packed["segment_ids"] > 0).mean())
     total_tokens = int(sum(len(s) for s in seqs))
     total_flops = float(sum(window_flops(len(s)) for s in seqs))
+    lens = np.asarray([len(s) for s in seqs])
     return n_windows / dt, {
         "rows": packed["input_ids"].shape[0],
         "windows": n_windows,
+        "corpus": corpus or "bundled-map",
+        "window_tokens_p10_p50_p90": [int(np.percentile(lens, p)) for p in (10, 50, 90)],
         "fill": round(fill, 3),
         "dt_sec": round(dt, 4),
         "tokens_per_sec": round(total_tokens / dt),
@@ -197,6 +221,12 @@ def main():
     parser.add_argument("--mel-frames", type=int, default=1600)  # 16 s windows
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--no-packed", action="store_true", help="skip the packed real-window benchmark")
+    parser.add_argument(
+        "--corpus", nargs="?", const="resources/perf_corpus", default=None,
+        help="pack windows from a .osu corpus dir instead of the bundled map "
+        "(bare --corpus = resources/perf_corpus: 16 maps x 4 modes x "
+        "density/length spread)",
+    )
     parser.add_argument(
         "--precise",
         action="store_true",
@@ -318,7 +348,8 @@ def main():
         # fixed row count: packed throughput amortizes with batch, and the
         # dense scan's best_bs jitters run-to-run through the relay
         packed_rate, packed_detail = bench_packed(
-            model, params, extract_packed, args.seq_len, rows=args.packed_rows, iters=args.iters
+            model, params, extract_packed, args.seq_len, rows=args.packed_rows, iters=args.iters,
+            corpus=args.corpus,
         )
 
     headline = packed_rate if packed_rate else best_rate

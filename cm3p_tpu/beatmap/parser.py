@@ -279,11 +279,20 @@ class BeatmapEventParser(JsonConfigMixin):
         return float(min(max(-100.0 / tp.ms_per_beat, 0.01), 10.0))
 
     def _get_snapping(self, time_ms: float, beatmap: Beatmap, add_snap: bool = True) -> Optional[int]:
-        """Detect the beat snap divisor (1/1 .. 1/16, 2 ms tolerance)."""
+        """Detect the beat snap divisor (1/1 .. 1/16, 2 ms tolerance).
+
+        ``beats`` replicates the reference's timedelta chain bit-for-bit
+        (parsing_cm3p.py:427: ``(time - tp.offset).total_seconds() * 1000``):
+        times quantize to integer microseconds, subtract exactly, then pay
+        ONE float division by 1e6 and a *1000 — which lands one ulp away
+        from our exact float milliseconds often enough to flip the 2 ms
+        tolerance at boundary cases (found by the perf-corpus differential:
+        a repeat-edge at exactly 2.000 ms off the 1/6 grid)."""
         if not add_snap or not self.add_snapping:
             return None
         tp = self.uninherited_point_at(time_ms, beatmap)
-        beats = (time_ms - tp.offset) / tp.ms_per_beat
+        d_us = round(time_ms * 1000.0) - round(tp.offset * 1000.0)
+        beats = (d_us / 1e6) * 1000.0 / tp.ms_per_beat
         snapping = 0
         for i in range(1, 17):
             if abs(beats - round(beats * i) / i) * tp.ms_per_beat < 2:

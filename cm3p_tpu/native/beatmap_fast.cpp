@@ -647,7 +647,12 @@ struct Lowering {
       out->error = true;
       return 0;
     }
-    double beats = (time_ms - tp.offset) / tp.ms_per_beat;
+    // replicate the reference's timedelta chain bit-for-bit (see
+    // parser.py:_get_snapping): integer-microsecond quantization, exact
+    // subtraction, then /1e6 * 1000 — one ulp off exact float ms, which
+    // decides 2 ms-tolerance boundary cases
+    double d_us = (double)py_round(time_ms * 1000.0) - (double)py_round(tp.offset * 1000.0);
+    double beats = (d_us / 1e6) * 1000.0 / tp.ms_per_beat;
     for (int i = 1; i <= 16; ++i) {
       double r = (double)py_round(beats * (double)i) / (double)i;
       if (std::fabs(beats - r) * tp.ms_per_beat < 2.0) return i;

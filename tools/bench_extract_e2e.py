@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--sets", type=int, default=64, help="beatmapsets in the fixture")
     ap.add_argument("--workers", type=int, default=6, help="loader worker processes")
     ap.add_argument("--root", default="/tmp/mmrs_extract_bench")
+    ap.add_argument(
+        "--corpus", action="store_true",
+        help="fixture cycles the 16-map perf corpus (modes/densities/lengths) "
+        "instead of tiling the bundled map; use a fresh --root",
+    )
     ap.add_argument("--no-audio", action="store_true", help="skip the audio tower")
     ap.add_argument("--tiny", action="store_true", help="tiny model on CPU (plumbing smoke)")
     ap.add_argument(
@@ -45,7 +50,7 @@ def main(argv=None):
     root = Path(ns.root)
     if not (root / "metadata.parquet").exists():
         root.mkdir(parents=True, exist_ok=True)
-        build_dataset(root, ns.sets)
+        build_dataset(root, ns.sets, corpus=ns.corpus)
 
     import extract_beatmap_embeddings as ex
 

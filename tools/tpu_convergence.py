@@ -82,12 +82,24 @@ def write_wav(path: Path, seconds: float, freq: float, rate: int = 16000) -> Non
         wf.writeframes(data.tobytes())
 
 
-def build_dataset(root: Path, n_sets: int) -> None:
-    osu_text = BUNDLED.read_text(encoding="utf-8")
-    seconds = _last_object_ms(osu_text) / 1000.0 + 2.0
+def build_dataset(root: Path, n_sets: int, corpus: bool = False) -> None:
+    """N beatmapsets from the bundled map, or — with ``corpus`` — cycling the
+    16-map perf corpus (modes x densities x lengths, VERDICT r2 next #7) so
+    the system e2e numbers cover the full input distribution."""
+    sources = [BUNDLED]
+    if corpus:
+        corpus_dir = REPO / "resources" / "perf_corpus"
+        sources = sorted(corpus_dir.glob("*.osu")) + [BUNDLED]
+        if len(sources) < 2:
+            raise FileNotFoundError(f"perf corpus missing: {corpus_dir} (run tools/make_perf_corpus.py)")
     statuses = [("ranked", 1), ("loved", 4), ("graveyard", -2), ("qualified", 3)]
     rows = []
     for i in range(n_sets):
+        src = sources[i % len(sources)]
+        osu_text = src.read_text(encoding="utf-8")
+        seconds = _last_object_ms(osu_text) / 1000.0 + 2.0
+        mode_m = re.search(r"^Mode:\s*(\d+)", osu_text, re.MULTILINE)
+        mode_int = int(mode_m.group(1)) if mode_m else 0
         sid, bid = 1000 + i, 5000 + i
         folder = f"set_{sid}"
         set_dir = root / "data" / folder
@@ -107,8 +119,8 @@ def build_dataset(root: Path, n_sets: int) -> None:
                 "BeatmapSetFolder": folder,
                 "BeatmapFile": fname,
                 "AudioFile": "audio.wav",
-                "ModeInt": 0,
-                "Mode": "osu",
+                "ModeInt": mode_int,
+                "Mode": {0: "osu", 1: "taiko", 2: "fruits", 3: "mania"}[mode_int],
                 "Cs": 3.0 + (i % 4),
                 "Status": statuses[i % len(statuses)][0],
                 "Ranked": statuses[i % len(statuses)][1],
