@@ -1196,18 +1196,40 @@ def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_
     )
 
 
+# Trainable fused rope (VERDICT r2 next #4): with the gate ON the
+# differentiated path keeps rope ENTIRELY in-kernel — the forward kernels
+# rotate raw q/k, residuals stay RAW, and the backward kernels rotate on
+# load + counter-rotate dq/dk at finalize (flash_attention_bwd fused-rope
+# block comment). This deletes the 4 XLA rope passes (2 forward rotations +
+# 2 cotangent counter-rotations) and the rotated-copy HBM round trips the
+# train step paid per layer. Default OFF until the hardware A/B lands.
+TRAIN_FUSED_ROPE = os.environ.get("CM3P_TRAIN_FUSED_ROPE", "0") == "1"
+
+
+def _train_rope_in_kernel(rope_theta, hd, heads) -> bool:
+    return TRAIN_FUSED_ROPE and rope_theta is not None and hd // heads == 64 and heads % 2 == 0
+
+
 def _fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta):
-    # Differentiated forward: rotate in XLA (NOT in-kernel) so the residuals
-    # hold the rotated q/k the backward kernels need — the backward then
-    # only pays the counter-rotation of dq/dk, exactly what autodiff through
-    # an outside rope pass cost. The no-grad primal path keeps the fused
-    # in-kernel rope (where the win is: extraction has no backward).
-    if rope_theta is not None:
+    # Differentiated forward, two modes:
+    # * gate OFF (default): rotate in XLA so the residuals hold the rotated
+    #   q/k the backward kernels consume — the backward then only pays the
+    #   counter-rotation of dq/dk, exactly what autodiff through an outside
+    #   rope pass cost.
+    # * gate ON (CM3P_TRAIN_FUSED_ROPE): rope rides in-kernel both
+    #   directions; residuals stay RAW (marker: same static predicate
+    #   re-evaluated in _bwd — the flag is part of _dispatch_key, so a
+    #   flip retraces instead of mixing modes).
+    if rope_theta is not None and not _train_rope_in_kernel(rope_theta, q.shape[-1], heads):
         d = q.shape[-1] // heads
         q = _apply_rope_xla(q, rope_theta, d)
         k = _apply_rope_xla(k, rope_theta, d)
+        out, lse = _flash_attention_fwd_impl(
+            q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True, rope_theta=None
+        )
+        return out, (q, k, v, qseg, kseg, out, lse)
     out, lse = _flash_attention_fwd_impl(
-        q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True, rope_theta=None
+        q, k, v, qseg, kseg, window, block_q, block_k, heads, return_lse=True, rope_theta=rope_theta
     )
     return out, (q, k, v, qseg, kseg, out, lse)
 
@@ -1231,40 +1253,52 @@ def _counter_rotate(g, theta, d):
 
 
 @functools.lru_cache(maxsize=512)
-def _jitted_fa_bwd(window, block_q, block_k, heads, _key):
+def _jitted_fa_bwd(window, block_q, block_k, heads, rope_theta, _key):
     from .flash_attention_bwd import flash_attention_bwd
 
     def call(q, k, v, qseg, kseg, out, lse, g):
         return flash_attention_bwd(
-            q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads
+            q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads,
+            rope_theta=rope_theta,
         )
 
     return jax.jit(call, inline=True)
 
 
 def _bwd(window, block_q, block_k, heads, rope_theta, res, g):
-    # residuals hold ROTATED q/k (see _fwd); only the cotangents need to be
-    # pulled back through the rotation
+    # gate OFF: residuals hold ROTATED q/k (see _fwd) — only the cotangents
+    # need to be pulled back through the rotation here. Gate ON: residuals
+    # are RAW and the backward kernels handle rope end to end.
     q, k, v, qseg, kseg, out, lse = res
     d = q.shape[-1] // heads
+    bwd_rope = rope_theta if _train_rope_in_kernel(rope_theta, q.shape[-1], heads) else None
     if BACKWARD_MODE == "pallas":
         if JIT_DISPATCH:
-            dq, dk, dv = _jitted_fa_bwd(window, block_q, block_k, heads, _dispatch_key())(
+            dq, dk, dv = _jitted_fa_bwd(window, block_q, block_k, heads, bwd_rope, _dispatch_key())(
                 q, k, v, qseg, kseg, out, lse, g
             )
         else:
             from .flash_attention_bwd import flash_attention_bwd
 
             dq, dk, dv = flash_attention_bwd(
-                q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads
+                q, k, v, qseg, kseg, out, lse, g, window, block_q, block_k, heads,
+                rope_theta=bwd_rope,
             )
     else:
         # dense recompute fallback (materializes O(L²) scores)
+        if bwd_rope is not None:
+            qr = _apply_rope_xla(q, rope_theta, d)
+            kr = _apply_rope_xla(k, rope_theta, d)
+        else:
+            qr, kr = q, k
         _, vjp = jax.vjp(
-            lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window, heads), q, k, v
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, qseg, kseg, window, heads), qr, kr, v
         )
         dq, dk, dv = vjp(g)
-    if rope_theta is not None:
+        if bwd_rope is not None:
+            dq = _counter_rotate(dq, rope_theta, d)
+            dk = _counter_rotate(dk, rope_theta, d)
+    if rope_theta is not None and bwd_rope is None:
         dq = _counter_rotate(dq, rope_theta, d)
         dk = _counter_rotate(dk, rope_theta, d)
     return dq, dk, dv, None, None
@@ -1330,7 +1364,7 @@ def _dispatch_key():
 
     return (
         pl.pallas_call, ONLINE_MAX, BACKWARD_MODE, FUSED_WO_Q,
-        UNROLL, _fab.BWD_EXP2, _fab.UNROLL,
+        UNROLL, TRAIN_FUSED_ROPE, _fab.BWD_EXP2, _fab.UNROLL,
     )
 
 

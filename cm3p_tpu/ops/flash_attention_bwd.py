@@ -49,6 +49,42 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# ------------------------------------------------------------ fused rope bwd
+# Trainable in-kernel rope (VERDICT r2 next #4): with ``rope_theta`` the
+# kernels receive RAW q/k plus the same cos/sin block tables the forward
+# kernels use, rotate on load (q tables carry the score scale, so ``qs``
+# pre-scaling is skipped), and counter-rotate dq/dk at finalize — deleting
+# the XLA rope passes + rotated-copy HBM round trips the differentiated
+# path paid in both directions. Math: with u = a·R_q(q), a = scale·log2(e)
+# (or scale for BWD_EXP2=0) folded into the q tables, the kernel's
+# X = p∘(dp−delta) is exactly dL/dŝ (natural-score gradient), so
+#   dL/dq = scale·R_qᵀ(X·k_rot)   = counter_q(dq_scr) / log2(e)   [exp2]
+#   dL/dk = scale·R_kᵀ(Xᵀ·u)     = counter_k(dk_scr) / log2(e)   [exp2]
+# (counter_q uses the SCALED q tables, contributing the extra ``a``; the
+# outer fixes become 1/log2(e), or exactly 1 in the natural-exp form).
+# Rᵀ = −R for the rotate-half permutation and the sin table repeats across
+# halves, so the transpose is y∘c − (y@R)∘s with the forward's own tables.
+
+
+def _counter_rotate_store(acc, ct, st, r2, heads: int, d: int, out_ref):
+    """Store ``counter_rotate(acc)`` per head: out = y∘c − (y@R_d)∘s.
+
+    ``acc`` is the fp32 (block, H·D) accumulator; tables are (block, 2d)
+    with identical halves, so the per-head (block, d) slices use the first
+    half. Per-head 64-lane ops mirror the load path's lane slicing (a
+    cross-head concat would need a lane-merging reshape Mosaic rejects)."""
+    ct_h = ct[:, :d]
+    st_h = st[:, :d]
+    r_h = r2[:d, :d]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        y = acc[:, sl].astype(out_ref.dtype)
+        yr = jax.lax.dot_general(
+            y, r_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(y.dtype)
+        out_ref[0, :, sl] = (y * ct_h - yr * st_h).astype(out_ref.dtype)
+
+
 def _mask_bias2d(q_start, k_start, block_q, block_k, window, qseg, kseg, seq_len, need_bound):
     """(block_q, block_k) additive fp32 bias folding window/segment/bound masks."""
     mask2d = None
@@ -192,6 +228,7 @@ def _dq_unrolled_kernel(
     start_ref, count_ref,
     qs_ref, *rest,
     block_q: int, block_k: int, seq_len: int, heads: int, head_dim: int, unroll: int,
+    fuse_rope: bool = False,
 ):
     """dQ for global/packed layers, ``unroll`` key blocks per grid step.
 
@@ -199,14 +236,22 @@ def _dq_unrolled_kernel(
     ~3 dozen tiny per-head VPU ops; unrolling divides steps and the per-head
     scratch read-modify-writes by U. Blocks past ``count`` are clamped
     duplicates, excluded via the (t*U + j < count) mask term.
-    Ref layout: qs, k*U, v*U, do, lse, delta, qseg, kseg*U, dq, dq_scr.
+    Ref layout: qs, k*U, v*U, do, lse, delta, qseg, kseg*U
+    [, qct, qst, kct*U, kst*U, r2], dq, dq_scr.
     """
     k_refs = rest[:unroll]
     v_refs = rest[unroll:2 * unroll]
     do_ref, lse_ref, delta_ref, qseg_ref = rest[2 * unroll:2 * unroll + 4]
     kseg_refs = rest[2 * unroll + 4:3 * unroll + 4]
-    dq_ref = rest[3 * unroll + 4]
-    dq_scr = rest[3 * unroll + 5]
+    pos = 3 * unroll + 4
+    if fuse_rope:
+        qct_ref, qst_ref = rest[pos:pos + 2]
+        kct_refs = rest[pos + 2:pos + 2 + unroll]
+        kst_refs = rest[pos + 2 + unroll:pos + 2 + 2 * unroll]
+        r2_ref = rest[pos + 2 + 2 * unroll]
+        pos += 3 + 2 * unroll
+    dq_ref = rest[pos]
+    dq_scr = rest[pos + 1]
 
     bi = pl.program_id(0)
     qi = pl.program_id(1)
@@ -226,6 +271,30 @@ def _dq_unrolled_kernel(
         delta = delta_ref[0]
         acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
         qseg = qseg_ref[0, 0]
+        if fuse_rope:
+            from .flash_attention import _rope_rotate_groups
+
+            ngroups = heads // 2
+            qrots = _rope_rotate_groups(qs, qct_ref[...], qst_ref[...], r2_ref, ngroups, head_dim)
+            krots = [
+                _rope_rotate_groups(k_refs[j][0], kct_refs[j][...], kst_refs[j][...], r2_ref, ngroups, head_dim)
+                for j in range(unroll)
+            ]
+
+            def _qh(h):
+                g, half = divmod(h, 2)
+                return qrots[g][:, half * head_dim:(half + 1) * head_dim]
+
+            def _kh(j, h):
+                g, half = divmod(h, 2)
+                return krots[j][g][:, half * head_dim:(half + 1) * head_dim]
+        else:
+            def _qh(h):
+                return qs[:, h * head_dim:(h + 1) * head_dim]
+
+            def _kh(j, h):
+                return k_refs[j][0][:, h * head_dim:(h + 1) * head_dim]
+
         biases = []
         for j in range(unroll):
             kseg = kseg_refs[j][0, 0]
@@ -237,29 +306,35 @@ def _dq_unrolled_kernel(
             dq = None
             for j in range(unroll):
                 _, ds = _head_bwd_terms(
-                    qs[:, sl], k_refs[j][0][:, sl], v_refs[j][0][:, sl], do[:, sl],
+                    _qh(h), _kh(j, h), v_refs[j][0][:, sl], do[:, sl],
                     lse[h], delta[h], biases[j], acc_t,
                 )
                 contrib = jax.lax.dot_general(
-                    ds, k_refs[j][0][:, sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    ds, _kh(j, h), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
                 )
                 dq = contrib if dq is None else dq + contrib
             dq_scr[:, sl] = dq_scr[:, sl] + dq
 
     @pl.when(t == jnp.maximum(outer, 1) - 1)
     def _finalize():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        if fuse_rope:
+            _counter_rotate_store(
+                dq_scr[:], qct_ref[...], qst_ref[...], r2_ref[...], heads, head_dim, dq_ref
+            )
+        else:
+            dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
 def _dkv_unrolled_kernel(
     start_ref, count_ref,
     k_ref, v_ref, *rest,
     block_q: int, block_k: int, seq_len: int, heads: int, head_dim: int, unroll: int,
+    fuse_rope: bool = False,
 ):
     """dK/dV for global/packed layers, ``unroll`` query blocks per grid step.
 
-    Ref layout: k, v, qs*U, do*U, lse*U, delta*U, qseg*U, kseg, dk, dv,
-    dk_scr, dv_scr.
+    Ref layout: k, v, qs*U, do*U, lse*U, delta*U, qseg*U, kseg
+    [, kct, kst, qct*U, qst*U, r2], dk, dv, dk_scr, dv_scr.
     """
     qs_refs = rest[:unroll]
     do_refs = rest[unroll:2 * unroll]
@@ -267,8 +342,15 @@ def _dkv_unrolled_kernel(
     delta_refs = rest[3 * unroll:4 * unroll]
     qseg_refs = rest[4 * unroll:5 * unroll]
     kseg_ref = rest[5 * unroll]
-    dk_ref, dv_ref = rest[5 * unroll + 1:5 * unroll + 3]
-    dk_scr, dv_scr = rest[5 * unroll + 3:5 * unroll + 5]
+    pos = 5 * unroll + 1
+    if fuse_rope:
+        kct_ref, kst_ref = rest[pos:pos + 2]
+        qct_refs = rest[pos + 2:pos + 2 + unroll]
+        qst_refs = rest[pos + 2 + unroll:pos + 2 + 2 * unroll]
+        r2_ref = rest[pos + 2 + 2 * unroll]
+        pos += 3 + 2 * unroll
+    dk_ref, dv_ref = rest[pos:pos + 2]
+    dk_scr, dv_scr = rest[pos + 2:pos + 4]
 
     bi = pl.program_id(0)
     ki = pl.program_id(1)
@@ -287,6 +369,30 @@ def _dkv_unrolled_kernel(
         v = v_ref[0]
         acc_t = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
         kseg = kseg_ref[0, 0]
+        if fuse_rope:
+            from .flash_attention import _rope_rotate_groups
+
+            ngroups = heads // 2
+            krots = _rope_rotate_groups(k, kct_ref[...], kst_ref[...], r2_ref, ngroups, head_dim)
+            qrots = [
+                _rope_rotate_groups(qs_refs[j][0], qct_refs[j][...], qst_refs[j][...], r2_ref, ngroups, head_dim)
+                for j in range(unroll)
+            ]
+
+            def _kh(h):
+                g, half = divmod(h, 2)
+                return krots[g][:, half * head_dim:(half + 1) * head_dim]
+
+            def _qh(j, h):
+                g, half = divmod(h, 2)
+                return qrots[j][g][:, half * head_dim:(half + 1) * head_dim]
+        else:
+            def _kh(h):
+                return k[:, h * head_dim:(h + 1) * head_dim]
+
+            def _qh(j, h):
+                return qs_refs[j][0][:, h * head_dim:(h + 1) * head_dim]
+
         biases = []
         for j in range(unroll):
             qseg = qseg_refs[j][0, 0]
@@ -298,10 +404,10 @@ def _dkv_unrolled_kernel(
             dk = None
             dv = None
             for j in range(unroll):
-                qs_h = qs_refs[j][0][:, sl]
+                qs_h = _qh(j, h)
                 do_h = do_refs[j][0][:, sl]
                 p, ds = _head_bwd_terms(
-                    qs_h, k[:, sl], v[:, sl], do_h,
+                    qs_h, _kh(h), v[:, sl], do_h,
                     lse_refs[j][0][h], delta_refs[j][0][h], biases[j], acc_t,
                 )
                 dvj = jax.lax.dot_general(
@@ -317,29 +423,42 @@ def _dkv_unrolled_kernel(
 
     @pl.when(t == jnp.maximum(outer, 1) - 1)
     def _finalize():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        if fuse_rope:
+            _counter_rotate_store(
+                dk_scr[:], kct_ref[...], kst_ref[...], r2_ref[...], heads, head_dim, dk_ref
+            )
+        else:
+            dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _dq_fused_kernel(
     qs_ref, *rest,
     window: int, block_q: int, block_k: int, num_kb: int, nblocks: int,
-    seq_len: int, has_seg: bool, heads: int, head_dim: int,
+    seq_len: int, has_seg: bool, heads: int, head_dim: int, fuse_rope: bool = False,
 ):
     """Single-pass dQ for windowed layers: all key blocks in one grid step.
 
-    Ref layout: qs, k*n, v*n, do, lse, delta[, qseg, kseg*n], dq.
+    Ref layout: qs, k*n, v*n, do, lse, delta[, qseg, kseg*n]
+    [, qct, qst, kct*n, kst*n, r2], dq.
     """
     k_refs = rest[:nblocks]
     v_refs = rest[nblocks:2 * nblocks]
     do_ref, lse_ref, delta_ref = rest[2 * nblocks:2 * nblocks + 3]
+    pos = 2 * nblocks + 3
     if has_seg:
-        qseg_ref = rest[2 * nblocks + 3]
-        kseg_refs = rest[2 * nblocks + 4:3 * nblocks + 4]
-        dq_ref = rest[3 * nblocks + 4]
+        qseg_ref = rest[pos]
+        kseg_refs = rest[pos + 1:pos + 1 + nblocks]
+        pos += 1 + nblocks
     else:
         qseg_ref, kseg_refs = None, [None] * nblocks
-        dq_ref = rest[2 * nblocks + 3]
+    if fuse_rope:
+        qct_ref, qst_ref = rest[pos:pos + 2]
+        kct_refs = rest[pos + 2:pos + 2 + nblocks]
+        kst_refs = rest[pos + 2 + nblocks:pos + 2 + 2 * nblocks]
+        r2_ref = rest[pos + 2 + 2 * nblocks]
+        pos += 3 + 2 * nblocks
+    dq_ref = rest[pos]
 
     qi = pl.program_id(1)
     start_kb = jnp.clip((qi * block_q - window) // block_k, 0, num_kb - nblocks)
@@ -348,6 +467,30 @@ def _dq_fused_kernel(
     lse = lse_ref[0]
     delta = delta_ref[0]
     acc_t = jnp.float32 if qs.dtype == jnp.float32 else jnp.bfloat16
+
+    if fuse_rope:
+        from .flash_attention import _rope_rotate_groups
+
+        ngroups = heads // 2
+        qrots = _rope_rotate_groups(qs, qct_ref[...], qst_ref[...], r2_ref, ngroups, head_dim)
+        krots = [
+            _rope_rotate_groups(k_refs[j][0], kct_refs[j][...], kst_refs[j][...], r2_ref, ngroups, head_dim)
+            for j in range(nblocks)
+        ]
+
+        def _qh(h):
+            g, half = divmod(h, 2)
+            return qrots[g][:, half * head_dim:(half + 1) * head_dim]
+
+        def _kh(j, h):
+            g, half = divmod(h, 2)
+            return krots[j][g][:, half * head_dim:(half + 1) * head_dim]
+    else:
+        def _qh(h):
+            return qs[:, h * head_dim:(h + 1) * head_dim]
+
+        def _kh(j, h):
+            return k_refs[j][0][:, h * head_dim:(h + 1) * head_dim]
 
     biases = [
         _mask_bias2d(
@@ -363,42 +506,85 @@ def _dq_fused_kernel(
         dq = None
         for j in range(nblocks):
             _, ds = _head_bwd_terms(
-                qs[:, sl], k_refs[j][0][:, sl], v_refs[j][0][:, sl], do[:, sl],
+                _qh(h), _kh(j, h), v_refs[j][0][:, sl], do[:, sl],
                 lse[h], delta[h], biases[j], acc_t,
             )
             contrib = jax.lax.dot_general(
-                ds, k_refs[j][0][:, sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ds, _kh(j, h), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             dq = contrib if dq is None else dq + contrib
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        if fuse_rope:
+            # counter-rotate this head's dq with the (scaled) q tables
+            ct_h = qct_ref[...][:, :head_dim]
+            st_h = qst_ref[...][:, :head_dim]
+            y = dq.astype(dq_ref.dtype)
+            yr = jax.lax.dot_general(
+                y, r2_ref[...][:head_dim, :head_dim], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(y.dtype)
+            dq_ref[0, :, sl] = (y * ct_h - yr * st_h).astype(dq_ref.dtype)
+        else:
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_fused_kernel(
     k_ref, v_ref, *rest,
     window: int, block_q: int, block_k: int, num_qb: int, nblocks: int,
-    seq_len: int, has_seg: bool, heads: int, head_dim: int,
+    seq_len: int, has_seg: bool, heads: int, head_dim: int, fuse_rope: bool = False,
 ):
     """Single-pass dK/dV for windowed layers (q blocks unrolled).
 
-    Ref layout: k, v, qs*n, do*n, lse*n, delta*n[, qseg*n, kseg], dk, dv.
+    Ref layout: k, v, qs*n, do*n, lse*n, delta*n[, qseg*n, kseg]
+    [, kct, kst, qct*n, qst*n, r2], dk, dv.
     """
     qs_refs = rest[:nblocks]
     do_refs = rest[nblocks:2 * nblocks]
     lse_refs = rest[2 * nblocks:3 * nblocks]
     delta_refs = rest[3 * nblocks:4 * nblocks]
+    pos = 4 * nblocks
     if has_seg:
-        qseg_refs = rest[4 * nblocks:5 * nblocks]
-        kseg_ref = rest[5 * nblocks]
-        dk_ref, dv_ref = rest[5 * nblocks + 1:5 * nblocks + 3]
+        qseg_refs = rest[pos:pos + nblocks]
+        kseg_ref = rest[pos + nblocks]
+        pos += nblocks + 1
     else:
         qseg_refs, kseg_ref = [None] * nblocks, None
-        dk_ref, dv_ref = rest[4 * nblocks:4 * nblocks + 2]
+    if fuse_rope:
+        kct_ref, kst_ref = rest[pos:pos + 2]
+        qct_refs = rest[pos + 2:pos + 2 + nblocks]
+        qst_refs = rest[pos + 2 + nblocks:pos + 2 + 2 * nblocks]
+        r2_ref = rest[pos + 2 + 2 * nblocks]
+        pos += 3 + 2 * nblocks
+    dk_ref, dv_ref = rest[pos:pos + 2]
 
     ki = pl.program_id(1)
     start_qb = jnp.clip((ki * block_k - window) // block_q, 0, num_qb - nblocks)
     k = k_ref[0]
     v = v_ref[0]
     acc_t = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
+
+    if fuse_rope:
+        from .flash_attention import _rope_rotate_groups
+
+        ngroups = heads // 2
+        krots = _rope_rotate_groups(k, kct_ref[...], kst_ref[...], r2_ref, ngroups, head_dim)
+        qrots = [
+            _rope_rotate_groups(qs_refs[j][0], qct_refs[j][...], qst_refs[j][...], r2_ref, ngroups, head_dim)
+            for j in range(nblocks)
+        ]
+
+        def _kh(h):
+            g, half = divmod(h, 2)
+            return krots[g][:, half * head_dim:(half + 1) * head_dim]
+
+        def _qh(j, h):
+            g, half = divmod(h, 2)
+            return qrots[j][g][:, half * head_dim:(half + 1) * head_dim]
+    else:
+        def _kh(h):
+            return k[:, h * head_dim:(h + 1) * head_dim]
+
+        def _qh(j, h):
+            return qs_refs[j][0][:, h * head_dim:(h + 1) * head_dim]
 
     biases = [
         _mask_bias2d(
@@ -414,10 +600,10 @@ def _dkv_fused_kernel(
         dk = None
         dv = None
         for j in range(nblocks):
-            qs_h = qs_refs[j][0][:, sl]
+            qs_h = _qh(j, h)
             do_h = do_refs[j][0][:, sl]
             p, ds = _head_bwd_terms(
-                qs_h, k[:, sl], v[:, sl], do_h, lse_refs[j][0][h], delta_refs[j][0][h],
+                qs_h, _kh(h), v[:, sl], do_h, lse_refs[j][0][h], delta_refs[j][0][h],
                 biases[j], acc_t,
             )
             dvj = jax.lax.dot_general(
@@ -428,16 +614,28 @@ def _dkv_fused_kernel(
             )
             dk = dkj if dk is None else dk + dkj
             dv = dvj if dv is None else dv + dvj
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        if fuse_rope:
+            ct_h = kct_ref[...][:, :head_dim]
+            st_h = kst_ref[...][:, :head_dim]
+            y = dk.astype(dk_ref.dtype)
+            yr = jax.lax.dot_general(
+                y, r2_ref[...][:head_dim, :head_dim], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(y.dtype)
+            dk_ref[0, :, sl] = (y * ct_h - yr * st_h).astype(dk_ref.dtype)
+        else:
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k,
-                      heads, head_dim, l, l_pad):
+                      heads, head_dim, l, l_pad, rope=None):
     """Single-pass windowed backward dispatcher (both passes, grid (b, n)).
 
     lse/delta arrive (B, h_pad, l_pad) with h_pad 8-aligned; segments arrive
-    (B, 1, l_pad) so every block keeps TPU-legal (8, 128) tiling."""
+    (B, 1, l_pad) so every block keeps TPU-legal (8, 128) tiling.
+    ``rope``: optional (qcos, qsin, kcos, ksin, r2) tables for in-kernel
+    rotation of RAW q/k + counter-rotation of dq/dk (see module comment)."""
     b = qs.shape[0]
     hd = qs.shape[2]
     h_pad = lse.shape[1]
@@ -493,10 +691,29 @@ def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, b
         for j in range(nkb):
             specs.append(pl.BlockSpec((1, 1, block_k), kix2(j), memory_space=pltpu.VMEM))
             args.append(kseg)
+    if rope is not None:
+        qcos, qsin, kcos, ksin, r2 = rope
+        d2 = 2 * head_dim
+
+        def ktab(j):
+            return lambda bi, qi, _j=j: (
+                jnp.clip((qi * block_q - window) // block_k, 0, nk - nkb) + _j, 0
+            )
+
+        for tab in (qcos, qsin):
+            specs.append(pl.BlockSpec((block_q, d2), lambda bi, qi: (qi, 0), memory_space=pltpu.VMEM))
+            args.append(tab)
+        for tab in (kcos, ksin):
+            for j in range(nkb):
+                specs.append(pl.BlockSpec((block_k, d2), ktab(j), memory_space=pltpu.VMEM))
+                args.append(tab)
+        specs.append(pl.BlockSpec((d2, d2), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM))
+        args.append(r2)
     dq = pl.pallas_call(
         functools.partial(
             _dq_fused_kernel, window=window, block_q=block_q, block_k=block_k,
             num_kb=nk, nblocks=nkb, seq_len=l, has_seg=has_seg, heads=heads, head_dim=head_dim,
+            fuse_rope=rope is not None,
         ),
         grid=(b, nq),
         in_specs=specs,
@@ -529,10 +746,29 @@ def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, b
             args.append(qseg)
         specs.append(pl.BlockSpec((1, 1, block_k), lambda bi, ki: (bi, 0, ki), memory_space=pltpu.VMEM))
         args.append(kseg)
+    if rope is not None:
+        qcos, qsin, kcos, ksin, r2 = rope
+        d2 = 2 * head_dim
+
+        def qtab(j):
+            return lambda bi, ki, _j=j: (
+                jnp.clip((ki * block_k - window) // block_q, 0, nq - nqb) + _j, 0
+            )
+
+        for tab in (kcos, ksin):
+            specs.append(pl.BlockSpec((block_k, d2), lambda bi, ki: (ki, 0), memory_space=pltpu.VMEM))
+            args.append(tab)
+        for tab in (qcos, qsin):
+            for j in range(nqb):
+                specs.append(pl.BlockSpec((block_q, d2), qtab(j), memory_space=pltpu.VMEM))
+                args.append(tab)
+        specs.append(pl.BlockSpec((d2, d2), lambda bi, ki: (0, 0), memory_space=pltpu.VMEM))
+        args.append(r2)
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_fused_kernel, window=window, block_q=block_q, block_k=block_k,
             num_qb=nq, nblocks=nqb, seq_len=l, has_seg=has_seg, heads=heads, head_dim=head_dim,
+            fuse_rope=rope is not None,
         ),
         grid=(b, nk),
         in_specs=specs,
@@ -550,11 +786,12 @@ def _window_fused_bwd(qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, b
 
 
 def _global_unrolled_bwd(qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_k,
-                         heads, head_dim, l, l_pad):
+                         heads, head_dim, l, l_pad, rope=None):
     """Both backward passes for global/packed layers with U-unrolled steps.
 
     qs/k/v/dout: (B, l_pad, H·D); lse/delta (B, h_pad, l_pad) natural units;
-    qseg/kseg (B, 1, l_pad) int32."""
+    qseg/kseg (B, 1, l_pad) int32. ``rope``: optional
+    (qcos, qsin, kcos, ksin, r2) tables — see module comment."""
     from .flash_attention import _block_ranges
 
     b = qs.shape[0]
@@ -603,11 +840,33 @@ def _global_unrolled_bwd(qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_
     for j in range(unroll):
         specs.append(pl.BlockSpec((1, 1, block_k), kseg_index(j), memory_space=pltpu.VMEM))
         args.append(kseg)
+    if rope is not None:
+        qcos, qsin, kcos, ksin, r2 = rope
+        d2 = 2 * head_dim
+
+        def ktab_index(j):
+            def index(bi, qi, t, start_ref, count_ref, _j=j):
+                cnt = count_ref[bi, qi]
+                kb = start_ref[bi, qi] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+                return (kb, 0)
+
+            return index
+
+        for tab in (qcos, qsin):
+            specs.append(pl.BlockSpec((block_q, d2), lambda bi, qi, t, *_: (qi, 0), memory_space=pltpu.VMEM))
+            args.append(tab)
+        for tab in (kcos, ksin):
+            for j in range(unroll):
+                specs.append(pl.BlockSpec((block_k, d2), ktab_index(j), memory_space=pltpu.VMEM))
+                args.append(tab)
+        specs.append(pl.BlockSpec((d2, d2), lambda bi, qi, t, *_: (0, 0), memory_space=pltpu.VMEM))
+        args.append(r2)
 
     dq = pl.pallas_call(
         functools.partial(
             _dq_unrolled_kernel, block_q=block_q, block_k=block_k,
             seq_len=l, heads=heads, head_dim=head_dim, unroll=unroll,
+            fuse_rope=rope is not None,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -663,11 +922,33 @@ def _global_unrolled_bwd(qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_
         args.append(qseg)
     specs.append(pl.BlockSpec((1, 1, block_k), lambda bi, ki, t, *_: (bi, 0, ki), memory_space=pltpu.VMEM))
     args.append(kseg)
+    if rope is not None:
+        qcos, qsin, kcos, ksin, r2 = rope
+        d2 = 2 * head_dim
+
+        def qtab_index(j):
+            def index(bi, ki, t, start_ref, count_ref, _j=j):
+                cnt = count_ref[bi, ki]
+                qb = start_ref[bi, ki] + jnp.minimum(t * unroll + _j, jnp.maximum(cnt - 1, 0))
+                return (qb, 0)
+
+            return index
+
+        for tab in (kcos, ksin):
+            specs.append(pl.BlockSpec((block_k, d2), lambda bi, ki, t, *_: (ki, 0), memory_space=pltpu.VMEM))
+            args.append(tab)
+        for tab in (qcos, qsin):
+            for j in range(unroll):
+                specs.append(pl.BlockSpec((block_q, d2), qtab_index(j), memory_space=pltpu.VMEM))
+                args.append(tab)
+        specs.append(pl.BlockSpec((d2, d2), lambda bi, ki, t, *_: (0, 0), memory_space=pltpu.VMEM))
+        args.append(r2)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_unrolled_kernel, block_q=block_q, block_k=block_k,
             seq_len=l, heads=heads, head_dim=head_dim, unroll=unroll,
+            fuse_rope=rope is not None,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -706,21 +987,52 @@ def flash_attention_bwd(
     block_q: int,
     block_k: int,
     heads: int,
+    rope_theta: Optional[float] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute (dq, dk, dv) with the two-kernel flash backward.
 
-    q/k/v/out/dout: (B, L, H*D) head-minor; lse: (B, H, L) base-2."""
+    q/k/v/out/dout: (B, L, H*D) head-minor; lse: (B, H, L) base-2.
+    ``rope_theta``: q/k arrive RAW; the production kernels rotate in-kernel
+    and counter-rotate dq/dk (see the fused-rope module comment); paths
+    without in-kernel support fall back to an XLA rotate + counter-rotate
+    with identical semantics."""
     b, l, hd = q.shape
     d = hd // heads
     scale = 1.0 / math.sqrt(d)
-    if BWD_EXP2:
+
+    # in-kernel rope applies on the window-fused and global-unrolled routes
+    wf_cond = window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4 \
+        and _cdiv(block_k + 2 * window, block_q) + 1 <= 4
+    kernel_rope = (
+        rope_theta is not None and d == 64 and heads % 2 == 0
+        and (wf_cond or window is None)
+    )
+    xla_rope_theta = None
+    if rope_theta is not None and not kernel_rope:
+        from .flash_attention import _apply_rope_xla
+
+        q = _apply_rope_xla(q, rope_theta, d)
+        k = _apply_rope_xla(k, rope_theta, d)
+        xla_rope_theta = rope_theta  # counter-rotate dq/dk at the end
+
+    if kernel_rope:
+        # scale (and log2e) fold into the q rope tables; counter-rotation
+        # with the scaled tables adds another factor, so dq's outer fix
+        # becomes 1/log2e (exp2) or exactly 1 (natural) — see module comment
+        qs = q
+        dq_fix = 1.0 / math.log2(math.e) if BWD_EXP2 else 1.0
+        if not BWD_EXP2:
+            lse = lse * math.log(2.0)
+    elif BWD_EXP2:
         # scores stay in log2 space: pre-fold log2(e) into q, keep the
         # base-2 lse; dk picks up a log2(e) factor (it contracts against
         # the scaled q), undone at the end
         qs = q * jnp.asarray(scale * math.log2(math.e), q.dtype)
+        dq_fix = scale
     else:
         qs = q * jnp.asarray(scale, q.dtype)
         lse = lse * math.log(2.0)  # forward residual is base-2; convert once
+        dq_fix = scale
 
     if window is None and qseg is None:
         # Mosaic (libtpu 2026-xx) crashes in ApplyVectorLayout compiling the
@@ -758,30 +1070,39 @@ def flash_attention_bwd(
         qseg = qseg.astype(jnp.int32)[:, None, :]
         kseg = kseg.astype(jnp.int32)[:, None, :]
 
-    if window is not None and _cdiv(block_q + 2 * window, block_k) + 1 <= 4 \
-            and _cdiv(block_k + 2 * window, block_q) + 1 <= 4:
-        dq, dk, dv = _window_fused_bwd(
-            qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k, heads, d, l, l_pad
-        )
+    rope = None
+    if kernel_rope:
+        from .flash_attention import _r2_matrix, _rope_tables
+
+        a = scale * (math.log2(math.e) if BWD_EXP2 else 1.0)
+        qcos, qsin = _rope_tables(l_pad, d, rope_theta, q.dtype, a)
+        kcos, ksin = _rope_tables(l_pad, d, rope_theta, q.dtype, 1.0)
+        rope = (qcos, qsin, kcos, ksin, _r2_matrix(d, q.dtype))
+
+    def _finish(dq, dk, dv):
         dk_fix = 1.0 / math.log2(math.e) if BWD_EXP2 else 1.0
-        return (
-            dq[:, :l, :] * jnp.asarray(scale, q.dtype),
-            dk[:, :l, :] * jnp.asarray(dk_fix, q.dtype) if BWD_EXP2 else dk[:, :l, :],
-            dv[:, :l, :],
-        )
+        dq = dq[:, :l, :] * jnp.asarray(dq_fix, q.dtype) if dq_fix != 1.0 else dq[:, :l, :]
+        dk = dk[:, :l, :] * jnp.asarray(dk_fix, q.dtype) if BWD_EXP2 else dk[:, :l, :]
+        if xla_rope_theta is not None:
+            from .flash_attention import _counter_rotate
+
+            dq = _counter_rotate(dq, xla_rope_theta, d)
+            dk = _counter_rotate(dk, xla_rope_theta, d)
+        return dq, dk, dv[:, :l, :]
+
+    if wf_cond:
+        return _finish(*_window_fused_bwd(
+            qs, k, v, dout, lse, delta, qseg, kseg, window, block_q, block_k, heads, d, l, l_pad,
+            rope=rope,
+        ))
 
     if window is None:
         # global/packed path (qseg is always non-None here: the prologue
         # synthesizes all-ones segments): U-unrolled kernels
-        dq, dk, dv = _global_unrolled_bwd(
-            qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_k, heads, d, l, l_pad
-        )
-        dk_fix = 1.0 / math.log2(math.e) if BWD_EXP2 else 1.0
-        return (
-            dq[:, :l, :] * jnp.asarray(scale, q.dtype),
-            dk[:, :l, :] * jnp.asarray(dk_fix, q.dtype) if BWD_EXP2 else dk[:, :l, :],
-            dv[:, :l, :],
-        )
+        return _finish(*_global_unrolled_bwd(
+            qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_k, heads, d, l, l_pad,
+            rope=rope,
+        ))
 
     nq = l_pad // block_q
     nk = l_pad // block_k
@@ -913,8 +1234,13 @@ def flash_attention_bwd(
         ),
     )(q_start, q_count, *dq_args)
 
-    dq = dq[:, :l, :] * jnp.asarray(scale, q.dtype)  # undo the q pre-scaling chain rule
+    dq = dq[:, :l, :] * jnp.asarray(dq_fix, q.dtype)  # undo the q pre-scaling chain rule
     dk = dk[:, :l, :]
     if BWD_EXP2:
         dk = dk * jnp.asarray(1.0 / math.log2(math.e), q.dtype)
+    if xla_rope_theta is not None:
+        from .flash_attention import _counter_rotate
+
+        dq = _counter_rotate(dq, xla_rope_theta, d)
+        dk = _counter_rotate(dk, xla_rope_theta, d)
     return dq, dk, dv[:, :l, :]

@@ -375,3 +375,103 @@ class TestFusedRope:
         got = fa._apply_rope_xla(x.reshape(2, l, 4 * d), theta, d).reshape(2, l, 4, d)
         want, _ = apply_rope(x, x, cos_m, sin_m)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def seg_ids(B, L, n_seg, seed=1):
+    rng = np.random.default_rng(seed)
+    bounds = np.sort(rng.integers(1, L, (B, n_seg - 1)), axis=1)
+    seg = np.zeros((B, L), np.int32)
+    for b in range(B):
+        seg[b] = np.searchsorted(bounds[b], np.arange(L), side="right") + 1
+    seg[:, -L // 8:] = 0  # padding tail
+    return jnp.asarray(seg)
+
+
+class TestTrainFusedRope:
+    """CM3P_TRAIN_FUSED_ROPE: rope entirely in-kernel under autodiff.
+
+    Raw residuals; the backward kernels rotate q/k on load and
+    counter-rotate dq/dk at finalize (VERDICT r2 next #4). Gradients must
+    match the default path (XLA rope + rotated residuals) on every route:
+    window-fused, global-unrolled (segments), and the XLA fallbacks."""
+
+    def _grads(self, q, k, v, window, theta, mask=None, seg=None):
+        def loss(q, k, v):
+            out = fa.flash_attention(
+                q, k, v, key_mask=mask, segment_ids=seg, window=window, rope_theta=theta
+            )
+            return jnp.sum(out * jnp.cos(out))
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize("window", [64, None])
+    def test_grads_match_default_path(self, window, monkeypatch):
+        q, k, v, mask = make_inputs(L=256)
+        g_ref = self._grads(q, k, v, window, 10000.0, mask=mask)
+        monkeypatch.setattr(fa, "TRAIN_FUSED_ROPE", True)
+        g_fused = self._grads(q, k, v, window, 10000.0, mask=mask)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+    @pytest.mark.parametrize("window", [64, None])
+    def test_segment_grads_match(self, window, monkeypatch):
+        q, k, v, _ = make_inputs(L=256, seed=4)
+        seg = seg_ids(2, 256, 3)
+        g_ref = self._grads(q, k, v, window, 160000.0, seg=seg)
+        monkeypatch.setattr(fa, "TRAIN_FUSED_ROPE", True)
+        g_fused = self._grads(q, k, v, window, 160000.0, seg=seg)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+    def test_natural_exp_backward(self, monkeypatch):
+        import cm3p_tpu.ops.flash_attention_bwd as fab
+
+        q, k, v, mask = make_inputs(L=256, seed=5)
+        g_ref = self._grads(q, k, v, 64, 10000.0, mask=mask)
+        monkeypatch.setattr(fa, "TRAIN_FUSED_ROPE", True)
+        monkeypatch.setattr(fab, "BWD_EXP2", False)
+        g_fused = self._grads(q, k, v, 64, 10000.0, mask=mask)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+    def test_streaming_window_fallback_grads(self, monkeypatch):
+        """Window too wide for the fused route: the backward XLA-rotates raw
+        residuals and counter-rotates after — same numbers as the default."""
+        q, k, v, mask = make_inputs(L=1024, seed=6)
+
+        def grads(q, k, v):
+            def loss(q, k, v):
+                out = fa.flash_attention(
+                    q, k, v, key_mask=mask, window=300, block_q=128, block_k=128,
+                    rope_theta=10000.0,
+                )
+                return jnp.sum(out * out)
+
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        g_ref = grads(q, k, v)
+        monkeypatch.setattr(fa, "TRAIN_FUSED_ROPE", True)
+        g_fused = grads(q, k, v)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+    def test_small_head_dim_falls_back(self, monkeypatch):
+        """d != 64 can't fuse: the gate must not change numbers."""
+        q, k, v, mask = make_inputs(D=32, seed=7)
+        g_ref = self._grads(q, k, v, 64, 10000.0, mask=mask)
+        monkeypatch.setattr(fa, "TRAIN_FUSED_ROPE", True)
+        g_fused = self._grads(q, k, v, 64, 10000.0, mask=mask)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+    def test_forward_value_unchanged(self, monkeypatch):
+        """The differentiated forward's primal must equal the no-grad path."""
+        q, k, v, mask = make_inputs(L=256, seed=8)
+        expected = fa.flash_attention(q, k, v, key_mask=mask, window=64, rope_theta=10000.0)
+        monkeypatch.setattr(fa, "TRAIN_FUSED_ROPE", True)
+
+        def f(q):
+            return fa.flash_attention(q, k, v, key_mask=mask, window=64, rope_theta=10000.0)
+
+        out, _ = jax.vjp(f, q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)

@@ -18,6 +18,38 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+V5E_BF16_PEAK = 197e12
+
+
+def meta_tower_flops(variations: int, meta_len: int) -> float:
+    """Useful fwd FLOPs for ONE window's metadata-variations encode.
+
+    6 layers x hidden 256 / intermediate 512 (configs): per token
+    2*(Wqkv 256x768 + Wo 256x256 + Wi 256x1024 + Wout 512x256); attention
+    at L=24 is negligible but included (4*L*L*H per layer)."""
+    dense = 2 * (256 * 768 + 256 * 256 + 256 * 1024 + 512 * 256)
+    attn = 4 * meta_len * meta_len * 256
+    return float(variations * 6 * (meta_len * dense + attn))
+
+
+def audio_encoder_flops(mel_frames: int) -> float:
+    """Whisper-style encoder: conv x2 (stride 2) then 6 layers x hidden 512
+    over mel_frames/2 tokens, + the 4x projector."""
+    tokens = mel_frames // 2
+    dense = 2 * (512 * 1536 + 512 * 512 + 512 * 2048 + 1024 * 512)
+    attn = 4 * tokens * tokens * 512
+    convs = 2 * mel_frames * 80 * 512 * 3 + 2 * tokens * 512 * 512 * 3
+    proj = 2 * (tokens // 4) * (4 * 512) * 768
+    return float(convs + 6 * (tokens * dense + attn) + proj)
+
+
+def train_mfu(fwd_flops: float, dt: float, remat: str) -> tuple[float, float]:
+    """(train_flops, mfu): backward ~= 2x forward for matmul-dominated
+    stacks; full remat re-runs the forward once more inside the backward."""
+    mult = 4.0 if remat == "full" else 3.0
+    total = mult * fwd_flops
+    return total, total / dt / V5E_BF16_PEAK
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
@@ -98,12 +130,17 @@ def main(argv=None):
             state, metrics = step(state, batch, drng)
             loss = float(metrics["loss"])
         dt = (time.perf_counter() - t0) / ns.iters
+        from bench import window_flops
+
+        fwd = sum(window_flops(len(s)) for s in seqs) + w * meta_tower_flops(v, ml)
+        total_flops, mfu = train_mfu(fwd, dt, ns.remat)
         print(
             json.dumps(
                 {
                     "metric": "pretrain_step_time_packed",
                     "value": round(dt, 4),
                     "unit": "s/step",
+                    "train_mfu": round(mfu, 4),
                     "detail": {
                         "windows_per_sec": round(w / dt, 2),
                         "rows": b,
@@ -113,6 +150,10 @@ def main(argv=None):
                         "loss": round(loss, 4),
                         "optim": ns.optim,
                         "remat": ns.remat,
+                        "train_fused_rope": __import__("os").environ.get("CM3P_TRAIN_FUSED_ROPE", "0"),
+                        "fwd_flops": round(fwd / 1e12, 3),
+                        "flops_model": "bench.window_flops + meta_tower_flops; "
+                        "bwd=2x fwd, +1 fwd if full remat",
                         "device": str(jax.devices()[0]),
                     },
                 }
@@ -151,12 +192,17 @@ def main(argv=None):
         loss = float(metrics["loss"])  # forces execution each iter
     dt = (time.perf_counter() - t0) / ns.iters
 
+    from bench import window_flops
+
+    fwd = b * (window_flops(l) + meta_tower_flops(v, ml) + audio_encoder_flops(ns.mel_frames))
+    total_flops, mfu = train_mfu(fwd, dt, "full")
     print(
         json.dumps(
             {
                 "metric": "pretrain_step_time",
                 "value": round(dt, 4),
                 "unit": "s/step",
+                "train_mfu": round(mfu, 4),
                 "detail": {
                     "samples_per_sec": round(b / dt, 2),
                     "tokens_per_sec": round(b * l / dt, 0),
@@ -165,6 +211,9 @@ def main(argv=None):
                     "seq_len": l,
                     "variations": v,
                     "optim": ns.optim,
+                    "fwd_flops": round(fwd / 1e12, 3),
+                    "flops_model": "bench.window_flops + meta_tower_flops + "
+                    "audio_encoder_flops; bwd=2x fwd, +1 fwd (full remat)",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -75,6 +75,13 @@ def variants():
             # gradients through the fused backward kernels
             cases.append((f"local w64 GRAD {tag}", dict(window=64, seg=True), True, dtype, rope))
             cases.append((f"global seg GRAD {tag}", dict(window=None, seg=True), True, dtype, rope))
+            if rope is not None:
+                # trainable fused rope (CM3P_TRAIN_FUSED_ROPE): raw
+                # residuals; backward kernels rotate on load and
+                # counter-rotate dq/dk at finalize
+                cases.append((f"local w64 TFRG {tag}", dict(window=64, seg=True, tfr=True), True, dtype, rope))
+                cases.append((f"global seg TFRG {tag}", dict(window=None, seg=True, tfr=True), True, dtype, rope))
+                cases.append((f"local w64 TFRG mask {tag}", dict(window=64, mask=True, tfr=True), True, dtype, rope))
             # Wo-epilogue fusion (out-projection + residual in-kernel;
             # no-grad primal — grads run the unfused composition anyway)
             cases.append((f"local w64 WO   {tag}", dict(window=64, seg=True, wo=True), False, dtype, rope))
@@ -176,6 +183,7 @@ def main():
         import cm3p_tpu.ops.flash_attention as fa_mod
 
         fa_mod.FUSED_WO_Q = bool(kw.get("woq"))
+        fa_mod.TRAIN_FUSED_ROPE = bool(kw.get("tfr"))
 
         def attn_case(q=q, k=k, v=v, call_kw=call_kw, grad=grad, wo_args=wo_args):
             def call(q, k, v, *wo_res):
