@@ -1006,6 +1006,12 @@ def flash_attention_bwd(
     kernel_rope = (
         rope_theta is not None and d == 64 and heads % 2 == 0
         and (wf_cond or window is None)
+        # fp32 + the U-unrolled global kernels + rope tables crashes Mosaic
+        # (tpu_compile_helper exit 1, deterministic — r12 smoke 2026-08-20,
+        # same family as the fp32 fused-FFN crash); bf16 is the production
+        # training dtype and compiles fine. fp32 global falls back to the
+        # XLA rotate + counter-rotate path with identical semantics.
+        and not (q.dtype == jnp.float32 and window is None)
     )
     xla_rope_theta = None
     if rope_theta is not None and not kernel_rope:
