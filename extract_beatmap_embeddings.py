@@ -133,6 +133,12 @@ def main(argv=None):
         "row CAP (memory bound); this is only the eagerness knob.",
     )
     parser.add_argument("--num-workers", type=int, default=0)
+    parser.add_argument(
+        "--mel-wire", default=None, choices=["bf16", "int8"],
+        help="host->device mel dtype for the packed compact path (default "
+        "CM3P_MEL_WIRE or bf16); int8 halves the dominant transfer with a "
+        "per-window symmetric scale (drift: tools/bench_mel_wire.py)",
+    )
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
     parser.add_argument("--no-audio", action="store_true")
@@ -286,6 +292,10 @@ def main(argv=None):
         ):
             ak["compact_tail"] = True
             compact_mel = True
+    mel_wire = ns.mel_wire or os.environ.get("CM3P_MEL_WIRE", "bf16")
+    if mel_wire == "int8" and not compact_mel:
+        logger.info("--mel-wire int8 requires the packed compact path; using bf16")
+        mel_wire = "bf16"
     if auto_batch and ns.pack:
         # keep the measured 192x4096 token budget at any row length
         # (row count capped at the 256 the rows scan actually measured)
@@ -400,8 +410,7 @@ def main(argv=None):
 
     msp = processor.default_kwargs["audio_kwargs"].get("max_source_positions", 3000)
 
-    @jax.jit
-    def extract_packed_compact(
+    def _compact_body(
         params, input_ids, segment_ids, window_rows, window_segments, features_dense, features_tail
     ):
         # rebuild the exact full mel: dense frames + the per-window constant
@@ -429,6 +438,26 @@ def main(argv=None):
             normalize=True,
         )
 
+    extract_packed_compact = jax.jit(_compact_body)
+
+    @jax.jit
+    def extract_packed_compact_q(
+        params, input_ids, segment_ids, window_rows, window_segments,
+        features_i8, features_scale, features_tail,
+    ):
+        # int8 mel wire (--mel-wire int8 / CM3P_MEL_WIRE=int8): dequantize
+        # per window on device — halves the dominant host->device transfer
+        # vs bf16 (the drain wall once the loader has cores, BASELINE r10).
+        # Symmetric per-window scale (max|mel|/127); drift measured by
+        # tools/bench_mel_wire.py before any default flip.
+        dense = (
+            features_i8.astype(jnp.bfloat16)
+            * features_scale[:, None, None].astype(jnp.bfloat16)
+        )
+        return _compact_body(
+            params, input_ids, segment_ids, window_rows, window_segments, dense, features_tail
+        )
+
     if ns.aot_cache:
         # Warm starts deserialize the compiled executable instead of paying
         # the ~60 s single-core trace+lower per flush shape (utils/aot.py).
@@ -454,6 +483,7 @@ def main(argv=None):
                     # compact executables (r9 arm C starved its 1-core
                     # loader with 105 s of useless preloads)
                     "compact_mel": compact_mel,
+                    "mel_wire": mel_wire,
                     # ...and per flush quantum: eager-64 and legacy-192 jobs
                     # produce disjoint shape sets; a shared manifest would
                     # background-deserialize the other mode's executables
@@ -467,6 +497,7 @@ def main(argv=None):
         extract = aot.wrap(extract, "extract_dense")
         extract_packed = aot.wrap(extract_packed, "extract_packed")
         extract_packed_compact = aot.wrap(extract_packed_compact, "extract_packed_compact")
+        extract_packed_compact_q = aot.wrap(extract_packed_compact_q, "extract_packed_compact_q")
         if not ns.prewarm:
             # background-deserialize the executables this exact config used
             # last time (manifest) while the loader/processor pipeline runs —
@@ -503,15 +534,27 @@ def main(argv=None):
                     wls = processor.default_kwargs["beatmap_kwargs"].get("window_length_sec", 30.0)
                     sr = processor.default_kwargs["audio_kwargs"].get("sampling_rate", 16000)
                     f_cap = processor._compact_frames(wls, sr)
-                    out = extract_packed_compact(
-                        params,
-                        _shard_rows(ids),
-                        _shard_rows(segs),
-                        jnp.asarray(window_rows),
-                        jnp.asarray(window_segments),
-                        _shard_rows(np.zeros((w_pad, n_mels, f_cap), jnp.bfloat16), jnp.bfloat16),
-                        jnp.asarray(np.zeros(w_pad, jnp.bfloat16)),
-                    )
+                    if mel_wire == "int8":
+                        out = extract_packed_compact_q(
+                            params,
+                            _shard_rows(ids),
+                            _shard_rows(segs),
+                            jnp.asarray(window_rows),
+                            jnp.asarray(window_segments),
+                            _shard_rows(np.zeros((w_pad, n_mels, f_cap), np.int8), np.int8),
+                            jnp.asarray(np.ones(w_pad, np.float32)),
+                            jnp.asarray(np.zeros(w_pad, jnp.bfloat16)),
+                        )
+                    else:
+                        out = extract_packed_compact(
+                            params,
+                            _shard_rows(ids),
+                            _shard_rows(segs),
+                            jnp.asarray(window_rows),
+                            jnp.asarray(window_segments),
+                            _shard_rows(np.zeros((w_pad, n_mels, f_cap), jnp.bfloat16), jnp.bfloat16),
+                            jnp.asarray(np.zeros(w_pad, jnp.bfloat16)),
+                        )
                 else:
                     features = (
                         None if ns.no_audio else np.zeros((w_pad, n_mels, msp), jnp.bfloat16)
@@ -628,14 +671,28 @@ def main(argv=None):
             window_segments[:w] = packed["window_segment"]
             features = None
             tails = None
+            scales = None
             if feats_list[0] is not None:
                 f0 = np.asarray(feats_list[0])
-                # build straight in the bf16 wire dtype: per-window assignment
-                # casts fp32 mel rows as they land, skipping a second
-                # full-buffer cast pass in _shard_rows
-                features = np.zeros((w_pad,) + f0.shape, jnp.bfloat16)
-                for wi, f in enumerate(feats_list):
-                    features[wi] = f
+                if compact_mel and mel_wire == "int8":
+                    # symmetric per-window int8: one abs-max + rint pass on
+                    # the host halves the wire bytes; dequant fuses into the
+                    # device graph (extract_packed_compact_q)
+                    features = np.zeros((w_pad,) + f0.shape, np.int8)
+                    scales = np.zeros((w_pad,), np.float32)
+                    for wi, f in enumerate(feats_list):
+                        f = np.asarray(f, np.float32)
+                        s = float(np.max(np.abs(f))) / 127.0 or 1.0
+                        scales[wi] = s
+                        np.rint(f / s, out=f)
+                        features[wi] = f.astype(np.int8)
+                else:
+                    # build straight in the bf16 wire dtype: per-window
+                    # assignment casts fp32 mel rows as they land, skipping a
+                    # second full-buffer cast pass in _shard_rows
+                    features = np.zeros((w_pad,) + f0.shape, jnp.bfloat16)
+                    for wi, f in enumerate(feats_list):
+                        features[wi] = f
                 if compact_mel:
                     tails = np.zeros((w_pad,), jnp.bfloat16)
                     for wi, t in enumerate(tails_list):
@@ -647,7 +704,18 @@ def main(argv=None):
                 f" f_cap={features.shape[-1]}" if compact_mel and features is not None else "",
             )
             with mesh_ctx:
-                if compact_mel and features is not None:
+                if compact_mel and features is not None and mel_wire == "int8":
+                    dev = extract_packed_compact_q(
+                        params,
+                        _shard_rows(input_ids),
+                        _shard_rows(segment_ids),
+                        jnp.asarray(window_rows),
+                        jnp.asarray(window_segments),
+                        _shard_rows(features, np.int8),
+                        jnp.asarray(scales),
+                        jnp.asarray(tails),
+                    )
+                elif compact_mel and features is not None:
                     dev = extract_packed_compact(
                         params,
                         _shard_rows(input_ids),

@@ -204,3 +204,32 @@ class TestExtractorCompact:
             outs[tag] = np.stack([np.asarray(e, np.float32) for e in df["embedding"]])
         assert np.isfinite(outs["one_flush"]).all()
         np.testing.assert_array_equal(outs["eager"], outs["one_flush"])
+
+    def test_int8_mel_wire_close_to_bf16(self, fixture_dir):
+        """--mel-wire int8 (per-window symmetric scale, on-device dequant)
+        must track the bf16 wire within tight cosine on real audio+map."""
+        import extract_beatmap_embeddings as ex
+
+        outs = {}
+        for tag, extra in (("bf16", []), ("int8", ["--mel-wire", "int8"])):
+            out = fixture_dir / f"emb_mw_{tag}.parquet"
+            ex.main(
+                [
+                    "--beatmap-files", str(fixture_dir / "map.osu"),
+                    "--output", str(out),
+                    "--tiny-model", "--cpu",
+                    "--max-length", "512",
+                    "--window-length", "16",
+                    "--batch-size", "8",
+                    "--no-mesh",
+                    *extra,
+                ]
+            )
+            df = pd.read_parquet(out)
+            outs[tag] = np.stack([np.asarray(e, np.float32) for e in df["embedding"]])
+        a, b = outs["bf16"], outs["int8"]
+        assert np.isfinite(b).all()
+        cos = np.sum(a * b, axis=1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
+        )
+        assert cos.min() > 0.999, cos.min()
