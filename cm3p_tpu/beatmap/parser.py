@@ -72,6 +72,7 @@ class BeatmapEventParser(JsonConfigMixin):
     """
 
     config_name = "parser_config.json"
+    config_aliases = ("preprocessor_config.json",)  # HF/reference layout
 
     def __init__(
         self,

@@ -20,24 +20,35 @@ from .processing.processor import CM3PProcessor
 
 
 def load_pretrained(model_dir: str, processor_dir: Optional[str] = None, dtype=None, attn_impl: str = "pallas"):
-    """Load (processor, model, params) from saved artifact directories.
+    """Load (processor, model, params) from saved artifacts or a Hub repo id.
 
-    Accepts either our native layout (Orbax ``params/`` + dataclass
-    ``config.json``) or an **HF-layout directory** (``model.safetensors`` +
-    nested HF ``config.json``) — i.e. a published reference checkpoint or a
-    bundle from :func:`cm3p_tpu.interop.export_hf_checkpoint` — which is
-    converted on the fly.
+    ``model_dir`` / ``processor_dir`` accept local directories in either our
+    native layout (Orbax ``params/`` + dataclass ``config.json``) or an
+    **HF-layout directory** (``model.safetensors`` + nested HF
+    ``config.json``) — i.e. a published reference checkpoint or a bundle
+    from :func:`cm3p_tpu.interop.export_hf_checkpoint` — converted on the
+    fly. A non-path ``org/name`` string resolves through the HF Hub
+    (``interop.hub.resolve_artifact``), matching the reference's
+    ``from_pretrained("OliBomby/CM3P")`` usage; when the resolved snapshot
+    carries an AutoProcessor-layout processor (our ``publish_model.py --hf``
+    bundles do), it is used automatically unless ``processor_dir`` is given.
     """
     import os
 
     import jax.numpy as jnp
 
     from .configs import BeatmapConfig, CM3PConfig, load_config
+    from .interop.hub import resolve_artifact
     from .models import ClassifierModule, CM3PModule, MaskedLMModule
     from .train.checkpoint import load_model
     from .utils.platform import resolve_attn_impl
 
     attn_impl = resolve_attn_impl(attn_impl)
+    model_dir = resolve_artifact(model_dir)
+    if processor_dir is None and os.path.exists(os.path.join(model_dir, "processor_config.json")):
+        processor_dir = model_dir
+    if processor_dir is not None:
+        processor_dir = resolve_artifact(processor_dir)
     processor = CM3PProcessor.from_pretrained(processor_dir) if processor_dir else CM3PProcessor()
     if os.path.exists(os.path.join(model_dir, "model.safetensors")) or any(
         f.startswith("pytorch_model") for f in os.listdir(model_dir)

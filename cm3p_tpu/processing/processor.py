@@ -943,12 +943,25 @@ class CM3PProcessor:
 
     @classmethod
     def from_pretrained(cls, directory: Union[str, PathLike]) -> "CM3PProcessor":
+        """Load from our native layout OR the HF/AutoProcessor layout (the
+        reference's save_pretrained / interop.export_hf_processor bundles):
+        the subfolder names match, the components tolerate the HF filenames
+        and extra keys, and the HF default_kwargs schema (common_kwargs +
+        truncation strategy strings) is normalized back to ours."""
         directory = Path(directory)
         config = read_json(directory / "processor_config.json")
+        dk = config.get("default_kwargs")
+        if dk:
+            dk = {k: dict(v) for k, v in dk.items() if k != "common_kwargs"}
+            for sub in dk.values():
+                if sub.get("truncation") == "longest_first":
+                    sub["truncation"] = True
+                sub.pop("return_tensors", None)
+                sub.pop("device", None)
         return cls(
             audio_feature_extractor=LogMelExtractor.from_pretrained(directory / "audio_feature_extractor"),
             beatmap_parser=BeatmapEventParser.from_pretrained(directory / "beatmap_parser"),
             beatmap_tokenizer=BeatmapTokenizer.from_pretrained(directory / "beatmap_tokenizer"),
             metadata_tokenizer=MetadataTokenizer.from_pretrained(directory / "metadata_tokenizer"),
-            default_kwargs=config.get("default_kwargs"),
+            default_kwargs=dk,
         )

@@ -35,6 +35,13 @@ class JsonConfigMixin:
     """
 
     config_name: str = "config.json"
+    # fallback filenames read by from_pretrained — lets every component load
+    # the HF/AutoProcessor layout (interop.export_hf_processor and the
+    # reference's save_pretrained) where e.g. the parser config is named
+    # preprocessor_config.json; unknown keys in those files (auto_map,
+    # tokenizer_class, added_tokens_decoder, ...) are dropped by the
+    # constructor-signature filter below
+    config_aliases: tuple = ()
 
     def get_config(self) -> dict[str, Any]:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -54,11 +61,25 @@ class JsonConfigMixin:
 
     @classmethod
     def from_pretrained(cls, directory: PathLike, **overrides):
+        import inspect
+
         directory = Path(directory)
-        config = read_json(directory / cls.config_name)
+        for name in (cls.config_name, *cls.config_aliases):
+            if (directory / name).exists():
+                config = read_json(directory / name)
+                break
+        else:
+            raise FileNotFoundError(
+                f"no {cls.config_name} (or {cls.config_aliases}) in {directory}"
+            )
         config.pop("component_class", None)
         config = cls._load_extra(directory, config)
         config.update(overrides)
+        # drop keys the constructor doesn't take (HF-layout extras like
+        # auto_map / tokenizer_class / added_tokens_decoder / processor_class)
+        params = inspect.signature(cls.__init__).parameters
+        if not any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+            config = {k: v for k, v in config.items() if k in params}
         return cls(**config)
 
     @classmethod
