@@ -797,7 +797,11 @@ def _global_unrolled_bwd(qs, k, v, dout, lse, delta, qseg, kseg, block_q, block_
     b = qs.shape[0]
     hd = qs.shape[2]
     h_pad = lse.shape[1]
-    unroll = UNROLL
+    # the rope tables (~670 KB at U=4/block 256) pushed the in-situ train
+    # graph 752 KB past the 16 MB scoped-vmem stack at L=4096 (r12 arm D2;
+    # the standalone smoke shape fit — scoped-vmem limits are shape-
+    # dependent, CLAUDE.md). One less unrolled block frees ~900 KB.
+    unroll = UNROLL if rope is None else max(2, UNROLL - 1)
     nq = l_pad // block_q
     nk = l_pad // block_k
     qseg2d = qseg[:, 0, :]
