@@ -58,7 +58,18 @@ DEFAULT_KWARGS = {
 # flat kwargs routed to their modality dict (processing_cm3p.py:362-419)
 _BEATMAP_KEYS = set(DEFAULT_KWARGS["beatmap_kwargs"]) | {"pad_to_multiple_of"}
 _METADATA_KEYS = set(DEFAULT_KWARGS["metadata_kwargs"])
-_AUDIO_KEYS = set(DEFAULT_KWARGS["audio_kwargs"]) | {"compact_tail"}
+_AUDIO_KEYS = set(DEFAULT_KWARGS["audio_kwargs"]) | {"compact_tail", "pcm_wire"}
+
+
+class PcmFeatures(NamedTuple):
+    """Raw-PCM wire form (``pcm_wire`` audio kwarg): per-window waveforms
+    zero-padded to ``f_cap * hop_length`` samples; the log-mel runs ON
+    DEVICE (audio/device_mel.py DFT-as-convolution) producing the same
+    dense+tail compact pair. 4x the bytes of the compact bf16 mel but zero
+    host mel CPU — the right trade on TPU-VM-class host links (the gate
+    stays off elsewhere; measured: tools/bench_mel_wire.py --pcm)."""
+
+    pcm: np.ndarray  # (chunks, f_cap * hop) float32
 
 
 class CompactFeatures(NamedTuple):
@@ -309,7 +320,10 @@ class CM3PProcessor:
             )
             counts.append(num_audio_tokens)
             slices.append((audio_slice, target))
-        if audio_kwargs.get("compact_tail"):
+        if audio_kwargs.get("pcm_wire"):
+            f_cap = self._compact_frames(window_length_sec, sampling_rate)
+            feats = self._retrieve_input_features_pcm(slices, max_source_positions, f_cap)
+        elif audio_kwargs.get("compact_tail"):
             f_cap = self._compact_frames(window_length_sec, sampling_rate)
             if slices:
                 feats = self._retrieve_input_features_compact(
@@ -374,6 +388,38 @@ class CM3PProcessor:
             dense[i, :, d.shape[1] :] = tail
             tails[i] = tail
         return CompactFeatures(dense, tails)
+
+    def _retrieve_input_features_pcm(
+        self, audio_list: list[tuple[np.ndarray, int]], max_source_positions: int, f_cap: int
+    ) -> PcmFeatures:
+        """Raw per-window PCM padded to ``f_cap * hop`` samples (no host
+        mel). Guards mirror the compact path: single-chunk windows, no
+        dither, and the real slice must end >= n_fft//2 before the pad
+        length so the device's zero right-padding is exact."""
+        fe = self.audio_feature_extractor
+        chunk_samples = fe.chunk_length * fe.sampling_rate
+        s_cap = f_cap * fe.hop_length
+        pcm = np.zeros((len(audio_list), s_cap), np.float32)
+        for i, (audio_array, target) in enumerate(audio_list):
+            arr = np.asarray(audio_array, np.float32)
+            real = int(arr.shape[-1])
+            # same guard as the compact path (the device output feeds the
+            # same dense+tail reconstruction), plus the device-side
+            # zero-right-padding condition
+            if (
+                target != chunk_samples
+                or fe.dither
+                or (real > 0 and target - real < fe.n_fft)
+                or real > s_cap - fe.n_fft // 2
+            ):
+                raise ValueError(
+                    "pcm_wire requires single-chunk windows with a >= n_fft "
+                    f"zero tail inside the dense frame cap (real {real}, "
+                    f"cap {s_cap}, chunk target {target}); disable pcm_wire "
+                    "for this window configuration"
+                )
+            pcm[i, :real] = arr
+        return PcmFeatures(pcm)
 
     def _retrieve_input_features(
         self, audio_list: list[tuple[np.ndarray, int]], max_source_positions: int, **_
@@ -612,6 +658,11 @@ class CM3PProcessor:
         """Concatenate per-beatmap window features into the encoding —
         full (chunks, n_mels, max_source_positions) arrays, or the compact
         dense+tail pair (``input_features`` + ``input_features_tail``)."""
+        if batch_features and isinstance(batch_features[0], PcmFeatures):
+            encoding["input_features_pcm"] = np.concatenate(
+                [f.pcm for f in batch_features]
+            ).astype(np.float32, copy=False)
+            return
         if batch_features and isinstance(batch_features[0], CompactFeatures):
             encoding["input_features"] = np.concatenate(
                 [f.dense for f in batch_features]

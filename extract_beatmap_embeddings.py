@@ -134,10 +134,13 @@ def main(argv=None):
     )
     parser.add_argument("--num-workers", type=int, default=0)
     parser.add_argument(
-        "--mel-wire", default=None, choices=["bf16", "int8"],
-        help="host->device mel dtype for the packed compact path (default "
-        "CM3P_MEL_WIRE or bf16); int8 halves the dominant transfer with a "
-        "per-window symmetric scale (drift: tools/bench_mel_wire.py)",
+        "--mel-wire", default=None, choices=["bf16", "int8", "pcm"],
+        help="host->device mel form for the packed compact path (default "
+        "CM3P_MEL_WIRE or bf16). int8: half the transfer via a per-window "
+        "symmetric scale. pcm: ship raw fp32 waveforms and run the log-mel "
+        "ON DEVICE (DFT-as-convolution, audio/device_mel.py) - ~4x the "
+        "bytes but zero host mel CPU; pays on TPU-VM-class host links. "
+        "Drift + timing: tools/bench_mel_wire.py",
     )
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
@@ -293,9 +296,14 @@ def main(argv=None):
             ak["compact_tail"] = True
             compact_mel = True
     mel_wire = ns.mel_wire or os.environ.get("CM3P_MEL_WIRE", "bf16")
-    if mel_wire == "int8" and not compact_mel:
-        logger.info("--mel-wire int8 requires the packed compact path; using bf16")
+    if mel_wire in ("int8", "pcm") and not compact_mel:
+        logger.info("--mel-wire %s requires the packed compact path; using bf16", mel_wire)
         mel_wire = "bf16"
+    if mel_wire == "pcm":
+        # the processor ships raw windows; mel runs on device
+        ak = processor.default_kwargs["audio_kwargs"]
+        ak.pop("compact_tail", None)
+        ak["pcm_wire"] = True
     if auto_batch and ns.pack:
         # keep the measured 192x4096 token budget at any row length
         # (row count capped at the 256 the rows scan actually measured)
@@ -458,6 +466,24 @@ def main(argv=None):
             params, input_ids, segment_ids, window_rows, window_segments, dense, features_tail
         )
 
+    device_mel = None
+    if mel_wire == "pcm":
+        from cm3p_tpu.audio.device_mel import DeviceLogMel
+
+        _fe = processor.audio_feature_extractor
+        device_mel = DeviceLogMel(_fe.feature_size, _fe.sampling_rate, _fe.hop_length, _fe.n_fft)
+
+    @jax.jit
+    def extract_packed_pcm(params, input_ids, segment_ids, window_rows, window_segments, pcm):
+        # raw fp32 waveforms on the wire; the log-mel runs on the MXU
+        # (DFT-as-convolution) and feeds the same compact reconstruction.
+        # bf16 cast matches the bf16 mel wire's precision downstream.
+        dense, tail = device_mel(pcm)
+        return _compact_body(
+            params, input_ids, segment_ids, window_rows, window_segments,
+            dense.astype(jnp.bfloat16), tail.astype(jnp.bfloat16),
+        )
+
     if ns.aot_cache:
         # Warm starts deserialize the compiled executable instead of paying
         # the ~60 s single-core trace+lower per flush shape (utils/aot.py).
@@ -498,6 +524,8 @@ def main(argv=None):
         extract_packed = aot.wrap(extract_packed, "extract_packed")
         extract_packed_compact = aot.wrap(extract_packed_compact, "extract_packed_compact")
         extract_packed_compact_q = aot.wrap(extract_packed_compact_q, "extract_packed_compact_q")
+        if device_mel is not None:
+            extract_packed_pcm = aot.wrap(extract_packed_pcm, "extract_packed_pcm")
         if not ns.prewarm:
             # background-deserialize the executables this exact config used
             # last time (manifest) while the loader/processor pipeline runs —
@@ -534,7 +562,17 @@ def main(argv=None):
                     wls = processor.default_kwargs["beatmap_kwargs"].get("window_length_sec", 30.0)
                     sr = processor.default_kwargs["audio_kwargs"].get("sampling_rate", 16000)
                     f_cap = processor._compact_frames(wls, sr)
-                    if mel_wire == "int8":
+                    if mel_wire == "pcm":
+                        hop = processor.audio_feature_extractor.hop_length
+                        out = extract_packed_pcm(
+                            params,
+                            _shard_rows(ids),
+                            _shard_rows(segs),
+                            jnp.asarray(window_rows),
+                            jnp.asarray(window_segments),
+                            _shard_rows(np.zeros((w_pad, f_cap * hop), np.float32), np.float32),
+                        )
+                    elif mel_wire == "int8":
                         out = extract_packed_compact_q(
                             params,
                             _shard_rows(ids),
@@ -674,7 +712,11 @@ def main(argv=None):
             scales = None
             if feats_list[0] is not None:
                 f0 = np.asarray(feats_list[0])
-                if compact_mel and mel_wire == "int8":
+                if compact_mel and mel_wire == "pcm":
+                    features = np.zeros((w_pad,) + f0.shape, np.float32)
+                    for wi, f in enumerate(feats_list):
+                        features[wi] = f
+                elif compact_mel and mel_wire == "int8":
                     # symmetric per-window int8: one abs-max + rint pass on
                     # the host halves the wire bytes; dequant fuses into the
                     # device graph (extract_packed_compact_q)
@@ -693,7 +735,7 @@ def main(argv=None):
                     features = np.zeros((w_pad,) + f0.shape, jnp.bfloat16)
                     for wi, f in enumerate(feats_list):
                         features[wi] = f
-                if compact_mel:
+                if compact_mel and mel_wire != "pcm":  # pcm: tail computed on device
                     tails = np.zeros((w_pad,), jnp.bfloat16)
                     for wi, t in enumerate(tails_list):
                         tails[wi] = t
@@ -704,7 +746,16 @@ def main(argv=None):
                 f" f_cap={features.shape[-1]}" if compact_mel and features is not None else "",
             )
             with mesh_ctx:
-                if compact_mel and features is not None and mel_wire == "int8":
+                if compact_mel and features is not None and mel_wire == "pcm":
+                    dev = extract_packed_pcm(
+                        params,
+                        _shard_rows(input_ids),
+                        _shard_rows(segment_ids),
+                        jnp.asarray(window_rows),
+                        jnp.asarray(window_segments),
+                        _shard_rows(features, np.float32),
+                    )
+                elif compact_mel and features is not None and mel_wire == "int8":
                     dev = extract_packed_compact_q(
                         params,
                         _shard_rows(input_ids),
@@ -793,7 +844,8 @@ def main(argv=None):
                 (
                     seq,
                     sample.get("beatmap_id"),
-                    sample.get("input_features"),
+                    sample.get("input_features_pcm") if mel_wire == "pcm"
+                    else sample.get("input_features"),
                     sample.get("input_features_tail"),
                 )
             )

@@ -233,3 +233,32 @@ class TestExtractorCompact:
             np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
         )
         assert cos.min() > 0.999, cos.min()
+
+    def test_pcm_mel_wire_close_to_bf16(self, fixture_dir):
+        """--mel-wire pcm (raw waveforms + on-device DFT-conv log-mel) must
+        track the bf16 mel wire within tight cosine on real audio+map."""
+        import extract_beatmap_embeddings as ex
+
+        outs = {}
+        for tag, extra in (("bf16", []), ("pcm", ["--mel-wire", "pcm"])):
+            out = fixture_dir / f"emb_pw_{tag}.parquet"
+            ex.main(
+                [
+                    "--beatmap-files", str(fixture_dir / "map.osu"),
+                    "--output", str(out),
+                    "--tiny-model", "--cpu",
+                    "--max-length", "512",
+                    "--window-length", "16",
+                    "--batch-size", "8",
+                    "--no-mesh",
+                    *extra,
+                ]
+            )
+            df = pd.read_parquet(out)
+            outs[tag] = np.stack([np.asarray(e, np.float32) for e in df["embedding"]])
+        a, b = outs["bf16"], outs["pcm"]
+        assert np.isfinite(b).all()
+        cos = np.sum(a * b, axis=1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
+        )
+        assert cos.min() > 0.999, cos.min()

@@ -61,10 +61,16 @@ def main(argv=None):
         window_length_sec=16.0, window_stride_sec=16.0, padding="longest",
         compact_tail=True,
     )
+    out_pcm = proc(
+        beatmap=BEATMAP_FIXTURE, audio=audio, audio_sampling_rate=sr,
+        window_length_sec=16.0, window_stride_sec=16.0, padding="longest",
+        pcm_wire=True,
+    )
     ids = np.asarray(out["input_ids"])
     lengths = np.asarray(out["attention_mask"]).sum(axis=1)
     feats = np.asarray(out["input_features"], np.float32)  # (w, 80, f_cap)
     tails = np.asarray(out["input_features_tail"], np.float32)
+    pcm_all = np.asarray(out_pcm["input_features_pcm"], np.float32)
     seqs = [ids[i, : lengths[i]] for i in range(len(ids))]
     reps = -(-ns.windows // len(seqs))
     order = list(range(len(seqs))) * reps
@@ -72,6 +78,7 @@ def main(argv=None):
     seqs = [seqs[i] for i in order]
     feats = feats[order]
     tails = tails[order]
+    pcm_all = pcm_all[order]
 
     cfg = CM3PConfig()
     from cm3p_tpu.tokenize import BeatmapTokenizer
@@ -142,8 +149,25 @@ def main(argv=None):
             np.asarray(fn(*args))
         return (time.perf_counter() - t0) / ns.iters
 
+    from cm3p_tpu.audio.device_mel import DeviceLogMel
+
+    fe = proc.audio_feature_extractor
+    dm = DeviceLogMel(fe.feature_size, fe.sampling_rate, fe.hop_length, fe.n_fft)
+
+    @jax.jit
+    def pcm_fn(params, b, pcm):
+        dense, tail = dm(pcm)
+        return compact_body(params, b, dense.astype(jnp.bfloat16), tail.astype(jnp.bfloat16))
+
+    pcm_j = jnp.asarray(pcm_all)
+    e_pcm = np.asarray(pcm_fn(params, batch, pcm_j), np.float32)[:w]
+    cos_pcm = np.sum(e_bf16 * e_pcm, axis=1) / (
+        np.linalg.norm(e_bf16, axis=1) * np.linalg.norm(e_pcm, axis=1) + 1e-12
+    )
+
     t_bf16 = timed(bf16_fn, params, batch, dense_bf16, tails_bf16)
     t_int8 = timed(int8_fn, params, batch, dense_i8, scales_j, tails_bf16)
+    t_pcm = timed(pcm_fn, params, batch, pcm_j)
 
     print(json.dumps({
         "metric": "mel_wire_int8_verdict",
@@ -151,10 +175,13 @@ def main(argv=None):
         "rows": rows,
         "cos_min": round(float(cos.min()), 6),
         "drift_max": round(float(drift), 6),
+        "cos_min_pcm": round(float(cos_pcm.min()), 6),
         "flush_sec_bf16": round(t_bf16, 4),
         "flush_sec_int8": round(t_int8, 4),
+        "flush_sec_pcm": round(t_pcm, 4),
         "wire_mb_bf16": round(feats.size * 2 / 1e6, 1),
         "wire_mb_int8": round(feats.size * 1 / 1e6, 1),
+        "wire_mb_pcm_f32": round(pcm_all.size * 4 / 1e6, 1),
         "device": str(jax.devices()[0]),
     }))
 
