@@ -14,7 +14,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 pytest.importorskip("safetensors")
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # APPEND: reference modules (validate_dataset, train, config, ...) must never shadow ours
 
 try:
     from cm3p.modeling_cm3p import CM3PModel as RefModel

@@ -28,7 +28,7 @@ pytest.importorskip("transformers")
 from tests import slider_shim
 
 slider_shim.install()
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # APPEND: reference modules (validate_dataset, train, config, ...) must never shadow ours
 
 try:
     from cm3p.parsing_cm3p import CM3PBeatmapParser as RefParser

@@ -65,7 +65,7 @@ def test_reference_parser_differential(name):
     from tests import slider_shim
 
     slider_shim.install()
-    sys.path.insert(0, "/root/reference")
+    sys.path.append("/root/reference")  # APPEND: reference modules (validate_dataset, train, config, ...) must never shadow ours
     try:
         from cm3p.parsing_cm3p import CM3PBeatmapParser as RefParser
     except Exception as e:  # pragma: no cover

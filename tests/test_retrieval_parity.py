@@ -25,7 +25,7 @@ from tests import slider_shim
 
 slider_shim.install()
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # APPEND: reference modules (validate_dataset, train, config, ...) must never shadow ours
 sys.path.insert(0, "/root/repo")
 
 try:

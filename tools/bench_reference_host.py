@@ -53,7 +53,7 @@ def build_reference_processor():
     import slider_shim
 
     slider_shim.install()
-    sys.path.insert(0, "/root/reference")
+    sys.path.append("/root/reference")  # APPEND: reference modules (validate_dataset, train, config, ...) must never shadow ours
     from transformers import WhisperFeatureExtractor
 
     from cm3p.parsing_cm3p import CM3PBeatmapParser
