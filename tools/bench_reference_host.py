@@ -16,7 +16,7 @@ mirroring BeatmapFilesDataset's exact call
 (/root/reference/utils/beatmap_files_dataset.py:253-266: include_metadata
 False, padding MAX_LENGTH, return_tensors pt), and compares our processor
 on identical input. Prints one JSON blob; numbers feed
-bench.reference_e2e_derivation() and BASELINE.md.
+bench.reference_rate_derivation() and BASELINE.md.
 """
 from __future__ import annotations
 
