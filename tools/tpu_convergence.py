@@ -147,12 +147,19 @@ def main(argv=None):
     ap.add_argument("--config", default="default",
                     help="train recipe to run (e.g. v8_packed for the packed production recipe)")
     ap.add_argument("--cpu", action="store_true", help="tiny model on CPU (CI smoke)")
+    ap.add_argument(
+        "--corpus", action="store_true",
+        help="fixture cycles the 16-map perf corpus (all four game modes, "
+        "densities, lengths) instead of copies of the bundled std map - "
+        "trains the multi-mode parser/tokenizer paths end to end",
+    )
     ns = ap.parse_args(argv)
 
     root = Path(ns.root)
     if not (root / "metadata.parquet").exists():
-        build_dataset(root, ns.sets)
-        print(f"built {ns.sets}-set real-beatmap MMRS fixture at {root}")
+        build_dataset(root, ns.sets, corpus=ns.corpus)
+        print(f"built {ns.sets}-set real-beatmap MMRS fixture at {root}"
+              + (" (perf-corpus maps, all modes)" if ns.corpus else ""))
 
     overrides = [
         f"dataset.train_dataset_paths=[{root}]",
