@@ -1206,7 +1206,15 @@ def _flash_attention(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_
 TRAIN_FUSED_ROPE = os.environ.get("CM3P_TRAIN_FUSED_ROPE", "0") == "1"
 
 
-def _train_rope_in_kernel(rope_theta, hd, heads) -> bool:
+def _train_rope_in_kernel(rope_theta, hd, heads, dtype=None) -> bool:
+    # fp32 is declined outright: the fused-rope forward WITH the lse
+    # residual crashes Mosaic on the fp32 seg-unrolled route (r15 smoke —
+    # extraction never hits it because no-grad drops the lse), and the
+    # fp32 global backward crashes too (r12). bf16 is the training dtype.
+    import jax.numpy as _jnp
+
+    if dtype is not None and dtype == _jnp.float32:
+        return False
     return TRAIN_FUSED_ROPE and rope_theta is not None and hd // heads == 64 and heads % 2 == 0
 
 
@@ -1220,7 +1228,7 @@ def _fwd(q, k, v, qseg, kseg, window, block_q, block_k, heads, rope_theta):
     #   directions; residuals stay RAW (marker: same static predicate
     #   re-evaluated in _bwd — the flag is part of _dispatch_key, so a
     #   flip retraces instead of mixing modes).
-    if rope_theta is not None and not _train_rope_in_kernel(rope_theta, q.shape[-1], heads):
+    if rope_theta is not None and not _train_rope_in_kernel(rope_theta, q.shape[-1], heads, q.dtype):
         d = q.shape[-1] // heads
         q = _apply_rope_xla(q, rope_theta, d)
         k = _apply_rope_xla(k, rope_theta, d)
@@ -1271,7 +1279,7 @@ def _bwd(window, block_q, block_k, heads, rope_theta, res, g):
     # are RAW and the backward kernels handle rope end to end.
     q, k, v, qseg, kseg, out, lse = res
     d = q.shape[-1] // heads
-    bwd_rope = rope_theta if _train_rope_in_kernel(rope_theta, q.shape[-1], heads) else None
+    bwd_rope = rope_theta if _train_rope_in_kernel(rope_theta, q.shape[-1], heads, q.dtype) else None
     if BACKWARD_MODE == "pallas":
         if JIT_DISPATCH:
             dq, dk, dv = _jitted_fa_bwd(window, block_q, block_k, heads, bwd_rope, _dispatch_key())(

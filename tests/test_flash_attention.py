@@ -475,3 +475,31 @@ class TestTrainFusedRope:
 
         out, _ = jax.vjp(f, q)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    def test_bf16_uses_fused_route_and_matches(self, monkeypatch):
+        """fp32 now declines the trainable in-kernel route outright (Mosaic
+        crashes on the fp32 fused-rope fwd+lse and global bwd — r12/r15
+        smokes), so bf16 — the training dtype — is the route that matters:
+        verify the gate actually fuses there and grads match the default
+        path within bf16 tolerance."""
+        import cm3p_tpu.ops.flash_attention as fa_mod
+
+        assert not fa_mod._train_rope_in_kernel(1e4, 256, 4, jnp.float32)
+        monkeypatch.setattr(fa_mod, "TRAIN_FUSED_ROPE", True)
+        assert not fa_mod._train_rope_in_kernel(1e4, 256, 4, jnp.float32)
+        assert fa_mod._train_rope_in_kernel(1e4, 256, 4, jnp.bfloat16)
+        assert fa_mod._train_rope_in_kernel(1e4, 256, 4, None)
+
+        q, k, v, mask = make_inputs(L=256, seed=9)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        monkeypatch.setattr(fa_mod, "TRAIN_FUSED_ROPE", False)
+        g_ref = self._grads(qb, kb, vb, 64, 10000.0, mask=mask)
+        monkeypatch.setattr(fa_mod, "TRAIN_FUSED_ROPE", True)
+        g_fused = self._grads(qb, kb, vb, 64, 10000.0, mask=mask)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            # bf16 summation-order noise between the two routes: a few
+            # elements land one bf16 ulp apart (~4% relative at |g|~0.7)
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=2e-2, rtol=8e-2, err_msg=name,
+            )
