@@ -87,3 +87,9 @@ def test_query_cases_cover_operators(goldens):
     text = " ".join(c["query"] for c in goldens["queries"])
     for op in ("==", "!=", ">", ">=", "<", "<=", "contains", "AND", ";"):
         assert op in text, f"operator {op} uncovered"
+
+
+def test_native_recluster_k5_reproduces_golden(dataset, goldens):
+    _, emb = dataset
+    labels = native.calculate_kmeans(emb, 5, seed=goldens["kmeans_seed"])
+    assert [int(x) for x in labels] == goldens["kmeans_labels_k5"]

@@ -128,6 +128,7 @@ def main():
     emb = np.asarray([r["embedding"] for r in rows], np.float32)
 
     labels = native.calculate_kmeans(emb, K, seed=42)
+    labels_k5 = native.calculate_kmeans(emb, 5, seed=42)  # RECLUSTER case
     pca = native.calculate_pca(emb, seed=12345)
     norm = native.normalize_vectors(emb)
     knn_idx, knn_dist = native.find_nearest_neighbors(norm, query_idx=5, n_neighbors=8)
@@ -139,6 +140,7 @@ def main():
         "kmeans_seed": 42,
         "pca_seed": 12345,
         "kmeans_labels": [int(x) for x in labels],
+        "kmeans_labels_k5": [int(x) for x in labels_k5],
         "pca_points": [[round(float(x), 4), round(float(y), 4)] for x, y in pca],
         "knn": {
             "query": 5,

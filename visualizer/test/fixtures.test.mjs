@@ -65,6 +65,17 @@ test('FILTER_AND_PROJECT reproduces every golden query case', async () => {
   drain('DATA_READY');
 });
 
+test('RECLUSTER reproduces the golden k=5 labels', async () => {
+  messages.length = 0;
+  await send({ type: 'RECLUSTER', k: 5 });
+  const res = drain('CLUSTERS');
+  assert.equal(res.length, 1);
+  assert.deepEqual(Array.from(res[0].labels), goldens.kmeans_labels_k5);
+  // restore the default k for any later test
+  await send({ type: 'RECLUSTER', k: goldens.k });
+  drain('CLUSTERS');
+});
+
 test('FIND_NEIGHBORS reproduces the golden kNN', async () => {
   messages.length = 0;
   await send({ type: 'FIND_NEIGHBORS', index: goldens.knn.query, k: goldens.knn.k });
