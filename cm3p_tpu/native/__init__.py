@@ -142,11 +142,13 @@ def _pca_numpy(emb: np.ndarray, seed: int) -> np.ndarray:
     # start vectors come from the SAME LCG chain as the C++ core and the JS
     # fallback (lcg_unit: state/2^32 - 0.5) so all three implementations
     # produce identical projections (visualizer golden-fixture contract)
-    state = np.uint32(seed if seed else 12345)
+    # plain python ints with an explicit mask: np.uint32 scalar arithmetic
+    # would emit a RuntimeWarning per step on the intentional overflow
+    state = int(seed if seed else 12345) & 0xFFFFFFFF
 
     def lcg_unit():
         nonlocal state
-        state = np.uint32(state * np.uint32(1664525) + np.uint32(1013904223))
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
         return float(state) / 4294967296.0
 
     centered = emb - emb.mean(axis=0)

@@ -77,9 +77,13 @@ class JsonConfigMixin:
         config.update(overrides)
         # drop keys the constructor doesn't take (HF-layout extras like
         # auto_map / tokenizer_class / added_tokens_decoder / processor_class)
-        params = inspect.signature(cls.__init__).parameters
-        if not any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
-            config = {k: v for k, v in config.items() if k in params}
+        # — but ONLY for alias (HF-layout) files; a native config.json with
+        # an unknown key means checkpoint/code drift and must raise, not
+        # silently lose the saved value
+        if name != cls.config_name:
+            params = inspect.signature(cls.__init__).parameters
+            if not any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+                config = {k: v for k, v in config.items() if k in params}
         return cls(**config)
 
     @classmethod

@@ -726,8 +726,11 @@ def main(argv=None):
                         f = np.asarray(f, np.float32)
                         s = float(np.max(np.abs(f))) / 127.0 or 1.0
                         scales[wi] = s
-                        np.rint(f / s, out=f)
-                        features[wi] = f.astype(np.int8)
+                        # out of place: np.asarray returns the SAME buffer
+                        # when f is already float32, and mutating the
+                        # loader-provided window would corrupt any future
+                        # buffer reuse/caching upstream
+                        features[wi] = np.rint(f / s).astype(np.int8)
                 else:
                     # build straight in the bf16 wire dtype: per-window
                     # assignment casts fp32 mel rows as they land, skipping a
