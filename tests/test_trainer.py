@@ -289,3 +289,89 @@ class TestFromPretrained:
         with pytest.raises(Exception):
             trainer.train()
         trainer.close()
+
+
+class TestWandbBranch:
+    """Execute the wandb integration against a stub module.
+
+    wandb is not installed in CI; the branch (trainer.py init/log/finish,
+    reference train.py:176-181 report_to=wandb) would otherwise ship with
+    zero executed coverage and silently break on an API drift.
+    """
+
+    class _StubRun:
+        def __init__(self):
+            self.logged = []
+            self.finished = False
+
+        def log(self, data, step=None):
+            self.logged.append((dict(data), step))
+
+        def finish(self):
+            self.finished = True
+
+    def test_init_log_finish_and_config_passthrough(self, tmp_path, monkeypatch):
+        import types
+
+        run = self._StubRun()
+        init_calls = []
+
+        def fake_init(**kwargs):
+            init_calls.append(kwargs)
+            return run
+
+        stub = types.ModuleType("wandb")
+        stub.init = fake_init
+        monkeypatch.setitem(sys.modules, "wandb", stub)
+
+        run_config = {"lr": 1e-3, "model": "tiny"}
+        trainer = make_trainer(
+            tmp_path,
+            max_steps=2,
+            wandb_project="cm3p-test",
+            wandb_entity="someone",
+            wandb_mode="offline",
+            run_config=run_config,
+        )
+        trainer.train()
+        trainer.close()
+
+        # init: exactly once, with project/entity/mode/config passed through
+        assert len(init_calls) == 1
+        kw = init_calls[0]
+        assert kw["project"] == "cm3p-test"
+        assert kw["entity"] == "someone"
+        assert kw["mode"] == "offline"
+        assert kw["config"] == run_config
+        assert kw["dir"] == str(tmp_path)
+
+        # log: called per logging window with step routed as the step kwarg
+        # (not duplicated inside the payload)
+        assert run.logged, "wandb.log never called"
+        steps = [s for _, s in run.logged if s is not None]
+        assert 1 in steps and 2 in steps
+        for data, _ in run.logged:
+            assert "step" not in data
+        train_rows = [d for d, _ in run.logged if "loss" in d]
+        assert train_rows and "grad_norm" in train_rows[0]
+
+        # finish: close() ends the run
+        assert run.finished
+
+    def test_init_failure_degrades_to_jsonl(self, tmp_path, monkeypatch):
+        import types
+
+        stub = types.ModuleType("wandb")
+
+        def broken_init(**kwargs):
+            raise RuntimeError("no network")
+
+        stub.init = broken_init
+        monkeypatch.setitem(sys.modules, "wandb", stub)
+
+        trainer = make_trainer(tmp_path, max_steps=1, wandb_project="cm3p-test")
+        trainer.train()
+        trainer.close()
+        # JSONL logging still happened despite the wandb failure
+        log_lines = [json.loads(l) for l in open(tmp_path / "train_log.jsonl")]
+        assert any("loss" in l for l in log_lines)
