@@ -166,19 +166,28 @@ class Trainer:
             logger.info("Initialized params from %s", self.from_pretrained)
             state = state._replace(params=tu.unflatten_dict(merged))
 
-        if self.resume:
-            latest = self.ckpt.latest_step()
-            if latest is not None:
-                logger.info("Resuming from checkpoint step %d", latest)
-                # the restored state.step carries the micro-step counter
-                state = self.ckpt.restore(state)
-
         train_step = make_train_step(self.model, self.tx, method=self.forward_method)
         with self.mesh:
             self._jitted, self._state_sharding, self._batch_sharding = shard_train_step(
                 train_step, self.mesh, state, example_batch
             )
-            state = jax.device_put(state, self._state_sharding)
+            latest = self.ckpt.latest_step() if self.resume else None
+            if latest is not None:
+                logger.info("Resuming from checkpoint step %d", latest)
+                # restore straight into the mesh shardings via an abstract
+                # template: each process reads only its addressable shards,
+                # and no committed single-device arrays are created (a
+                # device_put of those to a cross-process sharding is a
+                # cross-host transfer the CPU/TPU backends may not support).
+                # the restored state.step carries the micro-step counter
+                template = jax.tree.map(
+                    lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+                    state,
+                    self._state_sharding,
+                )
+                state = self.ckpt.restore(template)
+            else:
+                state = jax.device_put(state, self._state_sharding)
         return state
 
     def _log(self, record: dict) -> None:
@@ -253,11 +262,15 @@ class Trainer:
                             # the reference inherits from HF Trainer)
                             self.ckpt.protect(opt_step)
                             if self.ckpt.latest_step() != opt_step:
-                                self.ckpt.save(opt_step, jax.device_get(state), force=True)
+                                self.ckpt.save(opt_step, state, force=True)
 
-                    # only pull the state to host when a save will happen
+                    # orbax takes the sharded arrays directly (each process
+                    # persists its addressable shards; the device->host copy
+                    # happens synchronously inside save(), so the donation of
+                    # state to the next step is safe). device_get here would
+                    # crash on any mesh whose shards span processes.
                     if self.ckpt.should_save(opt_step):
-                        self.ckpt.save(opt_step, jax.device_get(state))
+                        self.ckpt.save(opt_step, state)
                     if opt_step >= self.max_steps:
                         break
 
@@ -269,7 +282,7 @@ class Trainer:
 
         final_step = int(state.step) // self.grad_accum
         if self.ckpt.latest_step() != final_step:
-            self.ckpt.save(final_step, jax.device_get(state), force=True)
+            self.ckpt.save(final_step, state, force=True)
         self.ckpt.wait()
 
         # reference parity: trainer.save_metrics -> *_results.json
@@ -291,7 +304,14 @@ class Trainer:
             and self._best_eval_step is not None
             and self._best_eval_step != final_step
         ):
-            restored = self.ckpt.restore(jax.device_get(state), step=self._best_eval_step)
+            # abstract template with the live shardings: each process restores
+            # only its addressable shards (device_get of a cross-process state
+            # would crash, and a concrete template would double host memory)
+            template = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                state,
+            )
+            restored = self.ckpt.restore(template, step=self._best_eval_step)
             if restored is not None:
                 logger.info("restoring best checkpoint (step %d, eval_loss %.5g)",
                             self._best_eval_step, self._best_eval_loss)
@@ -303,28 +323,63 @@ class Trainer:
     # ------------------------------------------------------------------- eval
 
     def evaluate(self, state: TrainState) -> dict:
+        """Evaluate on the mesh; multihost-correct.
+
+        Each process feeds its local eval rows (same contract as training:
+        every host yields the same number of same-shaped batches, disjoint
+        content); the batch is assembled into a global array via
+        ``put_global_batch`` and the eval step is jitted with replicated
+        outputs so host-side metric accumulation sees the FULL global rows
+        identically on every process. Labels/classes ride through the jit as
+        auxiliary outputs — fetching them from the (data-sharded) input batch
+        would crash once the mesh spans processes.
+        """
+        from ..parallel.mesh import batch_shardings, replicated
+
         if self._eval_fn is None:
             eval_step = make_eval_step(self.model, method=self.forward_method)
-            self._eval_fn = jax.jit(eval_step)
+
+            def eval_step_full(state, batch):
+                out = eval_step(state, batch)
+                aux = {
+                    k: batch[k]
+                    for k in ("metadata_variation_classes", "labels")
+                    if k in batch
+                }
+                return out, aux
+
+            if self._state_sharding is not None:
+                self._eval_fn = jax.jit(
+                    eval_step_full, out_shardings=replicated(self.mesh)
+                )
+            else:
+                self._eval_fn = jax.jit(eval_step_full)
         acc = MetricAccumulator()
         losses = []
         for i, batch in enumerate(self.eval_iter_factory()):
             if i >= self.max_eval_batches:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "beatmap_id"}
-            labels = batch.pop("labels", None)
-            out = self._eval_fn(state, {**batch, **({"labels": labels} if labels is not None else {})})
+            batch = {k: v for k, v in batch.items() if k != "beatmap_id"}
+            has_labels = "labels" in batch
+            if self._state_sharding is not None:
+                with self.mesh:
+                    batch = put_global_batch(batch, batch_shardings(self.mesh, batch))
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            out, aux = self._eval_fn(state, batch)
             if getattr(out, "loss", None) is not None:
                 losses.append(float(out.loss))
             if (
                 self.eval_has_variations
                 and getattr(out, "logits_per_beatmap", None) is not None
-                and "metadata_variation_classes" in batch
+                and "metadata_variation_classes" in aux
             ):
                 acc.update_zero_shot(
-                    np.asarray(out.logits_per_beatmap), np.asarray(batch["metadata_variation_classes"])
+                    np.asarray(out.logits_per_beatmap),
+                    np.asarray(aux["metadata_variation_classes"]),
                 )
-            if labels is not None and getattr(out, "logits", None) is not None:
+            if has_labels and getattr(out, "logits", None) is not None:
+                labels = aux["labels"]
                 if self.labels_kind == "masked_lm":
                     acc.update_masked_lm(np.asarray(out.logits), np.asarray(labels))
                 elif self.labels_kind == "ranked_classification":

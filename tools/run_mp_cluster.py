@@ -1,0 +1,256 @@
+"""Execute the multi-PROCESS distributed path on a localhost CPU cluster.
+
+The reference's distributed story is single-node torch.distributed DDP
+(reference ``train.py:198-201``, ``utils/muon_utils.py:131-136``) and ships
+untested. Here the same artifact the TPU-pod path uses —
+``cm3p_tpu/parallel/distributed.py`` (``jax.distributed.initialize``,
+``put_global_batch``'s ``make_array_from_process_local_data`` branch,
+primary-only logging, multi-process Orbax save/restore) — is EXECUTED by
+spawning N real processes with a localhost coordinator and gloo CPU
+collectives, running the real ``Trainer`` over a global (data, model) mesh.
+
+Three legs:
+
+1. ``--processes N`` cluster run: N processes x (8/N) CPU devices each,
+   global mesh 4x2, real train steps + eval + async Orbax saves.
+2. resume leg: the cluster restarts with a higher ``--steps`` and must
+   restore the multi-process checkpoint and continue.
+3. ``--baseline``: the identical data stream on a single-process 8-device
+   mesh; per-step losses must match the cluster run to fp tolerance.
+
+Writes a MULTICHIP-style JSON record (``--record``).
+
+Usage:
+    python tools/run_mp_cluster.py --processes 2 --steps 4 --resume-steps 6 \
+        --baseline --record MULTICHIP_MP.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+GLOBAL_BSZ = 16
+SEQ = 64
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+# --------------------------------------------------------------------- worker
+
+
+def worker_main(args) -> None:
+    sys.path.insert(0, str(REPO))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8 // args.nproc)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if args.nproc > 1:
+        from cm3p_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.nproc,
+            process_id=args.pid,
+        )
+
+    import numpy as np
+    from cm3p_tpu.configs import tiny_cm3p_config
+    from cm3p_tpu.models import CM3PModule
+    from cm3p_tpu.train import Trainer, muon
+    from cm3p_tpu.parallel.distributed import is_primary
+
+    pid, nproc = args.pid, args.nproc
+
+    def factory():
+        # deterministic GLOBAL stream: every process draws the same global
+        # batch, then slices its disjoint local rows — so the assembled
+        # global array is identical for any process count (the parity basis)
+        rng = np.random.default_rng(1234)
+        local = GLOBAL_BSZ // nproc
+
+        def gen():
+            for _ in range(1000):
+                classes = np.ones((GLOBAL_BSZ, 3), np.int32)
+                classes[:, 0] = 0
+                b = {
+                    "input_ids": rng.integers(0, 400, (GLOBAL_BSZ, SEQ)).astype(np.int32),
+                    "attention_mask": np.ones((GLOBAL_BSZ, SEQ), np.int32),
+                    "metadata_ids": rng.integers(0, 200, (GLOBAL_BSZ, 3, 12)).astype(np.int32),
+                    "metadata_attention_mask": np.ones((GLOBAL_BSZ, 3, 12), np.int32),
+                    "metadata_variation_classes": classes,
+                }
+                yield {k: v[pid * local : (pid + 1) * local] for k, v in b.items()}
+
+        return gen()
+
+    cfg = tiny_cm3p_config()
+    model = CM3PModule(cfg)
+    trainer = Trainer(
+        model,
+        muon(1e-3),
+        factory,
+        factory,
+        output_dir=args.outdir,
+        max_steps=args.steps,
+        gradient_accumulation_steps=1,
+        logging_steps=1,
+        eval_steps=3,
+        max_eval_batches=2,
+        save_steps=2,
+        model_axis=2,
+    )
+    start_step = trainer.ckpt.latest_step() or 0
+    state = trainer.train()
+    trainer.close()
+    if is_primary():
+        (Path(args.outdir) / "worker_result.json").write_text(
+            json.dumps(
+                {
+                    "final_step": int(state.step),
+                    "resumed_from": int(start_step),
+                    "process_count": nproc,
+                    "devices_global": jax.device_count(),
+                    "devices_local": jax.local_device_count(),
+                }
+            )
+        )
+    print(f"[{pid}] DONE step={int(state.step)}", flush=True)
+
+
+# --------------------------------------------------------------------- driver
+
+
+def run_cluster(nproc: int, steps: int, outdir: str, timeout: int = 600) -> dict:
+    port = _free_port()
+    procs = []
+    logs = []
+    for pid in range(nproc):
+        log = open(Path(outdir) / f"proc{pid}.log", "a")
+        logs.append(log)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    str(Path(__file__).resolve()),
+                    "--worker",
+                    "--pid",
+                    str(pid),
+                    "--nproc",
+                    str(nproc),
+                    "--port",
+                    str(port),
+                    "--steps",
+                    str(steps),
+                    "--outdir",
+                    outdir,
+                ],
+                stdout=log,
+                stderr=subprocess.STDOUT,
+                cwd=str(REPO),
+            )
+        )
+    deadline = time.time() + timeout
+    rcs = []
+    for p in procs:
+        rcs.append(p.wait(timeout=max(1, deadline - time.time())))
+    for log in logs:
+        log.close()
+    if any(rcs):
+        for pid in range(nproc):
+            tail = (Path(outdir) / f"proc{pid}.log").read_text().splitlines()[-15:]
+            print(f"--- proc{pid} tail ---\n" + "\n".join(tail), file=sys.stderr)
+        raise RuntimeError(f"cluster run failed, rcs={rcs}")
+    result = json.loads((Path(outdir) / "worker_result.json").read_text())
+    result["log_rows"] = [
+        json.loads(l) for l in open(Path(outdir) / "train_log.jsonl")
+    ]
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("--nproc", type=int, default=1)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--processes", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--resume-steps", type=int, default=6)
+    ap.add_argument("--baseline", action="store_true")
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--record", default=None)
+    args = ap.parse_args()
+
+    if args.worker:
+        worker_main(args)
+        return
+
+    base = Path(args.outdir) if args.outdir else Path(tempfile.mkdtemp(prefix="mp_cluster_"))
+    base.mkdir(parents=True, exist_ok=True)
+    record: dict = {"processes": args.processes, "global_batch": GLOBAL_BSZ, "mesh": "4x2 data x model"}
+
+    t0 = time.time()
+    mp_dir = base / f"run{args.processes}p"
+    mp_dir.mkdir(exist_ok=True)
+    mp = run_cluster(args.processes, args.steps, str(mp_dir))
+    record["cluster"] = mp
+    print(f"cluster {args.processes}p done in {time.time()-t0:.0f}s: "
+          f"{mp['devices_global']} global devices, final step {mp['final_step']}")
+
+    # resume leg: the same cluster restarts and must restore the
+    # multi-process Orbax checkpoint written above
+    rs = run_cluster(args.processes, args.resume_steps, str(mp_dir))
+    record["resume"] = {
+        "resumed_from": rs["resumed_from"],
+        "final_step": rs["final_step"],
+        "ok": rs["resumed_from"] == args.steps and rs["final_step"] == args.resume_steps,
+    }
+    print(f"resume leg: restored step {rs['resumed_from']} -> trained to {rs['final_step']}")
+
+    if args.baseline:
+        sp_dir = base / "run1p"
+        sp_dir.mkdir(exist_ok=True)
+        sp = run_cluster(1, args.steps, str(sp_dir))
+        t_mp = {r["step"]: r["loss"] for r in mp["log_rows"] if "loss" in r}
+        t_sp = {r["step"]: r["loss"] for r in sp["log_rows"] if "loss" in r}
+        e_mp = {r["step"]: r["eval_loss"] for r in mp["log_rows"] if "eval_loss" in r}
+        e_sp = {r["step"]: r["eval_loss"] for r in sp["log_rows"] if "eval_loss" in r}
+        a_mp = {r["step"]: r["eval_accuracy_year"] for r in mp["log_rows"] if "eval_accuracy_year" in r}
+        a_sp = {r["step"]: r["eval_accuracy_year"] for r in sp["log_rows"] if "eval_accuracy_year" in r}
+        record["baseline"] = {
+            "train_loss_max_delta": max(abs(t_mp[s] - t_sp[s]) for s in t_sp),
+            "eval_loss_max_delta": max((abs(e_mp[s] - e_sp[s]) for s in e_sp), default=0.0),
+            "zero_shot_accuracy_equal": a_mp == a_sp,
+            "steps_compared": sorted(t_sp),
+        }
+        print(f"baseline parity: train max |Δloss| = {record['baseline']['train_loss_max_delta']:.3g}, "
+              f"eval max |Δloss| = {record['baseline']['eval_loss_max_delta']:.3g}, "
+              f"zero-shot equal = {record['baseline']['zero_shot_accuracy_equal']}")
+
+    record["ok"] = record.get("resume", {}).get("ok", False) and (
+        not args.baseline or record["baseline"]["train_loss_max_delta"] < 1e-3
+    )
+    if args.record:
+        Path(args.record).write_text(json.dumps(record, indent=2) + "\n")
+        print(f"record written to {args.record}")
+    print(json.dumps({"ok": record["ok"]}))
+
+
+if __name__ == "__main__":
+    main()
