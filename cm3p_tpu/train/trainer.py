@@ -53,6 +53,7 @@ class Trainer:
         load_best_model_at_end: bool = False,
         eval_has_variations: bool = True,
         labels_kind: str = "none",
+        skip_batches_on_resume: bool = True,
         forward_method=None,
         wandb_project: Optional[str] = None,
         wandb_entity: Optional[str] = None,
@@ -83,6 +84,7 @@ class Trainer:
         self._last_eval: dict = {}
         self.labels_kind = labels_kind
         self.forward_method = forward_method
+        self.skip_batches_on_resume = skip_batches_on_resume
 
         self.ckpt = CheckpointManager(
             str(self.output_dir / "checkpoints"),
@@ -212,6 +214,28 @@ class Trainer:
         window_count = 0
 
         batch = first_batch
+        if start_step > 0 and self.skip_batches_on_resume:
+            # fast-forward the stream so step k+1 trains on batch k — resume
+            # continues the same data order the uninterrupted run would have
+            # seen (the reference inherits this from HF Trainer; its
+            # ignore_data_skip=False default). A factory taking start_step
+            # can seek directly instead of replaying the host pipeline.
+            import inspect
+
+            try:
+                fparams = inspect.signature(self.train_iter_factory).parameters
+            except (TypeError, ValueError):  # pragma: no cover - builtins
+                fparams = {}
+            if "start_step" in fparams:
+                data_iter = iter(self.train_iter_factory(start_step=start_step))
+                batch = next(data_iter)
+            else:
+                for _ in range(start_step):
+                    try:
+                        batch = next(data_iter)
+                    except StopIteration:
+                        data_iter = iter(self.train_iter_factory())
+                        batch = next(data_iter)
         # state.step counts micro-steps; optimizer steps advance every
         # grad_accum micro-steps (optax.MultiSteps)
         micro_steps = self.max_steps * self.grad_accum - start_step

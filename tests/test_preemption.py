@@ -1,0 +1,160 @@
+"""Preemption safety under an actual SIGKILL (VERDICT r3 item 2).
+
+TPU pods ARE preempted (SURVEY.md §5 failure-detection obligation); the
+reference only ever exercises cooperative resume via HF Trainer
+(train.py:204-223). These tests kill a real trainer subprocess
+
+(a) mid-step, from the parent, once training is underway, and
+(b) from inside, microseconds after initiating an async Orbax save —
+    the in-flight write is killed with it,
+
+then restart and assert: a loadable (never partial/corrupt) checkpoint is
+selected, training continues to completion, and the post-resume losses are
+bitwise-continuous with an uninterrupted run of the same stream (which also
+pins the skip-batches-on-resume data order).
+"""
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "_preempt_worker.py"
+
+
+def _run_worker(outdir, max_steps=5, kill_after_save_step=None, timeout=420):
+    cmd = [sys.executable, str(WORKER), "--outdir", str(outdir), "--max-steps", str(max_steps)]
+    if kill_after_save_step is not None:
+        cmd += ["--kill-after-save-step", str(kill_after_save_step)]
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout, cwd=str(REPO))
+
+
+def _losses(outdir) -> dict:
+    log = Path(outdir) / "train_log.jsonl"
+    if not log.exists():
+        return {}
+    rows = [json.loads(l) for l in log.open()]
+    return {r["step"]: r["loss"] for r in rows if "loss" in r}
+
+
+@pytest.fixture(scope="module")
+def uninterrupted(tmp_path_factory):
+    """Reference run: same stream, never killed."""
+    outdir = tmp_path_factory.mktemp("uninterrupted")
+    proc = _run_worker(outdir, max_steps=5)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    losses = _losses(outdir)
+    assert sorted(losses) == [1, 2, 3, 4, 5]
+    return losses
+
+
+def _assert_clean_resume(outdir, uninterrupted, proc2):
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    result = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert result["final_step"] == 5
+    resumed_from = result["resumed_from"]
+    # the restart selected a COMPLETE checkpoint (restore succeeded — a
+    # partial save would have crashed or resumed from a corrupt state) at
+    # some step it actually reached
+    assert 1 <= resumed_from <= 4
+    # loss continuity: every post-resume step matches the uninterrupted run
+    # bitwise — same restored state, same data order (skip-on-resume), same
+    # deterministic CPU program
+    losses = _losses(outdir)
+    for step in range(resumed_from + 1, 6):
+        assert step in losses, f"step {step} missing after resume"
+        np.testing.assert_allclose(losses[step], uninterrupted[step], rtol=0, atol=1e-6)
+    return resumed_from
+
+
+def test_sigkill_mid_step(tmp_path, uninterrupted):
+    """Parent SIGKILLs the trainer mid-run once a checkpoint has COMMITTED.
+
+    Waiting for a committed (numeric-named — orbax renames the tmp dir only
+    on commit) checkpoint makes the outcome deterministic: the restart must
+    resume from it, never from the in-flight tmp save. (Async commits can lag
+    seconds behind save() on a compute-saturated host — observed here: the
+    background commit thread is starved by the 8-device CPU step — so gating
+    the kill on the log alone races to resumed_from=0.)
+    """
+    outdir = tmp_path / "run"
+    proc = subprocess.Popen(
+        [sys.executable, str(WORKER), "--outdir", str(outdir), "--max-steps", "5"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        cwd=str(REPO),
+    )
+    ckpt_dir = outdir / "checkpoints"
+    deadline = time.time() + 420
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we killed it (shouldn't happen at 5 steps)
+        committed = (
+            [p for p in ckpt_dir.iterdir() if p.name.isdigit()]
+            if ckpt_dir.exists()
+            else []
+        )
+        if committed:
+            os.kill(proc.pid, signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.05)
+    proc.wait(timeout=60)
+    assert killed, f"worker exited before kill point: {proc.stdout.read()[-2000:]}"
+
+    proc2 = _run_worker(outdir, max_steps=5)
+    _assert_clean_resume(outdir, uninterrupted, proc2)
+
+
+def test_sigkill_during_async_save(tmp_path, uninterrupted):
+    """Worker SIGKILLs itself with the step-2 async save in flight."""
+    outdir = tmp_path / "run"
+    proc = _run_worker(outdir, max_steps=5, kill_after_save_step=2)
+    # SIGKILL: negative return code, no clean output
+    assert proc.returncode != 0
+
+    proc2 = _run_worker(outdir, max_steps=5)
+    resumed_from = _assert_clean_resume(outdir, uninterrupted, proc2)
+    # the step-2 save was initiated but its async commit was killed with the
+    # process; whether it completed is a race — but the restart must select
+    # a loadable checkpoint at or before it either way
+    assert resumed_from <= 2
+
+
+def test_partial_tmp_checkpoint_ignored(tmp_path):
+    """A leftover uncommitted (tmp-named) checkpoint dir is never selected
+    and does not break the manager."""
+    import jax
+    import jax.numpy as jnp
+    from cm3p_tpu.train.checkpoint import CheckpointManager
+
+    state = {"w": jnp.arange(8.0), "step": jnp.int32(3)}
+    mgr = CheckpointManager(str(tmp_path), save_interval_steps=1, max_to_keep=5)
+    mgr.save(1, state)
+    mgr.save(2, state)
+    mgr.wait()
+
+    # craft what an interrupted atomic save leaves behind: a tmp-named dir
+    # (orbax renames tmp -> final only on commit) with partial contents
+    junk = tmp_path / "5.orbax-checkpoint-tmp-1700000000"
+    junk.mkdir()
+    (junk / "_METADATA").write_text("partial garbage")
+
+    mgr2 = CheckpointManager(str(tmp_path), save_interval_steps=1, max_to_keep=5)
+    assert mgr2.latest_step() == 2
+    restored = mgr2.restore(jax.device_get(state))
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(8.0))
+    # and saving past the junk still works
+    mgr2.save(3, state)
+    mgr2.wait()
+    assert mgr2.latest_step() == 3
+    mgr.close()
+    mgr2.close()
