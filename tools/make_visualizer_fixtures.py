@@ -121,6 +121,58 @@ def eval_query(rows: list[dict], query: str) -> list[int]:
     return out
 
 
+def lcg_f32(seed: int, count: int) -> np.ndarray:
+    """Shared-LCG float32 stream (state/2^32 - 0.5) — the cross-language
+    determinism contract (same constants as analytics.cpp / worker.js)."""
+    state = seed & 0xFFFFFFFF
+    out = np.empty(count, np.float32)
+    for i in range(count):
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        out[i] = np.float32(state / 4294967296.0 - 0.5)
+    return out
+
+
+def _export_csv_golden(rows: list[dict], emb: np.ndarray, k: int) -> dict:
+    """EXPORT_CSV semantics on a filtered view (worker.js EXPORT_CSV case):
+    header = non-embedding columns + cluster,x,y; one line per ACTIVE row;
+    cells JSON-stringified; cluster/x/y from the subset's kmeans/pca."""
+    from cm3p_tpu import native
+
+    query = "Artist == Beta"
+    keep = eval_query(rows, query)
+    sub = emb[keep]
+    labels = native.calculate_kmeans(sub, k, seed=42)
+    pca = native.calculate_pca(sub, seed=12345)
+    cols = [c for c in rows[0] if c != "embedding"]
+    return {
+        "query": query,
+        "header": ",".join(cols) + ",cluster,x,y",
+        "n_rows": len(keep),
+        "titles": [rows[i]["Title"] for i in keep],
+        "clusters": [int(x) for x in labels],
+        "xy": [[round(float(x), 4), round(float(y), 4)] for x, y in pca],
+    }
+
+
+def _umap_fallback_golden() -> dict:
+    """n > 5000 + projection='umap' must produce the PCA projection and a
+    fallback LOG (our worker.js projectUmap; reference worker_wasm.js:634-640).
+    The synthetic stream is the shared LCG so node rebuilds it bit-identically."""
+    from cm3p_tpu import native
+
+    n, d, seed = 5001, 8, 777
+    emb = lcg_f32(seed, n * d).reshape(n, d)
+    pca = native.calculate_pca(emb, seed=12345)
+    return {
+        "n": n,
+        "d": d,
+        "lcg_seed": seed,
+        "threshold": 5000,
+        "log_contains": "falling back to PCA",
+        "pca_head": [[round(float(x), 4), round(float(y), 4)] for x, y in pca[:5]],
+    }
+
+
 def main():
     from cm3p_tpu import native
 
@@ -150,6 +202,31 @@ def main():
         },
         "queries": [{"query": q, "expected": eval_query(rows, q)} for q in QUERY_CASES],
         "search": {"text": "mapper3", "field": "Creator"},
+        # GET_METADATA: absolute row index -> all non-embedding columns.
+        # (Deviation from the reference's filtered-index lookup
+        # (worker_wasm.js:676-685): our DATA_READY carries absolute indices,
+        # so the app addresses rows absolutely — filter-independent.)
+        "metadata_cases": [
+            {"index": i, "row": {k: v for k, v in rows[i].items() if k != "embedding"}}
+            for i in (0, 7, 119)
+        ],
+        # GET_COLUMN: case-insensitive column resolution over the ACTIVE
+        # (filtered) rows; unknown column -> []
+        "column_cases": [
+            {"name": "year", "filter": "", "values": [r["Year"] for r in rows]},
+            {
+                "name": "Stars",
+                "filter": "Artist == Alpha",
+                "values": [rows[i]["Stars"] for i in eval_query(rows, "Artist == Alpha")],
+            },
+            {"name": "nope", "filter": "", "values": []},
+        ],
+        # EXPORT_CSV over a filtered view: metadata cells (JSON.stringify
+        # quoting), then cluster,x,y from the subset's kmeans/pca
+        "export_csv": _export_csv_golden(rows, emb, K),
+        # UMAP requests above the point cap fall back to PCA (reference
+        # worker_wasm.js:631-640 'Dataset too large for UMAP ... Using PCA')
+        "umap_fallback": _umap_fallback_golden(),
         "provenance": "tools/make_visualizer_fixtures.py — goldens computed by the "
         "native C++ core (cm3p_tpu/native/analytics.cpp) via ctypes",
     }
