@@ -50,6 +50,7 @@ class Trainer:
         model_axis: int = 1,
         resume: bool = True,
         from_pretrained: Optional[str] = None,
+        from_pretrained_allow_missing: bool = False,
         load_best_model_at_end: bool = False,
         eval_has_variations: bool = True,
         labels_kind: str = "none",
@@ -77,6 +78,7 @@ class Trainer:
         self.mesh = mesh or make_mesh(model=model_axis)
         self.resume = resume
         self.from_pretrained = from_pretrained
+        self.from_pretrained_allow_missing = from_pretrained_allow_missing
         self.load_best_model_at_end = load_best_model_at_end
         self.eval_has_variations = eval_has_variations
         self._best_eval_loss: Optional[float] = None
@@ -143,7 +145,11 @@ class Trainer:
             else:
                 from .checkpoint import load_model
 
-                loaded = load_model(self.from_pretrained, params_template=jax.device_get(state.params))
+                # template-free restore: the checkpoint's own tree comes back
+                # as saved — a model-shaped template would make orbax raise on
+                # any cross-class (staged-lineage) bootstrap before the
+                # key-wise merge below ever runs
+                loaded = load_model(self.from_pretrained)
             # key-wise merge restricted to the MODEL's tree: every model
             # param must be present in the checkpoint; checkpoint-only
             # extras (e.g. a decoder head this config doesn't use) are
@@ -156,7 +162,20 @@ class Trainer:
             flat_l = tu.flatten_dict(loaded)
             missing = set(flat_t) - set(flat_l)
             if missing:
-                raise ValueError(f"from_pretrained is missing params: {sorted(missing)[:5]}")
+                # strict by default: a same-class bootstrap missing params is
+                # drift. allow_missing enables the staged-lineage transfers
+                # (MLM pretrain -> contrastive -> classifier, reference
+                # train.py:304-311 via HF from_pretrained's partial-load
+                # semantics): shared-path params load, the rest keep their
+                # fresh init
+                if not self.from_pretrained_allow_missing:
+                    raise ValueError(f"from_pretrained is missing params: {sorted(missing)[:5]}")
+                if not (set(flat_t) & set(flat_l)):
+                    raise ValueError("from_pretrained: no overlapping params at all")
+                logger.warning(
+                    "from_pretrained: %d/%d params newly initialized (e.g. %s)",
+                    len(missing), len(flat_t), "/".join(sorted(missing)[0]),
+                )
             extras = set(flat_l) - set(flat_t)
             if extras:
                 logger.info(
@@ -164,7 +183,16 @@ class Trainer:
                     len(extras),
                     "/".join(sorted(extras)[0]),
                 )
-            merged = {k: jnp.asarray(flat_l[k], flat_t[k].dtype) for k in flat_t}
+            for k in set(flat_t) & set(flat_l):
+                if tuple(flat_t[k].shape) != tuple(np.shape(flat_l[k])):
+                    raise ValueError(
+                        f"from_pretrained shape mismatch at {'/'.join(k)}: "
+                        f"{tuple(np.shape(flat_l[k]))} vs model {tuple(flat_t[k].shape)}"
+                    )
+            merged = {
+                k: jnp.asarray(flat_l[k], flat_t[k].dtype) if k in flat_l else flat_t[k]
+                for k in flat_t
+            }
             logger.info("Initialized params from %s", self.from_pretrained)
             state = state._replace(params=tu.unflatten_dict(merged))
 

@@ -87,3 +87,30 @@ def device_memory_stats() -> dict:
         except Exception:
             continue
     return stats
+
+
+def probe_link(size_mb: int = 16, repeats: int = 2) -> dict:
+    """Measure the host<->device link: one ``size_mb`` float32 round trip.
+
+    The shared relay's link swings ~2x intra-day independently of chip
+    compute (BASELINE r13 B'), so every e2e/wire bench records this probe in
+    its JSON — cross-session comparisons cite it instead of link-weather
+    anecdotes (VERDICT r3 item 6). Reported number is the best of
+    ``repeats`` (the first may pay handshake/allocation); MB/s counts both
+    directions (2 x size_mb / wall).
+    """
+    import jax
+
+    x = np.ones((size_mb * 1024 * 1024 // 4,), np.float32)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        np.asarray(d)  # full fetch: completion barrier AND the down leg
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "size_mb": size_mb,
+        "roundtrip_s": round(best, 4),
+        "mb_per_s": round(2 * size_mb / best, 1),
+        "device": str(jax.devices()[0]),
+    }

@@ -375,3 +375,53 @@ class TestWandbBranch:
         # JSONL logging still happened despite the wandb failure
         log_lines = [json.loads(l) for l in open(tmp_path / "train_log.jsonl")]
         assert any("loss" in l for l in log_lines)
+
+
+class TestPartialBootstrap:
+    def test_allow_missing_transfers_shared_tower(self, tmp_path):
+        """Staged-lineage transfer (reference train.py:304-311 via HF
+        partial-load semantics): a MaskedLM checkpoint bootstraps the
+        contrastive model — shared beatmap-tower params load, the rest keep
+        fresh init. Strict default still raises."""
+        import flax.traverse_util as tu
+
+        from cm3p_tpu.models import MaskedLMModule
+        from cm3p_tpu.train.checkpoint import save_model
+
+        cfg, factory = tiny_batches()
+        mlm = MaskedLMModule(cfg.beatmap_config)
+        rng = jax.random.PRNGKey(7)
+        batch = next(factory())
+        mlm_params = mlm.init(
+            rng, input_ids=batch["input_ids"], attention_mask=batch["attention_mask"]
+        )
+        save_model(str(tmp_path / "mlm_model"), jax.device_get(mlm_params))
+
+        # strict default: missing params raise
+        t_strict = make_trainer(
+            tmp_path / "strict", max_steps=0, from_pretrained=str(tmp_path / "mlm_model")
+        )
+        with pytest.raises(ValueError, match="missing params"):
+            t_strict.train()
+        t_strict.close()
+
+        t = make_trainer(
+            tmp_path / "out",
+            max_steps=0,
+            from_pretrained=str(tmp_path / "mlm_model"),
+            from_pretrained_allow_missing=True,
+        )
+        state = t.train()
+        t.close()
+        got = tu.flatten_dict(jax.device_get(state.params))
+        src = tu.flatten_dict(jax.device_get(mlm_params))
+        shared = set(got) & set(src)
+        assert len(shared) >= 20, "expected the beatmap tower to overlap"
+        for k in shared:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(src[k], np.asarray(got[k]).dtype),
+                err_msg="/".join(map(str, k)),
+            )
+        # non-shared params exist and were freshly initialized (not zeros)
+        only_model = set(got) - set(src)
+        assert only_model

@@ -75,6 +75,7 @@ def main(argv=None):
         args += ["--tiny-model", "--cpu", "--max-length", "512"]
 
     results = {}
+    link = {}
     for tag in ("cold", "warm"):
         if out.exists():
             out.unlink()
@@ -85,6 +86,13 @@ def main(argv=None):
 
         n_maps = len(pd.read_parquet(out))
         results[tag] = {"wall_sec": round(dt, 2), "beatmaps": n_maps}
+        # link weather right after each pass: the relay's host<->device
+        # bandwidth swings ~2x intra-day — the probe makes warm-wall numbers
+        # self-describing across sessions (VERDICT r3 item 6)
+        if not ns.tiny:
+            from cm3p_tpu.utils.profiling import probe_link
+
+            link[tag] = probe_link()
 
     # windows/s from the warm pass: each 16 s window = one embedding row
     # pre-pooling; the extractor logs its own windows count — recompute from
@@ -101,6 +109,7 @@ def main(argv=None):
                     "audio": not ns.no_audio,
                     "cold": results["cold"],
                     "warm": results["warm"],
+                    "link_probe": link,
                 },
             }
         )

@@ -27,6 +27,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from cm3p_tpu.utils.profiling import probe_link  # noqa: E402
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -193,6 +195,9 @@ def main(argv=None):
         "wire_mb_int8": round(feats.size * 1 / 1e6, 1),
         "wire_mb_pcm_f32": round(pcm_all.size * 4 / 1e6, 1),
         "device": str(jax.devices()[0]),
+        # wire-tier verdicts are only comparable at a known link speed
+        # (VERDICT r3 item 6; the relay link swings ~2x intra-day)
+        "link_probe": probe_link(),
     }))
 
 

@@ -153,7 +153,12 @@ def main(argv=None):
         "densities, lengths) instead of copies of the bundled std map - "
         "trains the multi-mode parser/tokenizer paths end to end",
     )
-    ns = ap.parse_args(argv)
+    # unknown key=value args pass through as config overrides (e.g.
+    # from_pretrained=... for the staged-lineage legs)
+    ns, extra_overrides = ap.parse_known_args(argv)
+    for x in extra_overrides:
+        if "=" not in x or x.startswith("-"):
+            ap.error(f"unrecognized argument: {x}")
 
     root = Path(ns.root)
     if not (root / "metadata.parquet").exists():
@@ -185,15 +190,18 @@ def main(argv=None):
     ]
     config = ns.config
     if ns.cpu:
-        # only default to the smoke recipe; an explicit --config wins
+        # only default to the smoke recipe; an explicit --config wins and
+        # keeps its own labels (v6_mask/v7 need masked_lm, v7_classifier
+        # needs ranked_classification — labels=none is smoke-only)
         if config == "default":
             config = "smoke"
-        overrides += ["dataset.synthetic=false", "attn_impl=xla", "dataset.labels=none"]
+            overrides += ["dataset.labels=none"]
+        overrides += ["dataset.synthetic=false", "attn_impl=xla"]
 
     cmd = [sys.executable, str(REPO / "train.py"), "--config-name", config]
     if ns.cpu:
         cmd.append("--cpu")
-    cmd += overrides
+    cmd += overrides + extra_overrides
     print("running:", " ".join(cmd))
     res = subprocess.run(cmd, cwd=REPO)
     if res.returncode != 0:

@@ -375,6 +375,7 @@ def main(argv=None):
         model_axis=training.get("model_axis", 1),
         resume=not training.get("overwrite_output_dir", False),
         from_pretrained=args.get("from_pretrained"),
+        from_pretrained_allow_missing=args.get("from_pretrained_allow_missing", False),
         load_best_model_at_end=training.get("load_best_model_at_end", False),
         eval_has_variations=args["model_cls"] == "CM3PModule",
         labels_kind=args["dataset"]["labels"],
