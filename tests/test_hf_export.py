@@ -464,3 +464,86 @@ class TestProcessorExport:
         )
         o = ours(beatmap=path, window_length_sec=16.0, window_stride_sec=16.0, padding="longest")
         np.testing.assert_array_equal(np.asarray(r["input_ids"]), np.asarray(o["input_ids"]))
+
+
+class TestHubPushBranch:
+    """Execute the --repo-id upload branch against a stub huggingface_hub
+    (same rationale as the wandb stub: the branch would otherwise ship with
+    zero executed coverage and silently break on an API drift).
+    publish_model.py:148-166."""
+
+    def _stub_hub(self, monkeypatch, fail=False):
+        import sys
+        import types
+
+        calls = {"create_repo": [], "create_branch": [], "upload_folder": []}
+
+        class StubApi:
+            def create_repo(self, repo_id, exist_ok=False):
+                calls["create_repo"].append({"repo_id": repo_id, "exist_ok": exist_ok})
+
+            def create_branch(self, repo_id, branch, exist_ok=False):
+                calls["create_branch"].append({"repo_id": repo_id, "branch": branch})
+
+            def upload_folder(self, **kw):
+                if fail:
+                    raise RuntimeError("no network")
+                calls["upload_folder"].append(kw)
+
+        stub = types.ModuleType("huggingface_hub")
+        stub.HfApi = StubApi
+        monkeypatch.setitem(sys.modules, "huggingface_hub", stub)
+        return calls
+
+    def _bundle_args(self, tmp_path):
+        from cm3p_tpu.processing import CM3PProcessor
+        from cm3p_tpu.train.checkpoint import save_model
+        from cm3p_tpu.configs import tiny_cm3p_config
+        from cm3p_tpu.models import CM3PModule
+
+        cfg = tiny_cm3p_config()
+        model = CM3PModule(cfg)
+        rng = np.random.default_rng(5)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            input_ids=rng.integers(0, 100, (1, 16)).astype(np.int32),
+            attention_mask=np.ones((1, 16), np.int32),
+            metadata_ids=rng.integers(0, 50, (1, 2, 8)).astype(np.int32),
+            metadata_attention_mask=np.ones((1, 2, 8), np.int32),
+            metadata_variation_classes=np.zeros((1, 2), np.int32),
+        )
+        save_model(str(tmp_path / "model"), jax.device_get(params), config=cfg)
+        CM3PProcessor().save_pretrained(str(tmp_path / "processor"))
+        return [
+            "--model-dir", str(tmp_path / "model"),
+            "--processor-dir", str(tmp_path / "processor"),
+            "--output", str(tmp_path / "release"),
+        ]
+
+    def test_push_with_revision_and_pr(self, tmp_path, monkeypatch):
+        import publish_model
+
+        calls = self._stub_hub(monkeypatch)
+        rc = publish_model.main(
+            self._bundle_args(tmp_path)
+            + ["--repo-id", "someone/CM3P-TPU", "--revision", "v2", "--create-pr"]
+        )
+        assert rc == 0
+        assert calls["create_repo"] == [{"repo_id": "someone/CM3P-TPU", "exist_ok": True}]
+        assert calls["create_branch"][0]["branch"] == "v2"
+        up = calls["upload_folder"][0]
+        assert up["repo_id"] == "someone/CM3P-TPU"
+        assert up["revision"] == "v2"
+        assert up["create_pr"] is True
+        assert up["folder_path"] == str(tmp_path / "release")
+
+    def test_push_failure_keeps_local_bundle(self, tmp_path, monkeypatch):
+        import publish_model
+
+        self._stub_hub(monkeypatch, fail=True)
+        rc = publish_model.main(
+            self._bundle_args(tmp_path) + ["--repo-id", "someone/CM3P-TPU"]
+        )
+        assert rc == 1
+        # the local bundle is complete despite the failed push
+        assert (tmp_path / "release" / "README.md").exists()
