@@ -266,6 +266,16 @@ def main(argv=None):
 
         try:
             jax.config.update("jax_platforms", "cpu")
+            # CPU cluster (tests, local rehearsal of the pod path): device
+            # count and collectives must be set BEFORE any backend init, so
+            # read them from the raw overrides here rather than the loaded
+            # config (tests/test_multihost_entry.py)
+            ov = dict(o.split("=", 1) for o in cli.overrides if "=" in o)
+            if ov.get("training.multihost", "").lower() in ("true", "1"):
+                jax.config.update(
+                    "jax_num_cpu_devices", int(ov.get("training.cpu_devices", 4))
+                )
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
         except Exception:
             pass
 
@@ -277,13 +287,13 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from cm3p_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     # multi-host TPU pods: initialize the process group BEFORE any other
     # backend use so jax.devices() spans the whole pod and the mesh/pjit
-    # path needs no further changes (collectives ride ICI/DCN automatically)
+    # path needs no further changes (collectives ride ICI/DCN automatically).
+    # This MUST precede enable_compilation_cache(): the cache probe
+    # initializes the XLA backend, after which jax.distributed.initialize
+    # refuses to run (found by tests/test_multihost_entry.py — the bug
+    # would have surfaced only on a real pod).
     if training.get("multihost", False):
         from cm3p_tpu.parallel.distributed import initialize_distributed
 
@@ -292,6 +302,10 @@ def main(argv=None):
             num_processes=training.get("num_processes"),
             process_id=training.get("process_id"),
         )
+
+    from cm3p_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from cm3p_tpu.configs import BeatmapConfig, CM3PConfig, MetadataConfig
     from cm3p_tpu.data import DatasetConfig
