@@ -78,6 +78,7 @@ class MmrsDataset:
         process_id: int = 0,
         process_count: int = 1,
         seed: Optional[int] = None,
+        epoch: int = 0,
     ):
         self.args = args
         self.processor = processor
@@ -94,7 +95,10 @@ class MmrsDataset:
         self.process_id = process_id
         self.process_count = process_count
         self.seed = seed
-        self._epoch = 0
+        # starting epoch: lets a resume (or a per-epoch re-instantiated
+        # factory) continue the seeded shuffle sequence instead of replaying
+        # epoch 0's order forever
+        self._epoch = epoch
 
     def get_filtered_metadata(self) -> DataFrame:
         return filter_mmrs_metadata(

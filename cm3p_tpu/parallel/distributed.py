@@ -69,6 +69,29 @@ def is_primary() -> bool:
     return process_index() == 0
 
 
+def all_processes_have(local_have: bool) -> bool:
+    """True iff EVERY process reports ``local_have`` truthy.
+
+    The guard that makes per-host batch-count skew safe: ``put_global_batch``
+    and every collective step require all hosts to participate, but strided
+    data shards (``MmrsDataset.get_sharded_metadata``) yield per-host counts
+    that differ by one whenever rows don't divide evenly — without agreement
+    the host with more batches enters a collective the exhausted host never
+    joins and the pod hangs. Call this with "I have a next batch" before each
+    collectively-executed eval step; if any host is exhausted, all stop
+    together. Single-process: a no-op returning ``local_have``.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return bool(local_have)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(bool(local_have), np.int32))
+    return bool(np.min(flags))
+
+
 def put_global_batch(batch: dict, batch_shardings) -> dict:
     """Place a batch on the mesh, assembling across hosts when needed.
 

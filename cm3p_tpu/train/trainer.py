@@ -258,6 +258,12 @@ class Trainer:
                 data_iter = iter(self.train_iter_factory(start_step=start_step))
                 batch = next(data_iter)
             else:
+                logger.info(
+                    "resume: replaying %d host-pipeline batches to restore data "
+                    "order (factory has no start_step seek — for deep resumes "
+                    "implement one, or set skip_batches_on_resume=False)",
+                    start_step,
+                )
                 for _ in range(start_step):
                     try:
                         batch = next(data_iter)
@@ -377,14 +383,20 @@ class Trainer:
     def evaluate(self, state: TrainState) -> dict:
         """Evaluate on the mesh; multihost-correct.
 
-        Each process feeds its local eval rows (same contract as training:
-        every host yields the same number of same-shaped batches, disjoint
+        Each process feeds its local eval rows (same-shaped batches, disjoint
         content); the batch is assembled into a global array via
         ``put_global_batch`` and the eval step is jitted with replicated
         outputs so host-side metric accumulation sees the FULL global rows
         identically on every process. Labels/classes ride through the jit as
         auxiliary outputs — fetching them from the (data-sharded) input batch
         would crash once the mesh spans processes.
+
+        Per-host batch COUNTS may legitimately differ (strided metadata
+        shards don't divide evenly — ``MmrsDataset.get_sharded_metadata``),
+        so before every step all hosts agree whether everyone still has a
+        batch (``all_processes_have``); evaluation truncates to the shortest
+        shard instead of hanging the pod in a collective one host never
+        joins. The dropped tail is logged.
         """
         from ..parallel.mesh import batch_shardings, replicated
 
@@ -406,11 +418,28 @@ class Trainer:
                 )
             else:
                 self._eval_fn = jax.jit(eval_step_full)
+        from ..parallel.distributed import all_processes_have
+
         acc = MetricAccumulator()
         losses = []
-        for i, batch in enumerate(self.eval_iter_factory()):
-            if i >= self.max_eval_batches:
+        eval_iter = iter(self.eval_iter_factory())
+        i = 0
+        while i < self.max_eval_batches:
+            try:
+                batch = next(eval_iter)
+                local_have = True
+            except StopIteration:
+                batch = None
+                local_have = False
+            if not all_processes_have(local_have):
+                if local_have:
+                    logger.warning(
+                        "evaluate: truncating at batch %d — another host's eval "
+                        "shard is exhausted (unequal per-host batch counts); "
+                        "this host's remaining batches are dropped", i,
+                    )
                 break
+            i += 1
             batch = {k: v for k, v in batch.items() if k != "beatmap_id"}
             has_labels = "labels" in batch
             if self._state_sharding is not None:

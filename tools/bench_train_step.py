@@ -63,6 +63,13 @@ def main(argv=None):
     parser.add_argument("--remat", default="full", choices=["full", "dots", "none"],
                         help="layer remat policy: full recompute, dots-saveable, or off")
     parser.add_argument("--packed", action="store_true", help="packed-window contrastive step (no audio)")
+    parser.add_argument(
+        "--max-windows", type=int, default=0,
+        help="pad the packed window table to this size — the SHAPE the "
+        "training collator actually compiles (training.packed_max_windows; "
+        "dummy slots still run the metadata tower). 0 = legacy bench shape "
+        "ceil16(w), which UNDERSTATES the shipped max_windows=64 cost.",
+    )
     ns = parser.parse_args(argv)
 
     import jax
@@ -92,11 +99,11 @@ def main(argv=None):
         remat = {"full": True, "dots": "dots", "none": False}[ns.remat]
         model = CM3PModule(cfg, dtype=jnp.bfloat16, attn_impl="pallas", remat=remat)
         packed = pack_windows(seqs, seq_len, pad_id=0)
-        while packed["input_ids"].shape[0] > b:
+        while packed["input_ids"].shape[0] > b or (ns.max_windows and len(seqs) > ns.max_windows):
             seqs = seqs[: int(len(seqs) * 0.95)]
             packed = pack_windows(seqs, seq_len, pad_id=0)
         w = len(seqs)
-        w_pad = -(-w // 16) * 16
+        w_pad = ns.max_windows or -(-w // 16) * 16
         window_rows = np.zeros(w_pad, np.int32)
         window_segments = np.full(w_pad, -1, np.int32)
         window_valid = np.zeros(w_pad, np.int32)
@@ -145,6 +152,7 @@ def main(argv=None):
                         "windows_per_sec": round(w / dt, 2),
                         "rows": b,
                         "windows": w,
+                        "window_table": int(w_pad),
                         "seq_len": seq_len,
                         "variations": v,
                         "loss": round(loss, 4),

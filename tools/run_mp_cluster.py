@@ -9,7 +9,7 @@ primary-only logging, multi-process Orbax save/restore) — is EXECUTED by
 spawning N real processes with a localhost coordinator and gloo CPU
 collectives, running the real ``Trainer`` over a global (data, model) mesh.
 
-Three legs:
+Legs:
 
 1. ``--processes N`` cluster run: N processes x (8/N) CPU devices each,
    global mesh 4x2, real train steps + eval + async Orbax saves.
@@ -17,6 +17,15 @@ Three legs:
    restore the multi-process checkpoint and continue.
 3. ``--baseline``: the identical data stream on a single-process 8-device
    mesh; per-step losses must match the cluster run to fp tolerance.
+4. ``--real-data``: the REAL host pipeline across the process boundary —
+   builds an on-disk MMRS fixture (odd set count, audio on), runs the
+   actual ``train.py`` entry (configs/train/smoke_mmrs.yaml: vocab
+   population, MmrsDataset process sharding, multiprocess loader, packing
+   collator) on the cluster, then a resume leg through the factory's
+   ``start_step`` seek. The odd fixture makes per-host EVAL batch counts
+   unequal, so the run also proves evaluate()'s skew truncation (the
+   pod-hang guard, ``parallel/distributed.py:all_processes_have``) fires
+   instead of deadlocking.
 
 Writes a MULTICHIP-style JSON record (``--record``).
 
@@ -133,6 +142,158 @@ def worker_main(args) -> None:
     print(f"[{pid}] DONE step={int(state.step)}", flush=True)
 
 
+# ------------------------------------------------------------- real-data leg
+
+MINI_MAP = """osu file format v14
+
+[General]
+AudioFilename: audio.wav
+Mode: 0
+
+[Metadata]
+Title:Cluster Track {i}
+Creator:mapper_{i}
+BeatmapID:{bid}
+BeatmapSetID:{sid}
+
+[Difficulty]
+CircleSize:4
+SliderMultiplier:1.0
+HPDrainRate:5
+
+[TimingPoints]
+0,500,4,2,1,70,1,0
+
+[HitObjects]
+{objects}
+"""
+
+
+def build_mini_mmrs(root: Path, n_sets: int) -> None:
+    """Small MMRS fixture: ``n_sets`` one-difficulty sets, ~18 s maps + WAVs."""
+    import wave
+    from datetime import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    statuses = [("ranked", 1), ("loved", 4), ("graveyard", -2)]
+    for i in range(n_sets):
+        sid, bid = 1000 + i, 5000 + i
+        folder = f"set_{sid}"
+        set_dir = root / "data" / folder
+        set_dir.mkdir(parents=True, exist_ok=True)
+        n = int(20.0 * 16000)
+        data = (np.sin(np.linspace(0, 220.0 * (1 + 0.2 * i) * 2 * np.pi * 20.0, n)) * 0.3 * 32767).astype(np.int16)
+        with wave.open(str(set_dir / "audio.wav"), "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(data.tobytes())
+        objects = "\n".join(
+            f"{(k * 37) % 512},{(k * 53) % 384},{k * 450},1,0,0:0:0:0:" for k in range(40)
+        )
+        fname = f"map_{bid}.osu"
+        (set_dir / fname).write_text(MINI_MAP.format(i=i, bid=bid, sid=sid, objects=objects))
+        rows.append(
+            {
+                "BeatmapSetId": sid,
+                "Id": bid,
+                "BeatmapSetFolder": folder,
+                "BeatmapFile": fname,
+                "AudioFile": "audio.wav",
+                "ModeInt": 0,
+                "Mode": "osu",
+                "Cs": 3.0 + (i % 4),
+                "Status": statuses[i % len(statuses)][0],
+                "Ranked": statuses[i % len(statuses)][1],
+                "UserId": 100 + i,
+                "Creator": f"mapper_{i}",
+                "SubmittedDate": datetime(2010 + (i % 10), 3, 1),
+                "DifficultyRating": 2.0 + 0.5 * i,
+                "StarRating": np.linspace(1.5, 4.5, 7),
+                "TopTagIds": np.array([1 + (i % 5), 6 + (i % 7)]),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(root / "metadata.parquet")
+
+
+def run_train_entry_cluster(
+    nproc: int, steps: int, outdir: Path, mmrs_root: Path, port: int, timeout: int = 900
+) -> list[str]:
+    """Spawn ``train.py -cn smoke_mmrs`` on every cluster process; return logs."""
+    procs = []
+    for pid in range(nproc):
+        cmd = [
+            sys.executable, str(REPO / "train.py"),
+            "--config-name", "smoke_mmrs", "--cpu",
+            "training.multihost=true",
+            f"training.coordinator_address=127.0.0.1:{port}",
+            f"training.num_processes={nproc}",
+            f"training.process_id={pid}",
+            "training.cpu_devices=4",
+            f"training.max_steps={steps}",
+            f"dataset.train_dataset_paths=[{mmrs_root}]",
+            f"dataset.test_dataset_paths=[{mmrs_root}]",
+            f"training.output_dir={outdir}",
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=str(REPO),
+            )
+        )
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        (outdir / f"entry_proc{pid}_s{steps}.log").write_text(out)
+        if p.returncode != 0:
+            raise RuntimeError(f"train.py process {pid} failed:\n{out[-4000:]}")
+    return outs
+
+
+def real_data_leg(nproc: int, base: Path, steps: int = 4, resume_steps: int = 6) -> dict:
+    mmrs_root = base / "mmrs"
+    if not (mmrs_root / "metadata.parquet").exists():
+        # 9 sets: strided eval shards of 5 vs 4 sets across 2 processes —
+        # DELIBERATELY unequal per-host eval batch counts
+        build_mini_mmrs(mmrs_root, 9)
+    outdir = base / "real_run"
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    outs = run_train_entry_cluster(nproc, steps, outdir, mmrs_root, _free_port())
+    rows = [json.loads(l) for l in (outdir / "train_log.jsonl").open()]
+    train_steps = [r["step"] for r in rows if "loss" in r]
+    eval_rows = [r for r in rows if any(k.startswith(("eval_", "final_eval_")) for k in r)]
+    skew_truncated = any("truncating at batch" in o for o in outs)
+
+    # resume leg: restart the same cluster with more steps — exercises the
+    # MMRS factory's start_step seek + multi-process Orbax restore
+    outs2 = run_train_entry_cluster(nproc, resume_steps, outdir, mmrs_root, _free_port())
+    rows2 = [json.loads(l) for l in (outdir / "train_log.jsonl").open()]
+    resumed = any("Resuming from checkpoint" in o for o in outs2)
+    seek = any("resume seek" in o for o in outs2)
+    steps_after = sorted({r["step"] for r in rows2 if "loss" in r})
+
+    return {
+        "processes": nproc,
+        "fixture_sets": 9,
+        "train_steps": sorted(set(train_steps)),
+        "steps_logged_once": len(train_steps) == len(set(train_steps)),
+        "eval_ran": bool(eval_rows),
+        "eval_skew_truncated": skew_truncated,
+        "resume": {"resumed": resumed, "seek_logged": seek, "steps": steps_after},
+        "ok": bool(
+            sorted(set(train_steps)) == list(range(1, steps + 1))
+            and eval_rows
+            and skew_truncated
+            and resumed
+            and seek
+            and steps_after[-1] == resume_steps
+        ),
+    }
+
+
 # --------------------------------------------------------------------- driver
 
 
@@ -193,6 +354,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--resume-steps", type=int, default=6)
     ap.add_argument("--baseline", action="store_true")
+    ap.add_argument("--real-data", action="store_true",
+                    help="run ONLY the real-data train.py leg (MMRS fixture)")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--record", default=None)
     args = ap.parse_args()
@@ -203,6 +366,19 @@ def main() -> None:
 
     base = Path(args.outdir) if args.outdir else Path(tempfile.mkdtemp(prefix="mp_cluster_"))
     base.mkdir(parents=True, exist_ok=True)
+
+    if args.real_data:
+        t0 = time.time()
+        rd = real_data_leg(args.processes, base, args.steps, args.resume_steps)
+        rd["wall_s"] = round(time.time() - t0, 1)
+        if args.record:
+            Path(args.record).write_text(json.dumps(rd, indent=2) + "\n")
+        print(json.dumps(rd, indent=2))
+        print(json.dumps({"ok": rd["ok"]}))
+        if not rd["ok"]:
+            sys.exit(1)
+        return
+
     record: dict = {"processes": args.processes, "global_batch": GLOBAL_BSZ, "mesh": "4x2 data x model"}
 
     t0 = time.time()
@@ -233,9 +409,17 @@ def main() -> None:
         e_sp = {r["step"]: r["eval_loss"] for r in sp["log_rows"] if "eval_loss" in r}
         a_mp = {r["step"]: r["eval_accuracy_year"] for r in mp["log_rows"] if "eval_accuracy_year" in r}
         a_sp = {r["step"]: r["eval_accuracy_year"] for r in sp["log_rows"] if "eval_accuracy_year" in r}
+        # the two runs must log the same steps — a missing step is a harness
+        # failure and should say so, not surface as an opaque KeyError
+        if set(t_mp) != set(t_sp):
+            raise RuntimeError(
+                f"baseline parity: cluster and single-process runs logged "
+                f"different steps (cluster-only {sorted(set(t_mp) - set(t_sp))}, "
+                f"baseline-only {sorted(set(t_sp) - set(t_mp))})"
+            )
         record["baseline"] = {
             "train_loss_max_delta": max(abs(t_mp[s] - t_sp[s]) for s in t_sp),
-            "eval_loss_max_delta": max((abs(e_mp[s] - e_sp[s]) for s in e_sp), default=0.0),
+            "eval_loss_max_delta": max((abs(e_mp[s] - e_sp[s]) for s in e_sp if s in e_mp), default=0.0),
             "zero_shot_accuracy_equal": a_mp == a_sp,
             "steps_compared": sorted(t_sp),
         }

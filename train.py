@@ -131,12 +131,17 @@ class MmrsDatasetFactory:
     """Picklable dataset factory: loader workers are spawn-based processes,
     so the factory crossing the process boundary must not be a closure."""
 
-    def __init__(self, ds_cfg, processor, test: bool, process_id: int, process_count: int):
+    def __init__(
+        self, ds_cfg, processor, test: bool, process_id: int, process_count: int,
+        seed=None, epoch: int = 0,
+    ):
         self.ds_cfg = ds_cfg
         self.processor = processor
         self.test = test
         self.process_id = process_id
         self.process_count = process_count
+        self.seed = seed
+        self.epoch = epoch
 
     def __call__(self, worker_id: int, num_workers: int):
         from cm3p_tpu.data import MmrsDataset
@@ -144,7 +149,7 @@ class MmrsDatasetFactory:
         return MmrsDataset(
             self.ds_cfg, self.processor, test=self.test, worker_id=worker_id,
             num_workers=num_workers, process_id=self.process_id,
-            process_count=self.process_count,
+            process_count=self.process_count, seed=self.seed, epoch=self.epoch,
         )
 
 
@@ -158,11 +163,18 @@ def mmrs_batches(args: dict, processor, test: bool):
     num_workers = 0 if test else training.get("num_workers", 0)
     packed = training.get("packed", False)
 
-    def factory():
+    # seeded-by-config data streams (the reference gets this from HF
+    # set_seed seeding torch DataLoader workers); the epoch counter advances
+    # the per-epoch shuffle each time the trainer restarts the stream
+    data_seed = training.get("seed")
+    epoch_state = {"next": 0}
+
+    def build_iter(epoch: int):
         import jax
 
         dataset_factory = MmrsDatasetFactory(
-            ds_cfg, processor, test, jax.process_index(), jax.process_count()
+            ds_cfg, processor, test, jax.process_index(), jax.process_count(),
+            seed=data_seed, epoch=epoch,
         )
         loader = SampleLoader(dataset_factory, num_workers=num_workers)
         if packed:
@@ -178,7 +190,102 @@ def mmrs_batches(args: dict, processor, test: bool):
             )
         return batched_loader(iter(loader), bsz, drop_last=True)
 
+    def factory(start_step: int = 0):
+        # resume seek (Trainer.skip_batches_on_resume routes here instead of
+        # replaying the whole host pipeline): jump whole epochs for free when
+        # the operator configures training.batches_per_epoch (read it off any
+        # prior run's step log), then replay only the intra-epoch remainder
+        epoch = 0 if test else epoch_state["next"]
+        skip = 0
+        bpe = training.get("batches_per_epoch")
+        if start_step and not test:
+            if bpe:
+                epoch, skip = divmod(start_step, int(bpe))
+                logger.info(
+                    "resume seek: epoch %d + %d-batch replay "
+                    "(training.batches_per_epoch=%d)", epoch, skip, int(bpe),
+                )
+            elif data_seed is not None:
+                skip = start_step
+                logger.info(
+                    "resume seek: replaying %d batches through the host "
+                    "pipeline (set training.batches_per_epoch to make deep "
+                    "resumes cheap)", skip,
+                )
+            else:
+                logger.info(
+                    "resume seek: unseeded data stream — starting a fresh "
+                    "epoch instead of replaying %d batches", start_step,
+                )
+        if not test:
+            epoch_state["next"] = epoch + 1
+        it = build_iter(epoch)
+        for done in range(skip):
+            try:
+                next(it)
+            except StopIteration:
+                logger.warning(
+                    "resume seek: epoch %d ended after %d batches (< the "
+                    "configured replay of %d); continuing at epoch %d",
+                    epoch, done, skip, epoch + 1,
+                )
+                epoch_state["next"] = epoch + 2
+                it = build_iter(epoch + 1)
+                break
+        return it
+
     return factory
+
+
+def build_model(args: dict, processor):
+    """Model config + module from the composed YAML config.
+
+    Tokenizer-driven ids (reference train.py:274-293): the processor's real
+    vocab sizes overwrite the config's — OOB embedding ids are silent NaN
+    on TPU, so every entry point pairing a tokenizer with a model config
+    must route through here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cm3p_tpu.configs import BeatmapConfig, CM3PConfig, MetadataConfig
+    from cm3p_tpu.models import ClassifierModule, CM3PModule, MaskedLMModule
+    from cm3p_tpu.utils.platform import resolve_attn_impl
+
+    model_cfg = CM3PConfig(
+        metadata_config=MetadataConfig(**args["model"]["metadata_config"]),
+        beatmap_config=BeatmapConfig(**args["model"]["beatmap_config"]),
+        **{k: v for k, v in args["model"].items() if k not in ("metadata_config", "beatmap_config")},
+    )
+    bt = processor.beatmap_tokenizer
+    mt = processor.metadata_tokenizer
+    model_cfg.beatmap_config.vocab_size = bt.vocab_size
+    model_cfg.beatmap_config.pad_token_id = bt.pad_token_id
+    model_cfg.beatmap_config.bos_token_id = bt.bos_token_id
+    model_cfg.beatmap_config.eos_token_id = bt.eos_token_id
+    model_cfg.beatmap_config.audio_sos_token_id = bt.convert_tokens_to_ids(bt.audio_bos_token)
+    model_cfg.beatmap_config.audio_eos_token_id = bt.convert_tokens_to_ids(bt.audio_eos_token)
+    model_cfg.beatmap_config.audio_token_id = bt.audio_token_id
+    model_cfg.metadata_config.vocab_size = mt.vocab_size
+    model_cfg.metadata_config.pad_token_id = mt.pad_token_id
+    model_cfg.metadata_config.bos_token_id = mt.bos_token_id
+    model_cfg.metadata_config.eos_token_id = mt.eos_token_id
+
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    common = dict(
+        dtype=dtype,
+        attn_impl=resolve_attn_impl(args.get("attn_impl", "pallas")),
+        remat=args.get("remat", True),
+    )
+    if args["model_cls"] == "MaskedLMModule":
+        model = MaskedLMModule(model_cfg.beatmap_config, **common)
+    elif args["model_cls"] == "ClassifierModule":
+        model = ClassifierModule(model_cfg.beatmap_config, **common)
+    else:
+        # meta_pack: pack G metadata variations per encoder row (exact same
+        # attention via segment masks; tests/test_meta_pack.py pins parity)
+        model = CM3PModule(model_cfg, meta_pack=int(args.get("meta_pack", 0)), **common)
+    return model_cfg, model
 
 
 def build_optimizer(args: dict):
@@ -261,23 +368,28 @@ def main(argv=None):
         level=logging.INFO,
     )
 
+    cpu_gloo_configured = False
     if cli.cpu:
         import jax
 
-        try:
-            jax.config.update("jax_platforms", "cpu")
-            # CPU cluster (tests, local rehearsal of the pod path): device
-            # count and collectives must be set BEFORE any backend init, so
-            # read them from the raw overrides here rather than the loaded
-            # config (tests/test_multihost_entry.py)
-            ov = dict(o.split("=", 1) for o in cli.overrides if "=" in o)
-            if ov.get("training.multihost", "").lower() in ("true", "1"):
-                jax.config.update(
-                    "jax_num_cpu_devices", int(ov.get("training.cpu_devices", 4))
+        jax.config.update("jax_platforms", "cpu")
+        # CPU cluster (tests, local rehearsal of the pod path): device
+        # count and collectives must be set BEFORE any backend init, so
+        # read them from the raw overrides here rather than the loaded
+        # config (tests/test_multihost_entry.py). A malformed value must
+        # fail HERE, loudly — swallowing it would silently skip gloo and
+        # the later jax.distributed.initialize fails confusingly.
+        ov = dict(o.split("=", 1) for o in cli.overrides if "=" in o)
+        if ov.get("training.multihost", "").lower() in ("true", "1"):
+            try:
+                cpu_devices = int(ov.get("training.cpu_devices", 4))
+            except ValueError:
+                parser.error(
+                    f"training.cpu_devices must be an integer, got {ov['training.cpu_devices']!r}"
                 )
-                jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        except Exception:
-            pass
+            jax.config.update("jax_num_cpu_devices", cpu_devices)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            cpu_gloo_configured = True
 
     from cm3p_tpu.utils.config import load_config
 
@@ -295,6 +407,16 @@ def main(argv=None):
     # refuses to run (found by tests/test_multihost_entry.py — the bug
     # would have surfaced only on a real pod).
     if training.get("multihost", False):
+        if cli.cpu and not cpu_gloo_configured:
+            # multihost came from the YAML config, which is only loaded after
+            # the backend knobs had to be set — the backend would init with 1
+            # CPU device and no gloo, and initialize() would fail confusingly
+            raise SystemExit(
+                "multihost-on-CPU requires `training.multihost=true` (and "
+                "optionally `training.cpu_devices=N`) as CLI overrides, not "
+                "only YAML keys: the CPU device count and gloo collectives "
+                "must be configured before the backend initializes."
+            )
         from cm3p_tpu.parallel.distributed import initialize_distributed
 
         initialize_distributed(
@@ -307,9 +429,8 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    from cm3p_tpu.configs import BeatmapConfig, CM3PConfig, MetadataConfig
     from cm3p_tpu.data import DatasetConfig
-    from cm3p_tpu.models import ClassifierModule, CM3PModule, MaskedLMModule
+    from cm3p_tpu.models import CM3PModule
     from cm3p_tpu.train import Trainer
     from cm3p_tpu.train.checkpoint import save_model
 
@@ -318,43 +439,7 @@ def main(argv=None):
     dataset_kwargs = {k: v for k, v in args["dataset"].items() if k != "synthetic"}
     ds_cfg = DatasetConfig(**dataset_kwargs)
     processor = build_processor(args, ds_cfg)
-
-    # model config + tokenizer-driven ids (reference train.py:274-293)
-    model_cfg = CM3PConfig(
-        metadata_config=MetadataConfig(**args["model"]["metadata_config"]),
-        beatmap_config=BeatmapConfig(**args["model"]["beatmap_config"]),
-        **{k: v for k, v in args["model"].items() if k not in ("metadata_config", "beatmap_config")},
-    )
-    bt = processor.beatmap_tokenizer
-    mt = processor.metadata_tokenizer
-    model_cfg.beatmap_config.vocab_size = bt.vocab_size
-    model_cfg.beatmap_config.pad_token_id = bt.pad_token_id
-    model_cfg.beatmap_config.bos_token_id = bt.bos_token_id
-    model_cfg.beatmap_config.eos_token_id = bt.eos_token_id
-    model_cfg.beatmap_config.audio_sos_token_id = bt.convert_tokens_to_ids(bt.audio_bos_token)
-    model_cfg.beatmap_config.audio_eos_token_id = bt.convert_tokens_to_ids(bt.audio_eos_token)
-    model_cfg.beatmap_config.audio_token_id = bt.audio_token_id
-    model_cfg.metadata_config.vocab_size = mt.vocab_size
-    model_cfg.metadata_config.pad_token_id = mt.pad_token_id
-    model_cfg.metadata_config.bos_token_id = mt.bos_token_id
-    model_cfg.metadata_config.eos_token_id = mt.eos_token_id
-
-    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    from cm3p_tpu.utils.platform import resolve_attn_impl
-
-    common = dict(
-        dtype=dtype,
-        attn_impl=resolve_attn_impl(args.get("attn_impl", "pallas")),
-        remat=args.get("remat", True),
-    )
-    if args["model_cls"] == "MaskedLMModule":
-        model = MaskedLMModule(model_cfg.beatmap_config, **common)
-    elif args["model_cls"] == "ClassifierModule":
-        model = ClassifierModule(model_cfg.beatmap_config, **common)
-    else:
-        # meta_pack: pack G metadata variations per encoder row (exact same
-        # attention via segment masks; tests/test_meta_pack.py pins parity)
-        model = CM3PModule(model_cfg, meta_pack=int(args.get("meta_pack", 0)), **common)
+    model_cfg, model = build_model(args, processor)
 
     if args["dataset"].get("synthetic"):
         train_factory = synthetic_batches(args, model_cfg, processor, test=False, seed=training["seed"])
