@@ -6,6 +6,13 @@
 // CDN is reachable and falls back to a built-in canvas renderer otherwise
 // (which also handles >100k points better).
 
+import {
+  pointColor as pointColorOf, buildFieldLevels, legendEntries,
+  colorModeOptions, columnSuggestions, metadataEntries, neighborLabel,
+  pointRadius, computeView as computeViewOf, toScreen as toScreenOf,
+  densityBins, densityCellStyle,
+} from './ui_logic.js';
+
 const worker = new Worker('./worker.js', { type: 'module' });
 
 const state = {
@@ -25,33 +32,13 @@ const state = {
 const $ = (id) => document.getElementById(id);
 const status = (msg) => { $('status').textContent = msg; };
 
-// ------------------------------------------------------------- color maps
+// ----------------------- color maps (pure logic lives in ui_logic.js)
 
-const CLUSTER_COLORS = [
-  '#4e79a7', '#f28e2b', '#e15759', '#76b7b2', '#59a14f', '#edc948',
-  '#b07aa1', '#ff9da7', '#9c755f', '#bab0ab', '#86bcb6', '#d37295',
-  '#fabfd2', '#b6992d', '#499894', '#79706e',
-];
-
-function pointColor(i) {
-  if (state.colorMode === 'date') {
-    const t = state.n > 1 ? i / (state.n - 1) : 0;
-    return `hsl(${Math.round(t * 300)}, 70%, 50%)`;
-  }
-  if (state.colorMode !== 'cluster' && state.fieldValues) {
-    const level = state.fieldLevels.get(String(state.fieldValues[i])) ?? 0;
-    return CLUSTER_COLORS[level % CLUSTER_COLORS.length];
-  }
-  return CLUSTER_COLORS[(state.labels?.[i] ?? 0) % CLUSTER_COLORS.length];
-}
+const pointColor = (i) => pointColorOf(state, i);
 
 function setColorField(values) {
   state.fieldValues = values;
-  state.fieldLevels = new Map();
-  for (const v of values) {
-    const key = String(v);
-    if (!state.fieldLevels.has(key)) state.fieldLevels.set(key, state.fieldLevels.size);
-  }
+  state.fieldLevels = buildFieldLevels(values);
   renderLegend();
   render();
 }
@@ -63,10 +50,9 @@ function renderLegend() {
     el.innerHTML = '';
     return;
   }
-  el.innerHTML = Array.from(state.fieldLevels.entries())
-    .slice(0, 16)
-    .map(([v, lvl]) =>
-      `<span class="legend-item"><span class="swatch" style="background:${CLUSTER_COLORS[lvl % CLUSTER_COLORS.length]}"></span>${v.slice(0, 20)}</span>`)
+  el.innerHTML = legendEntries(state.fieldLevels)
+    .map((e) =>
+      `<span class="legend-item"><span class="swatch" style="background:${e.color}"></span>${e.value}</span>`)
     .join(' ');
 }
 
@@ -76,43 +62,22 @@ let canvas = null;
 let view = null; // {minX, maxX, minY, maxY}
 
 function computeView() {
-  let minX = Infinity, maxX = -Infinity, minY = Infinity, maxY = -Infinity;
-  for (let i = 0; i < state.n; i++) {
-    const x = state.points[i * 2], y = state.points[i * 2 + 1];
-    if (x < minX) minX = x;
-    if (x > maxX) maxX = x;
-    if (y < minY) minY = y;
-    if (y > maxY) maxY = y;
-  }
-  const padX = (maxX - minX) * 0.05 || 1, padY = (maxY - minY) * 0.05 || 1;
-  view = { minX: minX - padX, maxX: maxX + padX, minY: minY - padY, maxY: maxY + padY };
+  view = computeViewOf(state.points, state.n);
 }
 
-function toScreen(x, y, w, h) {
-  return [
-    ((x - view.minX) / (view.maxX - view.minX)) * w,
-    h - ((y - view.minY) / (view.maxY - view.minY)) * h,
-  ];
-}
+const toScreen = (x, y, w, h) => toScreenOf(x, y, view, w, h);
 
 function renderDensityCanvas(ctx, w, h) {
   // 64x48 bin grid, log-scaled alpha — reference app's density view
   const bx = 64, by = 48;
-  const bins = new Float64Array(bx * by);
-  for (let i = 0; i < state.n; i++) {
-    const [sx, sy] = toScreen(state.points[i * 2], state.points[i * 2 + 1], w, h);
-    const gx = Math.min(bx - 1, Math.max(0, Math.floor((sx / w) * bx)));
-    const gy = Math.min(by - 1, Math.max(0, Math.floor((sy / h) * by)));
-    bins[gy * bx + gx]++;
-  }
+  const bins = densityBins(state.points, state.n, view, w, h, bx, by);
   const maxLog = Math.log1p(Math.max(...bins));
   const cw = w / bx, ch = h / by;
   for (let gy = 0; gy < by; gy++)
     for (let gx = 0; gx < bx; gx++) {
       const v = bins[gy * bx + gx];
       if (!v) continue;
-      const t = Math.log1p(v) / (maxLog || 1);
-      ctx.fillStyle = `hsla(${240 - 240 * t}, 80%, 50%, ${0.25 + 0.75 * t})`;
+      ctx.fillStyle = densityCellStyle(v, maxLog);
       ctx.fillRect(gx * cw, gy * ch, cw + 1, ch + 1);
     }
 }
@@ -135,7 +100,7 @@ function renderCanvas() {
     renderDensityCanvas(ctx, w, h);
     return;
   }
-  const r = state.n > 20000 ? 1 : state.n > 2000 ? 2 : 3.5;
+  const r = pointRadius(state.n);
   for (let i = 0; i < state.n; i++) {
     const [sx, sy] = toScreen(state.points[i * 2], state.points[i * 2 + 1], w, h);
     ctx.fillStyle = pointColor(i);
@@ -216,12 +181,12 @@ worker.onmessage = (e) => {
       state.selected = null;
       const sel = $('color-mode');
       const current = sel.value;
-      sel.innerHTML = '<option value="cluster">cluster</option><option value="date">date (rainbow)</option>'
-        + (msg.categorical || []).map((c) => `<option value="${c}">${c}</option>`).join('');
+      sel.innerHTML = colorModeOptions(msg.categorical)
+        .map((c) => `<option value="${c}">${c === 'date' ? 'date (rainbow)' : c}</option>`).join('');
       if ([...sel.options].some((o) => o.value === current)) sel.value = current;
       state.colorMode = sel.value;
       const dl = $('column-suggestions');
-      if (dl) dl.innerHTML = msg.columns.map((c) => `<option value="${c} "></option>`).join('');
+      if (dl) dl.innerHTML = columnSuggestions(msg.columns).map((s) => `<option value="${s}"></option>`).join('');
       if (state.colorMode !== 'cluster' && state.colorMode !== 'date') {
         worker.postMessage({ type: 'GET_COLUMN', name: state.colorMode });
       } else {
@@ -240,10 +205,8 @@ worker.onmessage = (e) => {
       render();
       break;
     case 'METADATA': {
-      const info = Object.entries(msg.row)
-        .filter(([, v]) => v != null && v !== '')
-        .slice(0, 18)
-        .map(([k, v]) => `<div><b>${k}</b>: ${String(v).slice(0, 60)}</div>`)
+      const info = metadataEntries(msg.row)
+        .map(([k, v]) => `<div><b>${k}</b>: ${v}</div>`)
         .join('');
       $('point-info').innerHTML = info || 'No metadata.';
       break;
@@ -251,8 +214,7 @@ worker.onmessage = (e) => {
     case 'NEIGHBORS': {
       $('neighbors').innerHTML = msg.indices
         .map((idx, j) => {
-          const row = msg.rows[j] || {};
-          const name = row.Title || row.BeatmapFile || `#${idx}`;
+          const name = neighborLabel(msg.rows[j], idx);
           return `<li data-idx="${idx}">${name} <span class="dist">${msg.distances[j].toFixed(3)}</span></li>`;
         })
         .join('');
