@@ -15,15 +15,47 @@ import os
 import queue
 from typing import Callable, Iterator, Optional
 
+import numpy as np
 
 from .mmrs_dataset import batch_samples
 
 logger = logging.getLogger(__name__)
 
 _STOP = "__stop__"
+_IPC_SCALE = "_input_features_ipc_scale"
 
 
-def _worker_main(dataset_factory, worker_id: int, num_workers: int, out_queue, log_dir: Optional[str]):
+def _quantize_features_for_ipc(sample: dict) -> dict:
+    """Symmetric per-window int8 of ``input_features`` for the queue hop.
+
+    The mel dense block dominates a sample's pickle size (a 16 s window is
+    ~0.5 MB float32); int8 cuts the worker->parent IPC bytes 4x (ROADMAP
+    round-5 lever). Same quantizer as the extractor's int8 device wire
+    (extract_beatmap_embeddings.py flush): worst-case error scale/2 ~= 0.4%
+    of the mel's 2.0 dynamic range — and when the downstream device wire is
+    int8 too, re-quantizing the dequantized values is EXACT (absmax
+    round-trips to the identical scale). Raw-PCM samples are left alone
+    (quantizing waveforms would drift the on-device mel).
+    """
+    f = sample.get("input_features")
+    if not isinstance(f, np.ndarray) or f.dtype != np.float32:
+        return sample
+    s = float(np.max(np.abs(f))) / 127.0 or 1.0
+    out = dict(sample)
+    out["input_features"] = np.rint(f * np.float32(1.0 / s)).astype(np.int8)
+    out[_IPC_SCALE] = np.float32(s)
+    return out
+
+
+def _dequantize_features_from_ipc(sample: dict) -> dict:
+    s = sample.pop(_IPC_SCALE, None)
+    if s is None:
+        return sample
+    sample["input_features"] = sample["input_features"].astype(np.float32) * np.float32(s)
+    return sample
+
+
+def _worker_main(dataset_factory, worker_id: int, num_workers: int, out_queue, log_dir: Optional[str], int8_ipc: bool = False):
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
         logging.basicConfig(
@@ -37,7 +69,7 @@ def _worker_main(dataset_factory, worker_id: int, num_workers: int, out_queue, l
     try:
         dataset = dataset_factory(worker_id, num_workers)
         for sample in dataset:
-            out_queue.put(sample)
+            out_queue.put(_quantize_features_for_ipc(sample) if int8_ipc else sample)
     except Exception:  # pragma: no cover - worker crash path
         logging.exception("Worker %d crashed", worker_id)
     finally:
@@ -55,6 +87,7 @@ class SampleLoader:
         log_dir: Optional[str] = "dataloader",
         idle_timeout: float = 600.0,
         startup_timeout: float = 600.0,
+        int8_ipc: Optional[bool] = None,
     ):
         self.dataset_factory = dataset_factory
         self.num_workers = num_workers
@@ -62,6 +95,12 @@ class SampleLoader:
         self.log_dir = log_dir
         self.idle_timeout = idle_timeout
         self.startup_timeout = startup_timeout
+        # int8 IPC gate: explicit arg wins; else CM3P_INT8_IPC=1 (captured in
+        # the PARENT so spawn-env edits can't flip it per child)
+        self.int8_ipc = (
+            int8_ipc if int8_ipc is not None
+            else os.environ.get("CM3P_INT8_IPC", "0") == "1"
+        )
 
     def __iter__(self) -> Iterator[dict]:
         if self.num_workers <= 0:
@@ -73,7 +112,7 @@ class SampleLoader:
         procs = [
             ctx.Process(
                 target=_worker_main,
-                args=(self.dataset_factory, i, self.num_workers, out_queue, self.log_dir),
+                args=(self.dataset_factory, i, self.num_workers, out_queue, self.log_dir, self.int8_ipc),
                 daemon=True,
             )
             for i in range(self.num_workers)
@@ -146,7 +185,7 @@ class SampleLoader:
                 if isinstance(item, tuple) and len(item) == 2 and isinstance(item[0], str) and item[0] == _STOP:
                     done.add(item[1])
                     continue
-                yield item
+                yield _dequantize_features_from_ipc(item) if self.int8_ipc else item
         finally:
             for p in procs:
                 p.terminate()

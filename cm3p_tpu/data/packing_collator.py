@@ -26,11 +26,18 @@ def packed_batches(
     max_windows: Optional[int] = None,
     drop_last: bool = True,
 ) -> Iterator[dict]:
-    """Greedily fill ``rows`` packed rows per batch, then emit."""
+    """Greedily fill ``rows`` packed rows per batch, then emit.
+
+    Admission is the EXACT first-fit-decreasing simulation ``pack_windows``
+    will run, not a token-capacity heuristic: the old ``sum(lengths) <=
+    rows*seq_len`` check admitted sets that FFD could not place in ``rows``
+    rows, and the emit-time recovery split produced tiny fragment batches
+    (down to a single real window — which is a degenerate contrastive batch;
+    see l2_normalize's NaN note in models/cm3p.py for what that used to do).
+    """
     max_windows = max_windows or rows * 8
     pending: list[dict] = []
-    filled = 0
-    capacity = rows * seq_len
+    pending_lengths: list[int] = []
 
     def emit(batch_samples: list[dict]):
         """Yield one or more fixed-shape batches (splits on fragmentation)."""
@@ -107,15 +114,31 @@ def packed_batches(
                 batch["metadata_variation_classes"] = classes
         yield batch
 
+    def ffd_rows(lengths: list[int]) -> int:
+        """Rows first-fit-decreasing needs for ``lengths`` (mirrors
+        pack_windows' placement exactly)."""
+        space: list[int] = []
+        for ln in sorted(lengths, reverse=True):
+            for i, free in enumerate(space):
+                if free >= ln:
+                    space[i] -= ln
+                    break
+            else:
+                space.append(seq_len - ln)
+        return len(space)
+
     for sample in samples:
         length = int(np.asarray(sample["attention_mask"]).sum())
         length = min(length, seq_len)
-        would_overflow = filled + length > capacity or len(pending) + 1 > max_windows
+        would_overflow = (
+            len(pending) + 1 > max_windows
+            or ffd_rows(pending_lengths + [length]) > rows
+        )
         if would_overflow and pending:
             yield from emit(pending)
-            pending, filled = [], 0
+            pending, pending_lengths = [], []
         pending.append(sample)
-        filled += length
+        pending_lengths.append(length)
 
     if pending and not drop_last:
         yield from emit(pending)

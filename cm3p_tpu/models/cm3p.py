@@ -128,10 +128,15 @@ def cross_entropy_ignore_index(logits: jnp.ndarray, labels: jnp.ndarray, ignore_
 
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    # eps guards zero vectors (e.g. mean-pooled dummy windows in packed
-    # batches) from 0/0 NaNs that would leak through masked losses
-    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
-    return (x / (norm + eps).astype(x.dtype)).astype(x.dtype)
+    # eps must sit INSIDE the sqrt: zero vectors (mean-pooled dummy windows
+    # in packed batches) are forward-safe either way, but sqrt's vjp at 0 is
+    # inf and inf*0 = NaN — with eps outside, ONE dummy window poisons every
+    # gradient in the step even though the loss masks it (found by the
+    # real-data cluster leg: smoke_mmrs fragmentation emits a 1-real-window
+    # batch and training NaN'd from step 1 on the XLA/mean-pool path)
+    nsq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    norm = jnp.sqrt(nsq + eps * eps)
+    return (x / norm.astype(x.dtype)).astype(x.dtype)
 
 
 def _pool_packed(hidden, segment_ids, window_rows, window_segments, cls_embed: bool):

@@ -23,22 +23,34 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    heartbeat_timeout_seconds: Optional[int] = None,
 ) -> None:
     """Initialize JAX's multi-process runtime (idempotent).
 
     On Cloud TPU pods all three arguments are auto-detected from the
     metadata server — call with no arguments. For manual clusters pass the
     coordinator address (``host:port``) plus this process's id and count.
+
+    ``heartbeat_timeout_seconds`` bounds FAILURE DETECTION: when a peer
+    process dies without a clean shutdown (preempted VM, OOM-killed worker),
+    the coordination service notices missed heartbeats within this window
+    and aborts the survivors with a clear error instead of letting them
+    hang in a collective until a pod-scheduler timeout. None keeps jax's
+    default (100 s); tests/test_mp_preemption.py proves the bound.
     """
     global _initialized
     import jax
 
     if _initialized:
         return
+    kwargs = {}
+    if heartbeat_timeout_seconds is not None:
+        kwargs["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        **kwargs,
     )
     _initialized = True
     logger.info(

@@ -425,3 +425,65 @@ class TestMmrsFactoryPicklable:
             SampleLoader(ex.MmrsExtractFactory(cfg, processor), num_workers=1, log_dir=None)
         )
         assert samples and "input_ids" in samples[0]
+
+
+def _mel_sample_factory(worker_id, num_workers):
+    rng = np.random.default_rng(5 + worker_id)
+    for i in range(3):
+        yield {
+            "input_ids": np.arange(8, dtype=np.int32),
+            "input_features": rng.standard_normal((4, 16)).astype(np.float32) * 0.5,
+            "input_features_tail": np.float32(0.25),
+            "i": i,
+        }
+
+
+class TestInt8Ipc:
+    """Worker-side int8 IPC quantization (ROADMAP round-5 lever): the mel
+    block crosses the loader queue as int8+scale (4x fewer bytes) and the
+    parent dequantizes transparently."""
+
+    def test_roundtrip_error_bounded_and_transparent(self):
+        from cm3p_tpu.data import SampleLoader
+        from cm3p_tpu.data.loader import _IPC_SCALE
+
+        exact = {
+            (it["i"],): it for it in SampleLoader(
+                _mel_sample_factory, num_workers=1, log_dir=None, int8_ipc=False,
+            )
+        }
+        quant = {
+            (it["i"],): it for it in SampleLoader(
+                _mel_sample_factory, num_workers=1, log_dir=None, int8_ipc=True,
+            )
+        }
+        assert exact.keys() == quant.keys() and len(exact) == 3
+        for k in exact:
+            e, q = exact[k], quant[k]
+            # consumers see float32 again, no scale key leaks
+            assert q["input_features"].dtype == np.float32
+            assert _IPC_SCALE not in q
+            # symmetric int8: worst-case error is scale/2
+            s = np.abs(e["input_features"]).max() / 127.0
+            assert np.max(np.abs(e["input_features"] - q["input_features"])) <= s / 2 + 1e-7
+            # untouched keys ride through bitwise
+            np.testing.assert_array_equal(e["input_ids"], q["input_ids"])
+            assert e["input_features_tail"] == q["input_features_tail"]
+
+    def test_requantize_roundtrips_exactly(self):
+        """Dequantized int8 values re-quantized by the extractor's int8
+        device wire (same symmetric absmax quantizer) reproduce the SAME
+        codes — chaining the IPC gate with --mel-wire int8 adds no second
+        quantization error."""
+        from cm3p_tpu.data.loader import (
+            _dequantize_features_from_ipc,
+            _quantize_features_for_ipc,
+        )
+
+        rng = np.random.default_rng(0)
+        f = rng.standard_normal((8, 32)).astype(np.float32)
+        q1 = _quantize_features_for_ipc({"input_features": f})
+        deq = _dequantize_features_from_ipc(dict(q1))["input_features"]
+        s2 = float(np.max(np.abs(deq))) / 127.0 or 1.0
+        q2 = np.rint(deq / s2).astype(np.int8)
+        np.testing.assert_array_equal(q1["input_features"], q2)

@@ -76,6 +76,7 @@ def worker_main(args) -> None:
             coordinator_address=f"127.0.0.1:{args.port}",
             num_processes=args.nproc,
             process_id=args.pid,
+            heartbeat_timeout_seconds=args.heartbeat_timeout or None,
         )
 
     import numpy as np
@@ -125,6 +126,26 @@ def worker_main(args) -> None:
         model_axis=2,
     )
     start_step = trainer.ckpt.latest_step() or 0
+
+    if args.kill_after_save_step:
+        # multi-process preemption leg (a): SIGKILL THIS process the moment
+        # it has initiated the async save — the coordinated multi-host Orbax
+        # commit (per-process shard writes + commit barrier) dies in flight
+        # on every process at once, like a preempted pod
+        import os
+        import signal
+
+        real_save = trainer.ckpt.save
+        kill_step = args.kill_after_save_step
+
+        def killing_save(step, state, force=False):
+            ok = real_save(step, state, force=force)
+            if step == kill_step:
+                os.kill(os.getpid(), signal.SIGKILL)
+            return ok
+
+        trainer.ckpt.save = killing_save
+
     state = trainer.train()
     trainer.close()
     if is_primary():
@@ -140,6 +161,175 @@ def worker_main(args) -> None:
             )
         )
     print(f"[{pid}] DONE step={int(state.step)}", flush=True)
+
+
+# ------------------------------------------------------------ preempt legs
+
+
+def _losses(outdir: Path) -> dict:
+    log = outdir / "train_log.jsonl"
+    if not log.exists():
+        return {}
+    rows = [json.loads(l) for l in log.open()]
+    # duplicate steps after a resume: the post-resume row (written later) wins
+    return {r["step"]: r["loss"] for r in rows if "loss" in r}
+
+
+def _continuity(outdir: Path, ref_losses: dict, resumed_from: int, steps: int) -> bool:
+    losses = _losses(outdir)
+    for s in range(resumed_from + 1, steps + 1):
+        if s not in losses or abs(losses[s] - ref_losses[s]) > 1e-6:
+            return False
+    return True
+
+
+def preempt_legs(nproc: int, base: Path, steps: int = 6) -> dict:
+    """Multi-process preemption (VERDICT r4 item 2).
+
+    (a1) SIGKILL the WHOLE cluster from outside once a checkpoint has
+         committed; restart must restore the multi-process checkpoint and
+         continue bitwise vs an uninterrupted cluster run.
+    (a2) every process SIGKILLs itself right after initiating an async save
+         — the coordinated multi-host Orbax commit dies in flight; the
+         restart must select a loadable checkpoint, never the partial one.
+    (b)  SIGKILL ONE process only (first a non-coordinator, then the
+         coordinator): the survivor must terminate with an error within the
+         heartbeat bound instead of hanging in a collective forever (the
+         failure mode a real preempted pod actually has). The reference has
+         no story for any of this (cooperative resume only,
+         /root/reference/train.py:204-223).
+    """
+    import os
+    import signal
+
+    record: dict = {"processes": nproc, "steps": steps}
+
+    ref_dir = base / "ref"
+    ref_dir.mkdir(parents=True, exist_ok=True)
+    ref = run_cluster(nproc, steps, str(ref_dir))
+    ref_losses = {r["step"]: r["loss"] for r in ref["log_rows"] if "loss" in r}
+    record["reference_steps"] = sorted(ref_losses)
+
+    # ---- (a1) external SIGKILL of every process once a ckpt committed
+    a1 = base / "kill_committed"
+    a1.mkdir(exist_ok=True)
+    procs, logs = launch_cluster(nproc, steps, str(a1))
+    ckpt_dir = a1 / "checkpoints"
+    deadline = time.time() + 600
+    killed = False
+    while time.time() < deadline and not killed:
+        if any(p.poll() is not None for p in procs):
+            break
+        committed = (
+            [p for p in ckpt_dir.iterdir() if p.name.isdigit()] if ckpt_dir.exists() else []
+        )
+        if committed:
+            for p in procs:
+                try:
+                    os.kill(p.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+            killed = True
+        time.sleep(0.05)
+    for p in procs:
+        p.wait(timeout=60)
+    for log in logs:
+        log.close()
+    r1 = run_cluster(nproc, steps, str(a1)) if killed else None
+    record["kill_whole_cluster_committed"] = {
+        "killed": killed,
+        "resumed_from": r1 and r1["resumed_from"],
+        "final_step": r1 and r1["final_step"],
+        "continuity": bool(r1) and _continuity(a1, ref_losses, r1["resumed_from"], steps),
+        "ok": bool(
+            killed and r1 and r1["resumed_from"] >= 1 and r1["final_step"] == steps
+            and _continuity(a1, ref_losses, r1["resumed_from"], steps)
+        ),
+    }
+
+    # ---- (a2) self-SIGKILL on every process with the async save in flight
+    a2 = base / "kill_mid_save"
+    a2.mkdir(exist_ok=True)
+    kill_step = steps - 2
+    crash = run_cluster(
+        nproc, steps, str(a2), timeout=600,
+        extra=("--kill-after-save-step", str(kill_step), "--heartbeat-timeout", "10"),
+        expect_fail=True,
+    )
+    r2 = run_cluster(nproc, steps, str(a2))
+    record["kill_all_mid_async_save"] = {
+        "crash_rcs": crash["rcs"],
+        "resumed_from": r2["resumed_from"],
+        "final_step": r2["final_step"],
+        "continuity": _continuity(a2, ref_losses, r2["resumed_from"], steps),
+        "ok": bool(
+            r2["resumed_from"] <= kill_step and r2["final_step"] == steps
+            and _continuity(a2, ref_losses, r2["resumed_from"], steps)
+        ),
+    }
+
+    # ---- (b) kill ONE process; the survivor must fail fast, not hang
+    for tag, victim in (("kill_nonprimary", nproc - 1), ("kill_coordinator", 0)):
+        d = base / tag
+        d.mkdir(exist_ok=True)
+        procs, logs = launch_cluster(
+            nproc, 10**6, str(d), extra=("--heartbeat-timeout", "10")
+        )
+        log_path = d / "train_log.jsonl"
+        deadline = time.time() + 600
+        underway = False
+        while time.time() < deadline:
+            if log_path.exists() and any("loss" in l for l in log_path.open()):
+                underway = True
+                break
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(0.2)
+        t_kill = time.time()
+        survivor_rcs, within = [], None
+        if underway:
+            os.kill(procs[victim].pid, signal.SIGKILL)
+            procs[victim].wait(timeout=60)
+            survivors = [p for i, p in enumerate(procs) if i != victim]
+            try:
+                for p in survivors:
+                    p.wait(timeout=max(1, 300 - (time.time() - t_kill)))
+                within = round(time.time() - t_kill, 1)
+                survivor_rcs = [p.returncode for p in survivors]
+            except subprocess.TimeoutExpired:
+                for p in procs:
+                    try:
+                        os.kill(p.pid, signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass
+                within = None
+        for p in procs:
+            try:
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                pass
+        for log in logs:
+            log.close()
+        record[tag] = {
+            "underway": underway,
+            "survivor_exit_s": within,
+            "survivor_rcs": survivor_rcs,
+            "ok": bool(
+                underway and within is not None and within <= 300
+                and all(rc != 0 for rc in survivor_rcs)
+            ),
+        }
+
+    record["ok"] = all(
+        record[k]["ok"]
+        for k in (
+            "kill_whole_cluster_committed",
+            "kill_all_mid_async_save",
+            "kill_nonprimary",
+            "kill_coordinator",
+        )
+    )
+    return record
 
 
 # ------------------------------------------------------------- real-data leg
@@ -297,7 +487,8 @@ def real_data_leg(nproc: int, base: Path, steps: int = 4, resume_steps: int = 6)
 # --------------------------------------------------------------------- driver
 
 
-def run_cluster(nproc: int, steps: int, outdir: str, timeout: int = 600) -> dict:
+def launch_cluster(nproc: int, steps: int, outdir: str, extra: tuple = ()) -> tuple:
+    """Spawn the worker processes; return (procs, logs)."""
     port = _free_port()
     procs = []
     logs = []
@@ -320,18 +511,31 @@ def run_cluster(nproc: int, steps: int, outdir: str, timeout: int = 600) -> dict
                     str(steps),
                     "--outdir",
                     outdir,
+                    *extra,
                 ],
                 stdout=log,
                 stderr=subprocess.STDOUT,
                 cwd=str(REPO),
             )
         )
+    return procs, logs
+
+
+def run_cluster(
+    nproc: int, steps: int, outdir: str, timeout: int = 600,
+    extra: tuple = (), expect_fail: bool = False,
+) -> dict:
+    procs, logs = launch_cluster(nproc, steps, outdir, extra)
     deadline = time.time() + timeout
     rcs = []
     for p in procs:
         rcs.append(p.wait(timeout=max(1, deadline - time.time())))
     for log in logs:
         log.close()
+    if expect_fail:
+        if not all(rcs):
+            raise RuntimeError(f"expected the cluster to die, but rcs={rcs}")
+        return {"rcs": rcs}
     if any(rcs):
         for pid in range(nproc):
             tail = (Path(outdir) / f"proc{pid}.log").read_text().splitlines()[-15:]
@@ -350,12 +554,17 @@ def main() -> None:
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--nproc", type=int, default=1)
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--kill-after-save-step", type=int, default=0)
+    ap.add_argument("--heartbeat-timeout", type=int, default=0,
+                    help="failure-detection bound passed to jax.distributed (s)")
     ap.add_argument("--processes", type=int, default=2)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--resume-steps", type=int, default=6)
     ap.add_argument("--baseline", action="store_true")
     ap.add_argument("--real-data", action="store_true",
                     help="run ONLY the real-data train.py leg (MMRS fixture)")
+    ap.add_argument("--preempt", action="store_true",
+                    help="run ONLY the multi-process preemption legs")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--record", default=None)
     args = ap.parse_args()
@@ -366,6 +575,18 @@ def main() -> None:
 
     base = Path(args.outdir) if args.outdir else Path(tempfile.mkdtemp(prefix="mp_cluster_"))
     base.mkdir(parents=True, exist_ok=True)
+
+    if args.preempt:
+        t0 = time.time()
+        rd = preempt_legs(args.processes, base)
+        rd["wall_s"] = round(time.time() - t0, 1)
+        if args.record:
+            Path(args.record).write_text(json.dumps(rd, indent=2) + "\n")
+        print(json.dumps(rd, indent=2))
+        print(json.dumps({"ok": rd["ok"]}))
+        if not rd["ok"]:
+            sys.exit(1)
+        return
 
     if args.real_data:
         t0 = time.time()
