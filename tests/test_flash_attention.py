@@ -10,6 +10,8 @@ import pytest
 import cm3p_tpu.ops.flash_attention as fa
 
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))

@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 torch = pytest.importorskip("torch")
 pytest.importorskip("safetensors")
 sys.path.append("/root/reference")  # APPEND: reference modules (validate_dataset, train, config, ...) must never shadow ours

@@ -24,6 +24,8 @@ from cm3p_tpu.configs import tiny_cm3p_config
 from cm3p_tpu.models.modernbert import ModernBertEncoder
 
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 @pytest.fixture
 def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))

@@ -21,6 +21,8 @@ from cm3p_tpu.ops.flash_attention import flash_attention
 from cm3p_tpu.utils import platform
 
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))

@@ -18,11 +18,15 @@ identical global data stream to fp tolerance.
 Reference anchor: the reference delegates all of this to torch.distributed
 DDP and ships it untested (train.py:198-201, utils/muon_utils.py:131-136).
 """
+import pytest
+
 import json
 import subprocess
 import sys
 from pathlib import Path
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 REPO = Path(__file__).resolve().parent.parent
 
 

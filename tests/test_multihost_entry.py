@@ -7,12 +7,16 @@ backend use, per-process synthetic data, primary-only artifacts) — by
 spawning two real `python train.py --cpu` processes against a localhost
 coordinator (gloo CPU collectives, 4 devices each).
 """
+import pytest
+
 import json
 import socket
 import subprocess
 import sys
 from pathlib import Path
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 REPO = Path(__file__).resolve().parent.parent
 
 

@@ -10,6 +10,8 @@ from cm3p_tpu.models import CM3PModule
 from cm3p_tpu.models.cm3p import cm3p_loss, contrastive_loss
 
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 def make_samples(n, seq_max=96, v=3, meta_len=12, seed=0, with_labels=False):
     rng = np.random.default_rng(seed)
     samples = []

@@ -24,6 +24,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 REPO = Path(__file__).resolve().parent.parent
 WORKER = REPO / "tests" / "_preempt_worker.py"
 

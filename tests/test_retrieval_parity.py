@@ -19,6 +19,8 @@ import sys
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 torch = pytest.importorskip("torch")
 
 from tests import slider_shim

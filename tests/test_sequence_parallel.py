@@ -12,6 +12,8 @@ from cm3p_tpu.parallel.mesh import make_mesh
 from cm3p_tpu.parallel.sequence import sequence_sharded_attention
 
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 sys.path.insert(0, "/root/repo")
 
 from cm3p_tpu.configs import tiny_cm3p_config

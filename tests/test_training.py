@@ -12,6 +12,8 @@ from cm3p_tpu.train.muon import default_muon_label_fn, muon, zeropower_via_newto
 from cm3p_tpu.train.train_state import create_train_state, make_train_step, shard_train_step
 
 
+
+pytestmark = pytest.mark.slow  # see pytest.ini: excluded from the quick gate
 class TestMuon:
     def test_newton_schulz_orthogonalizes(self):
         g = jax.random.normal(jax.random.PRNGKey(0), (64, 32))

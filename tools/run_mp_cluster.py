@@ -423,6 +423,9 @@ def run_train_entry_cluster(
             f"training.num_processes={nproc}",
             f"training.process_id={pid}",
             "training.cpu_devices=4",
+            # global batch (rows x nproc) must divide the 8-way data axis
+            "training.per_device_train_batch_size=4",
+            "training.per_device_eval_batch_size=4",
             f"training.max_steps={steps}",
             f"dataset.train_dataset_paths=[{mmrs_root}]",
             f"dataset.test_dataset_paths=[{mmrs_root}]",
