@@ -104,14 +104,54 @@ def all_processes_have(local_have: bool) -> bool:
     return bool(np.min(flags))
 
 
+def data_shard_group(mesh, axis: str = "data") -> tuple[int, int]:
+    """This process's (group_index, num_groups) along the mesh data axis.
+
+    When the model (TP) axis spans processes, several processes' devices
+    cover the SAME block of data-axis rows — those processes form one data
+    group and must feed IDENTICAL local batch rows (their devices hold the
+    same batch shard, split along the model axis). With TP inside a single
+    process (the common pod layout) every process is its own group and this
+    degenerates to (process_index-ordered group, process_count).
+
+    The data pipeline must shard by GROUP, not by process: slicing by raw
+    ``process_index`` on a TP-spanning-process mesh feeds different rows to
+    the model columns of one data shard — activations inside every layer
+    matmul disagree and training is silently wrong. Found by the 8-process
+    x 1-device cluster leg (tests/test_mp_cluster_8p.py).
+    """
+    import jax
+    import numpy as np
+
+    dev = np.asarray(mesh.devices)
+    axis_num = list(mesh.axis_names).index(axis)
+    rows = np.moveaxis(dev, axis_num, 0).reshape(dev.shape[axis_num], -1)
+    owners = [frozenset(d.process_index for d in row) for row in rows]
+    groups: list = []
+    for s in owners:
+        if s not in groups:
+            groups.append(s)
+    pid = jax.process_index()
+    mine = [i for i, s in enumerate(groups) if pid in s]
+    if len(mine) != 1:
+        raise ValueError(
+            f"process {pid} covers {len(mine)} data-axis blocks of mesh "
+            f"{mesh.shape}; the data axis must map each process's devices "
+            "to exactly one contiguous block for per-host batch feeding"
+        )
+    return mine[0], len(groups)
+
+
 def put_global_batch(batch: dict, batch_shardings) -> dict:
     """Place a batch on the mesh, assembling across hosts when needed.
 
     Single-process: plain ``device_put`` (unchanged fast path). Multi-host:
     each process contributes its local rows and the result is a global
-    jax.Array whose leading dim is ``local_rows * process_count`` — every
-    host must therefore feed the SAME per-host batch shape (the data
-    pipeline's process-sharding guarantees disjoint content).
+    jax.Array whose leading dim is ``local_rows * num_data_groups`` (see
+    ``data_shard_group`` — processes sharing a data-axis block because TP
+    spans them count once, and must feed identical rows). Every host must
+    feed the SAME per-host batch shape; the data pipeline's group-sharding
+    guarantees content is disjoint across groups and identical within one.
     """
     import jax
     import numpy as np
@@ -119,9 +159,12 @@ def put_global_batch(batch: dict, batch_shardings) -> dict:
     if jax.process_count() == 1:
         return jax.device_put(batch, batch_shardings)
 
+    leaves = jax.tree.leaves(batch_shardings)
+    _, num_groups = data_shard_group(leaves[0].mesh)
+
     def _make(x, sharding):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        global_shape = (x.shape[0] * num_groups,) + x.shape[1:]
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(_make, batch, batch_shardings)

@@ -87,12 +87,24 @@ def worker_main(args) -> None:
 
     pid, nproc = args.pid, args.nproc
 
+    # shard by data-axis GROUP (processes sharing a data block because TP
+    # spans them must feed IDENTICAL rows — distributed.data_shard_group).
+    # 2 procs x 4 devices: group == process (TP inside each process);
+    # 8 procs x 1 device: 4 groups of 2 processes each (TP across the wire).
+    if nproc == 1:
+        gidx, ngroups = 0, 1
+    else:
+        from cm3p_tpu.parallel.distributed import data_shard_group
+        from cm3p_tpu.parallel.mesh import make_mesh
+
+        gidx, ngroups = data_shard_group(make_mesh(model=2))
+
     def factory():
         # deterministic GLOBAL stream: every process draws the same global
-        # batch, then slices its disjoint local rows — so the assembled
-        # global array is identical for any process count (the parity basis)
+        # batch, then slices its group's rows — so the assembled global
+        # array is identical for any process count (the parity basis)
         rng = np.random.default_rng(1234)
-        local = GLOBAL_BSZ // nproc
+        local = GLOBAL_BSZ // ngroups
 
         def gen():
             for _ in range(1000):
@@ -105,7 +117,7 @@ def worker_main(args) -> None:
                     "metadata_attention_mask": np.ones((GLOBAL_BSZ, 3, 12), np.int32),
                     "metadata_variation_classes": classes,
                 }
-                yield {k: v[pid * local : (pid + 1) * local] for k, v in b.items()}
+                yield {k: v[gidx * local : (gidx + 1) * local] for k, v in b.items()}
 
         return gen()
 

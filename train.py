@@ -169,11 +169,23 @@ def mmrs_batches(args: dict, processor, test: bool):
     data_seed = training.get("seed")
     epoch_state = {"next": 0}
 
-    def build_iter(epoch: int):
+    def _data_shard():
+        # shard by data-axis GROUP, not raw process id: with TP spanning
+        # processes, the model columns of one data shard must feed identical
+        # rows (parallel/distributed.py data_shard_group)
         import jax
 
+        if jax.process_count() == 1:
+            return 0, 1
+        from cm3p_tpu.parallel.distributed import data_shard_group
+        from cm3p_tpu.parallel.mesh import make_mesh
+
+        return data_shard_group(make_mesh(model=training.get("model_axis", 1)))
+
+    def build_iter(epoch: int):
+        shard_id, shard_count = _data_shard()
         dataset_factory = MmrsDatasetFactory(
-            ds_cfg, processor, test, jax.process_index(), jax.process_count(),
+            ds_cfg, processor, test, shard_id, shard_count,
             seed=data_seed, epoch=epoch,
         )
         loader = SampleLoader(dataset_factory, num_workers=num_workers)
