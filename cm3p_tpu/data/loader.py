@@ -88,6 +88,7 @@ class SampleLoader:
         idle_timeout: float = 600.0,
         startup_timeout: float = 600.0,
         int8_ipc: Optional[bool] = None,
+        ipc_dequantize: bool = True,
     ):
         self.dataset_factory = dataset_factory
         self.num_workers = num_workers
@@ -101,6 +102,11 @@ class SampleLoader:
             int8_ipc if int8_ipc is not None
             else os.environ.get("CM3P_INT8_IPC", "0") == "1"
         )
+        # False = yield the quantized (int8, scale-key) sample as-is so a
+        # consumer feeding an int8 DEVICE wire can pass it straight through
+        # (the dequantize+requantize round trip costs ~1 ms/window of parent
+        # CPU and is exact anyway — r19c A/B)
+        self.ipc_dequantize = ipc_dequantize
 
     def __iter__(self) -> Iterator[dict]:
         if self.num_workers <= 0:
@@ -185,7 +191,11 @@ class SampleLoader:
                 if isinstance(item, tuple) and len(item) == 2 and isinstance(item[0], str) and item[0] == _STOP:
                     done.add(item[1])
                     continue
-                yield _dequantize_features_from_ipc(item) if self.int8_ipc else item
+                yield (
+                    _dequantize_features_from_ipc(item)
+                    if self.int8_ipc and self.ipc_dequantize
+                    else item
+                )
         finally:
             for p in procs:
                 p.terminate()

@@ -637,7 +637,18 @@ def main(argv=None):
         logger.info("Capping --num-workers %d to the %d available core(s)", ns.num_workers, n_cores)
         ns.num_workers = n_cores
 
-    loader = SampleLoader(dataset_factory, num_workers=ns.num_workers)
+    # int8 IPC + int8 device wire compose into a PASSTHROUGH: workers
+    # quantize once, the parent ships the int8 block straight into the
+    # device wire (scales ride alongside) — no dequantize/requantize round
+    # trip in the single parent process (exact either way; r19c A/B showed
+    # the round trip cost ~1 s of the 14 s warm e2e)
+    int8_passthrough = (
+        mel_wire == "int8" and os.environ.get("CM3P_INT8_IPC", "0") == "1"
+    )
+    loader = SampleLoader(
+        dataset_factory, num_workers=ns.num_workers,
+        ipc_dequantize=not int8_passthrough,
+    )
     n_windows = 0
     t0 = time.perf_counter()
     # Wall-time decomposition of the extraction loop (logged at the end):
@@ -680,6 +691,7 @@ def main(argv=None):
             ids_list = [p[1] for p in pending]
             feats_list = [p[2] for p in pending]
             tails_list = [p[3] for p in pending]
+            ipc_scales = [p[4] if len(p) > 4 else None for p in pending]
             packed = pack_windows(seqs, seq_len, pad_id=processor.beatmap_tokenizer.pad_token_id)
             if packed["input_ids"].shape[0] > ns.batch_size and len(pending) > 1:
                 # the token-count flush trigger under-estimates rows when
@@ -723,6 +735,14 @@ def main(argv=None):
                     features = np.zeros((w_pad,) + f0.shape, np.int8)
                     scales = np.zeros((w_pad,), np.float32)
                     for wi, f in enumerate(feats_list):
+                        f = np.asarray(f)
+                        if f.dtype == np.int8:
+                            # int8 IPC passthrough: the worker already
+                            # quantized with the identical symmetric absmax
+                            # quantizer — ship codes + scale as-is
+                            features[wi] = f
+                            scales[wi] = ipc_scales[wi]
+                            continue
                         f = np.asarray(f, np.float32)
                         s = float(np.max(np.abs(f))) / 127.0 or 1.0
                         scales[wi] = s
@@ -850,6 +870,7 @@ def main(argv=None):
                     sample.get("input_features_pcm") if mel_wire == "pcm"
                     else sample.get("input_features"),
                     sample.get("input_features_tail"),
+                    sample.get("_input_features_ipc_scale"),
                 )
             )
         flush(pending)

@@ -487,3 +487,18 @@ class TestInt8Ipc:
         s2 = float(np.max(np.abs(deq))) / 127.0 or 1.0
         q2 = np.rint(deq / s2).astype(np.int8)
         np.testing.assert_array_equal(q1["input_features"], q2)
+
+    def test_passthrough_mode_yields_quantized(self):
+        """ipc_dequantize=False hands the consumer the worker's int8 codes +
+        scale key untouched (the extractor's int8-device-wire passthrough)."""
+        from cm3p_tpu.data import SampleLoader
+        from cm3p_tpu.data.loader import _IPC_SCALE
+
+        items = list(SampleLoader(
+            _mel_sample_factory, num_workers=1, log_dir=None,
+            int8_ipc=True, ipc_dequantize=False,
+        ))
+        assert len(items) == 3
+        for it in items:
+            assert it["input_features"].dtype == np.int8
+            assert _IPC_SCALE in it and it[_IPC_SCALE].dtype == np.float32
