@@ -347,3 +347,25 @@ class TestProjectionVariants:
             metadata_ids=ids, metadata_attention_mask=mask, normalize=True,
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_l2_normalize_zero_vector_grad_finite():
+    """sqrt's vjp at 0 is inf; with eps outside the sqrt one zero vector
+    (a mean-pooled dummy packed window) turned the WHOLE step's gradients
+    NaN through inf*0 — eps must sit inside the sqrt (r19 find; the
+    real-data cluster leg NaN'd from step 1 on the XLA/mean-pool path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cm3p_tpu.models import l2_normalize
+
+    x = jnp.zeros((3, 8), jnp.float32).at[0, 0].set(1.0)  # rows 1-2 are zero
+
+    def loss(x):
+        return jnp.sum(l2_normalize(x) * jnp.ones_like(x))
+
+    g = jax.grad(loss)(x)
+    assert bool(jnp.all(jnp.isfinite(g))), g
+    # the non-zero row still normalizes exactly
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(l2_normalize(x))[0, 0], 1.0, atol=1e-6)
