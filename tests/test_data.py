@@ -502,3 +502,23 @@ class TestInt8Ipc:
         for it in items:
             assert it["input_features"].dtype == np.int8
             assert _IPC_SCALE in it and it[_IPC_SCALE].dtype == np.float32
+
+    def test_passthrough_codes_match_parent_quantization(self):
+        """The passthrough changes WHERE quantization happens, not the wire
+        bits: worker codes must be bit-identical to what the extractor's
+        int8 device wire would produce from the float mel (same symmetric
+        absmax quantizer — extract_beatmap_embeddings.py flush). The worker
+        multiplies by float32(1/s) while the parent divides by s; this
+        asserts the rint results still agree across 4 orders of magnitude
+        of signal amplitude (BASELINE r19e verified the same on real mel)."""
+        from cm3p_tpu.data.loader import _IPC_SCALE, _quantize_features_for_ipc
+
+        rng = np.random.default_rng(1)
+        for amp in (1.0, 0.3, 1e-2, 1e-4):
+            f = (amp * rng.standard_normal((80, 400))).astype(np.float32)
+            q = _quantize_features_for_ipc({"input_features": f})
+            # the parent path (extractor flush, non-int8 input branch)
+            s = float(np.max(np.abs(f))) / 127.0 or 1.0
+            parent_codes = np.rint(f / s).astype(np.int8)
+            np.testing.assert_array_equal(q["input_features"], parent_codes)
+            assert q[_IPC_SCALE] == np.float32(s)
