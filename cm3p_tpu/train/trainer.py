@@ -285,7 +285,7 @@ class Trainer:
                 step = micro_base + micro + 1
                 if window_count and step % self.grad_accum == 0:
                     opt_step = step // self.grad_accum
-                    if opt_step % self.logging_steps == 0:
+                    if opt_step % max(self.logging_steps, 1) == 0:
                         # single host sync per logging window keeps the device
                         # pipeline full between logs
                         window_loss = float(jnp.mean(jnp.stack(pending_losses)))
@@ -305,7 +305,14 @@ class Trainer:
                         window_t0 = time.perf_counter()
                         window_count = 0
 
-                    if self.eval_iter_factory is not None and opt_step % self.eval_steps == 0 and opt_step > 0:
+                    # eval_steps <= 0 disables periodic eval (HF semantics:
+                    # no eval schedule), rather than dividing by zero
+                    if (
+                        self.eval_iter_factory is not None
+                        and self.eval_steps > 0
+                        and opt_step % self.eval_steps == 0
+                        and opt_step > 0
+                    ):
                         eval_metrics = self.evaluate(state)
                         self._log({"step": opt_step, **{f"eval_{k}": v for k, v in eval_metrics.items() if v is not None}})
                         self._last_eval = eval_metrics

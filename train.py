@@ -435,6 +435,10 @@ def main(argv=None):
             coordinator_address=training.get("coordinator_address"),
             num_processes=training.get("num_processes"),
             process_id=training.get("process_id"),
+            # bounds failure DETECTION on a preempted pod: a SIGKILLed peer
+            # fails the survivors within this window instead of hanging them
+            # in a collective (tests/test_mp_preemption.py measures the bound)
+            heartbeat_timeout_seconds=training.get("heartbeat_timeout_seconds"),
         )
 
     from cm3p_tpu.utils.cache import enable_compilation_cache
