@@ -80,6 +80,16 @@ class TestTrainerLoop:
         assert "loss" in metrics
         trainer.close()
 
+    def test_zero_schedules_disable_not_crash(self, tmp_path):
+        # eval_steps=0 means "no periodic eval" and logging_steps=0 must not
+        # divide by zero (found by a multihost smoke: HF semantics expose
+        # both as disable-switches, and the modulo crashed mid-train)
+        trainer = make_trainer(tmp_path, max_steps=2, eval_steps=0, logging_steps=0)
+        state = trainer.train()
+        assert int(state.step) == 2
+        assert not trainer._last_eval  # no periodic eval ran
+        trainer.close()
+
 
 class TestFreezing:
     def test_frozen_params_unchanged(self, tmp_path):
